@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the harness testdata tables (see /root/repo/TESTDATA.md).
+  *
+  * All queries in [[SparkEntry.queries]] read through here so that the
+  * one genuinely non-portable detail — `events.ts` being parquet
+  * TIMESTAMP(NANOS), which Spark's reader rejects outright — is handled
+  * in exactly one place.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is INT64 TIMESTAMP(NANOS). Spark throws
+    * PARQUET_TYPE_ILLEGAL on it unless nanos are read as raw longs; we
+    * then truncate to microseconds, which matches DuckDB's
+    * `CAST(ts AS TIMESTAMP)` truncation — keeping the oracle comparable.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Float-math parity: DuckDB's list_cosine_similarity computes in
+    * float32 when fed list<float>; both engines are pinned to double by
+    * casting the embedding once here.
+    */
+  def embeddingsD(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+}

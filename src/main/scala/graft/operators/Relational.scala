@@ -1,0 +1,592 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational operators from SURVEY.md §2 (reference:
+  * coderanger/farmrpg-etl), re-expressed as declarative Spark plans over
+  * the harness testdata.
+  *
+  * Conventions shared by every query here (and its DuckDB oracle):
+  *   - deterministic output: a final orderBy on a unique key set. The
+  *     sort is presentation-only for the harness compare; it is the last
+  *     node in the plan, so it never constrains the interesting part.
+  *   - double aggregation goes through DECIMAL(38,10) so the result is
+  *     independent of partial-aggregation order on both engines, then is
+  *     cast back to double so the output schema stays `double`.
+  *   - `events.ts` is read via [[graft.Tables.events]] (nanos → micros),
+  *     mirrored by `CAST(ts AS TIMESTAMP)` in the oracle SQL.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Sum a double column exactly (order-independent): via decimal. */
+  private def sumd(c: Column): Column = sum(c.cast("decimal(38,10)")).cast("double")
+
+  /** Oracle-side events relation with ts truncated like Spark reads it. */
+  private val EV =
+    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  // ===========================================================================
+  // A — aggregations / dedup / CDC (SURVEY §2.4)
+  // ===========================================================================
+
+  /** A1 `argmax_per_group` — latest event per user, the reference's most
+    * load-bearing query ("current snapshot" = ORDER BY ts DESC LIMIT 1 per
+    * user; farmrpg-etl db/user.py:17, api/auth.py:44-46, bots/firebase.py:23).
+    *
+    * Spark-first: single hash aggregate with `max_by` over a (ts, event_id)
+    * ordering struct — one shuffle, no global sort, no window. At 100 TB this
+    * beats the row_number() window (which must sort every partition) because
+    * partial max_by combines map-side.
+    */
+  val argmaxPerGroup: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("ts"), col("event_type"), col("value"), col("event_id")),
+        struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.ts").as("ts"),
+        col("m.event_type").as("event_type"), col("m.value").as("value"))
+      .orderBy("user_id")
+  }
+  val argmaxPerGroupSql: String =
+    s"""SELECT user_id, ts, event_type, value FROM (
+       |  SELECT user_id, ts, event_type, value,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM $EV) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** A2 `dedup_by_unique_key` — exactly-once insert semantics: unique-key
+    * conflict swallow (db/chat.py:14-19). Batch analog: the input stream
+    * re-delivers every row (union with itself); dedup restores set semantics.
+    * `dropDuplicates` = hash-agg on the key, map-side combinable.
+    */
+  val dedupByUniqueKey: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    ev.unionByName(ev).dropDuplicates("event_id").orderBy("event_id")
+  }
+  val dedupByUniqueKeySql: String =
+    s"""SELECT DISTINCT * FROM (
+       |  SELECT * FROM $EV UNION ALL SELECT * FROM $EV) ORDER BY event_id""".stripMargin
+
+  /** A3 `cdc_diff_consecutive` — SCD-style change suppression: emit a row
+    * only when the non-key payload differs from the previous row for that
+    * key, ignoring bookkeeping fields (db/user.py:12-40 ignores ts/user).
+    */
+  val cdcDiffConsecutive: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .filter(!(col("prev_type") <=> col("event_type")) ||
+              !(col("prev_value") <=> col("value")))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+  val cdcDiffConsecutiveSql: String =
+    s"""SELECT user_id, event_id, ts, event_type, value FROM (
+       |  SELECT *, lag(event_type) OVER w AS prev_type, lag(value) OVER w AS prev_value
+       |  FROM $EV WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |WHERE prev_type IS DISTINCT FROM event_type OR prev_value IS DISTINCT FROM value
+       |ORDER BY user_id, ts, event_id""".stripMargin
+
+  /** A4 `stateful_last_value_diff` — batch analog of the chat scraper's
+    * per-key last-value diff (scrapers/chat.py:158-171): detect the
+    * false→true transition of a derived flag, stamp the transition time,
+    * and carry it forward (like `deleted_ts`).
+    */
+  val statefulLastValueDiff: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("flag", col("value") > 150.0)
+      .withColumn("chg", !(lag(col("flag"), 1).over(w) <=> col("flag")))
+      .withColumn("flagged_ts",
+        max(when(col("chg") && col("flag"), col("ts"))).over(wRun))
+      .filter(col("chg"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("flag"), col("flagged_ts"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+  val statefulLastValueDiffSql: String =
+    s"""SELECT user_id, event_id, ts, flag, flagged_ts FROM (
+       |  SELECT user_id, event_id, ts, flag, chg,
+       |         max(CASE WHEN chg AND flag THEN ts END)
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS flagged_ts
+       |  FROM (
+       |    SELECT *, (value > 150.0) AS flag,
+       |           (lag(value > 150.0) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |            IS DISTINCT FROM (value > 150.0)) AS chg
+       |    FROM $EV))
+       |WHERE chg ORDER BY user_id, ts, event_id""".stripMargin
+
+  /** A5 `bounded_state_dedup` — bounded-memory dedup (FIFO caches,
+    * utils/cache.py:7-17) mapped to its scalable equivalent: keep the first
+    * occurrence of a key within each event-time window (what
+    * dropDuplicatesWithinWatermark does in streaming; this is the batch twin).
+    */
+  val boundedStateDedup: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"), col("event_type"), col("hour"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("hour", date_trunc("hour", col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+  val boundedStateDedupSql: String =
+    s"""SELECT event_id, ts, user_id, event_type, value FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY user_id, event_type, date_trunc('hour', ts)
+       |    ORDER BY ts, event_id) AS rn
+       |  FROM $EV) WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  /** A6 `update_rowcount_agg` — rows_updated count driving the
+    * update-else-insert branch (bots/firebase.py:17-21): how many base rows
+    * an update batch would match.
+    */
+  val updateRowcountAgg: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val updates = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    ev.join(updates, Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("n_updated"))
+  }
+  val updateRowcountAggSql: String =
+    s"""SELECT count(*) AS n_updated FROM $EV e
+       |WHERE EXISTS (SELECT 1 FROM $EV u
+       |              WHERE u.event_type = 'purchase' AND u.user_id = e.user_id)""".stripMargin
+
+  // ===========================================================================
+  // J — joins (SURVEY §2.3)
+  // ===========================================================================
+
+  /** J1 `fk_equi_join` — select_related FK join (db/core/models.py:115-137):
+    * fact ⋈ dimension. customer is the dimension → broadcast, so the join is
+    * map-side with zero shuffle of the fact table at any scale where the dim
+    * fits in memory (1.5M rows/SF ≈ ok to ~sf10; beyond that AQE picks SMJ).
+    */
+  val fkEquiJoin: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("c_name"), col("c_mktsegment"))
+      .orderBy("o_orderkey")
+  }
+  val fkEquiJoinSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** J2 `join_filter_through_fk` — filter across a relation
+    * (`user__firebase_uid=...`, api/auth.py:44-46): predicate on the joined
+    * dimension side; Catalyst pushes it below the join into the dim scan.
+    */
+  val joinFilterThroughFk: Q = (spark, dir) => {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+      .orderBy("c_custkey")
+  }
+  val joinFilterThroughFkSql: String =
+    """SELECT c_custkey, c_name, n_name
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |              JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA' ORDER BY c_custkey""".stripMargin
+
+  /** J3 `composite_key_correlation_join` — correlate ID-less rows to their
+    * source rows by composite key (flags → messages on (room, username, ts),
+    * db/chat.py:22-26). Analog: correlate 'click' and 'purchase' events of
+    * the same user on the same day; aggregate to pair counts.
+    */
+  val compositeKeyCorrelationJoin: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    clicks.join(purchases, Seq("user_id", "day"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id", "day")
+  }
+  val compositeKeyCorrelationJoinSql: String =
+    s"""SELECT c.user_id, c.day, count(*) AS n_pairs FROM
+       |  (SELECT user_id, date_trunc('day', ts) AS day FROM $EV WHERE event_type = 'click') c
+       |JOIN
+       |  (SELECT user_id, date_trunc('day', ts) AS day FROM $EV WHERE event_type = 'purchase') p
+       |ON c.user_id = p.user_id AND c.day = p.day
+       |GROUP BY c.user_id, c.day ORDER BY c.user_id, c.day""".stripMargin
+
+  /** J4 `upsert_get_or_create` — get_or_create (db/user.py:34): return the
+    * existing row, else create one with defaults. Set formulation:
+    * existing ∪ (requested ∖ existing), i.e. union + left-anti join.
+    */
+  val upsertGetOrCreate: Q = (spark, dir) => {
+    val existing = Tables.customer(spark, dir)
+      .filter(col("c_custkey") < 1000)
+      .select(col("c_custkey"), col("c_name"), lit(false).as("created"))
+    val requested = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val created = requested
+      .join(existing.select("c_custkey"), Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"),
+        concat(lit("Customer#created#"), col("c_custkey")).as("c_name"),
+        lit(true).as("created"))
+    existing.unionByName(created).orderBy("c_custkey")
+  }
+  val upsertGetOrCreateSql: String =
+    """SELECT c_custkey, c_name, false AS created FROM customer WHERE c_custkey < 1000
+      |UNION ALL
+      |SELECT o_custkey AS c_custkey, 'Customer#created#' || o_custkey AS c_name, true AS created
+      |FROM (SELECT DISTINCT o_custkey FROM orders
+      |      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 1000))
+      |ORDER BY c_custkey""".stripMargin
+
+  /** J5 `scrape_fanout` — per-key fan-out (scrapers/user.py:97-102): the
+    * online-user list drives one profile fetch per key. Relationally: the
+    * distinct key list joined against the profile store (inner, one row per
+    * driving key that resolves).
+    */
+  val scrapeFanout: Q = (spark, dir) => {
+    val online = Tables.events(spark, dir).select(col("user_id")).distinct()
+    val profiles = Tables.customer(spark, dir)
+    online.join(broadcast(profiles), online("user_id") === profiles("c_custkey"))
+      .select(col("user_id"), col("c_name"), col("c_mktsegment"))
+      .orderBy("user_id")
+  }
+  val scrapeFanoutSql: String =
+    s"""SELECT user_id, c_name, c_mktsegment
+       |FROM (SELECT DISTINCT user_id FROM $EV) u
+       |JOIN customer ON user_id = c_custkey ORDER BY user_id""".stripMargin
+
+  /** J6 `anti_join_seen_set` — process only unseen keys
+    * (scrapers/mailbox.py:106-113, firestore/chat.py:52-56): left-anti join
+    * against the seen set. Analog: customers with no 'F'-status order.
+    */
+  val antiJoinSeenSet: Q = (spark, dir) => {
+    val c = Tables.customer(spark, dir)
+    val seen = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    c.join(seen, c("c_custkey") === seen("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+  val antiJoinSeenSetSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ===========================================================================
+  // P — projections / filters / scalar derivations (SURVEY §2.2)
+  // ===========================================================================
+
+  /** P1 `filter_eq_conjunctive` — ANDed equality kwargs filter
+    * (db/chat.py:24-26). Both predicates push down to the parquet scan.
+    */
+  val filterEqConjunctive: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" && col("user_id") % 10 === 3)
+      .orderBy("event_id")
+  val filterEqConjunctiveSql: String =
+    s"SELECT * FROM $EV WHERE event_type = 'purchase' AND user_id % 10 = 3 ORDER BY event_id"
+
+  /** P2 `filter_boolean` — boolean-condition guard filters
+    * (scrapers/mailbox.py:108). */
+  val filterBoolean: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .withColumn("unread", col("value") > 100.0 && col("props").contains("\"k\": 1"))
+      .filter(col("unread"))
+      .select(col("event_id"), col("user_id"), col("value"), col("props"))
+      .orderBy("event_id")
+  val filterBooleanSql: String =
+    s"""SELECT event_id, user_id, value, props FROM $EV
+       |WHERE value > 100.0 AND contains(props, '"k": 1') ORDER BY event_id""".stripMargin
+
+  /** P3 `project_drop_columns` — drop fields before the sink; conditionally
+    * null a field so stale state isn't clobbered (firestore/chat.py:42-46:
+    * drop `flags`, keep `deleted_ts` only when deleted). */
+  val projectDropColumns: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .withColumn("error_ts", when(col("event_type") === "error", col("ts")))
+      .drop("props", "value")
+      .orderBy("event_id")
+  val projectDropColumnsSql: String =
+    s"""SELECT event_id, ts, user_id, event_type,
+       |       CASE WHEN event_type = 'error' THEN ts END AS error_ts
+       |FROM $EV ORDER BY event_id""".stripMargin
+
+  /** P4+P5 `derive_basename` — path-tail extraction (`src.rsplit("/",1)[-1]`,
+    * scrapers/chat.py:79) and derived boolean flags (scrapers/chat.py:82). */
+  val deriveBasename: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .withColumn("path", concat_ws("/", lit("assets"), col("lang"), col("source")))
+      .select(col("doc_id"), col("path"),
+        substring_index(col("path"), "/", -1).as("emblem"),
+        col("text").contains("spark").as("has_spark"))
+      .orderBy("doc_id")
+  val deriveBasenameSql: String =
+    """SELECT doc_id, 'assets/' || lang || '/' || source AS path,
+      |       source AS emblem, contains(text, 'spark') AS has_spark
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** P6 `parse_qs_extract` — query-string parameter extraction from URLs
+    * (scrapers/user.py:68-70). Spark side uses the native `parse_url`
+    * (codegen'd); oracle recomputes with regexp. */
+  val parseQsExtract: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .withColumn("url",
+        concat(lit("https://example.com/profile.php?user_name="), col("source"),
+          lit("&id="), col("doc_id")))
+      .select(col("doc_id"), col("url"),
+        parse_url(col("url"), lit("QUERY"), lit("user_name")).as("user_name"),
+        parse_url(col("url"), lit("QUERY"), lit("id")).cast("long").as("id"))
+      .orderBy("doc_id")
+  val parseQsExtractSql: String =
+    """SELECT doc_id,
+      |       'https://example.com/profile.php?user_name=' || source || '&id=' || doc_id AS url,
+      |       source AS user_name, doc_id AS id
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** P7 `cast_str_int` — string→int casts of scraped fields
+    * (scrapers/user.py:52): extract the numeric `k` from the JSON props
+    * payload and cast. */
+  val castStrInt: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+  val castStrIntSql: String =
+    s"""SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+       |FROM $EV ORDER BY event_id""".stripMargin
+
+  /** P8 `synthetic_hash_id` — rows with no natural ID get a deterministic
+    * hash of their content (scrapers/chat.py:109 uses CPython `hash(tuple)`).
+    * We use md5 over a '|'-joined key: portable across engines and stable
+    * across JVMs — unlike CPython's hash, which is neither. At scale, where
+    * oracle parity is not a constraint, xxhash64 (see
+    * [[graft.operators.Dedup]]) is the cheaper choice.
+    */
+  val syntheticHashId: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        md5(concat_ws("|", col("user_id"), col("event_type"), col("props"))).as("synth_id"))
+      .orderBy("event_id")
+  val syntheticHashIdSql: String =
+    s"""SELECT event_id, md5(user_id || '|' || event_type || '|' || props) AS synth_id
+       |FROM $EV ORDER BY event_id""".stripMargin
+
+  // ===========================================================================
+  // S — sink semantics, batch analogs (SURVEY §2.1: S7-S10)
+  // ===========================================================================
+
+  /** S7 `jdbc_insert_sink` — idempotent insert: append only rows whose key is
+    * not already present (unique-violation swallow, db/chat.py:13-19).
+    * Sink state = even orderkeys; incoming = keys divisible by 3.
+    */
+  val jdbcInsertSink: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    val existing = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val incoming = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    existing.unionByName(
+        incoming.join(existing.select("o_orderkey"), Seq("o_orderkey"), "left_anti"))
+      .orderBy("o_orderkey")
+  }
+  val jdbcInsertSinkSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** S8 `jdbc_update_sink` — keyed UPDATE: overwrite a field on matched rows,
+    * keep the rest (db/chat.py:22-26). Updates = per-user max purchase value.
+    */
+  val jdbcUpdateSink: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val updates = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(max(col("value")).as("new_value"))
+    ev.join(broadcast(updates), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        coalesce(col("new_value"), col("value")).as("value"))
+      .orderBy("event_id")
+  }
+  val jdbcUpdateSinkSql: String =
+    s"""SELECT e.event_id, e.user_id, e.event_type,
+       |       coalesce(u.new_value, e.value) AS value
+       |FROM $EV e LEFT JOIN (
+       |  SELECT user_id, max(value) AS new_value FROM $EV
+       |  WHERE event_type = 'purchase' GROUP BY user_id) u
+       |ON e.user_id = u.user_id ORDER BY e.event_id""".stripMargin
+
+  /** S9 `doc_merge_upsert_sink` — merge-upsert (`doc.set(merge=True)`,
+    * firestore/chat.py:49-56): full-outer merge of current state with an
+    * update batch; matched rows take the update, unmatched keep/insert.
+    */
+  val docMergeUpsertSink: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val state = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_seen"))
+    val batch = ev.filter(col("event_type") === "login")
+      .groupBy(col("user_id")).agg(max(col("ts")).as("last_login"))
+    state.join(batch, Seq("user_id"), "full_outer")
+      .select(col("user_id"), col("first_seen"), col("last_login"))
+      .orderBy("user_id")
+  }
+  val docMergeUpsertSinkSql: String =
+    s"""SELECT coalesce(s.user_id, b.user_id) AS user_id, s.first_seen, b.last_login
+       |FROM (SELECT user_id, min(ts) AS first_seen FROM $EV
+       |      WHERE event_type = 'signup' GROUP BY user_id) s
+       |FULL OUTER JOIN
+       |     (SELECT user_id, max(ts) AS last_login FROM $EV
+       |      WHERE event_type = 'login' GROUP BY user_id) b
+       |ON s.user_id = b.user_id ORDER BY user_id""".stripMargin
+
+  /** S10 `startup_snapshot_scan` — load the existing-doc key set once, then
+    * detect new keys (firestore/chat.py:31-36 + 52-56): distinct incoming
+    * keys minus the known set. The known set is a broadcast (it is the small
+    * side by construction, same as the reference's in-memory set).
+    */
+  val startupSnapshotScan: Q = (spark, dir) => {
+    val known = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 2 === 0).select(col("c_custkey").as("user_id"))
+    Tables.events(spark, dir).select(col("user_id")).distinct()
+      .join(broadcast(known), Seq("user_id"), "left_anti")
+      .orderBy("user_id")
+  }
+  val startupSnapshotScanSql: String =
+    s"""SELECT DISTINCT user_id FROM $EV
+       |WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0)
+       |ORDER BY user_id""".stripMargin
+
+  // ===========================================================================
+  // U — set operations (SURVEY §2.6)
+  // ===========================================================================
+
+  /** U1 `union_sources` — merge parallel sources into one stream
+    * (online ∪ staff, __main__.py:56-63). */
+  val unionSources: Q = (spark, dir) => {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+        lit("customer").as("src"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+        lit("supplier").as("src"))
+    c.unionByName(s).orderBy("name", "src")
+  }
+  val unionSourcesSql: String =
+    """SELECT * FROM (
+      |  SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS src FROM customer
+      |  UNION ALL
+      |  SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS src FROM supplier)
+      |ORDER BY name, src""".stripMargin
+
+  /** U2 `distinct_membership` — new-member detection: distinct keys EXCEPT
+    * the already-known set (firestore/chat.py:28,52-56). */
+  val distinctMembership: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val all = ev.select(col("user_id")).distinct()
+    val known = ev.filter(col("event_type") === "signup").select(col("user_id"))
+    all.except(known).orderBy("user_id")
+  }
+  val distinctMembershipSql: String =
+    s"""SELECT DISTINCT user_id FROM $EV
+       |EXCEPT SELECT user_id FROM $EV WHERE event_type = 'signup'
+       |ORDER BY user_id""".stripMargin
+
+  // ===========================================================================
+  // W1/W2 — ordering / limits (SURVEY §2.5)
+  // ===========================================================================
+
+  /** W1 `order_desc_first` — `.order_by("-ts").first()` (db/user.py:17):
+    * global top-1. Spark's sort+limit(1) is a TakeOrderedAndProject — no
+    * full sort is materialized. */
+  val orderDescFirst: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .orderBy(col("ts").desc, col("event_id").desc).limit(1)
+  val orderDescFirstSql: String =
+    s"SELECT * FROM $EV ORDER BY ts DESC, event_id DESC LIMIT 1"
+
+  /** W2 `reverse_document_order` — replay rows oldest-first so state
+    * transitions apply in event order (reversed(msgs), scrapers/chat.py:158).
+    */
+  val reverseDocumentOrder: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .orderBy(col("ts").asc, col("event_id").asc).limit(100)
+  val reverseDocumentOrderSql: String =
+    s"SELECT * FROM $EV ORDER BY ts ASC, event_id ASC LIMIT 100"
+
+  // ===========================================================================
+  // registry
+  // ===========================================================================
+
+  val queries: Map[String, Q] = Map(
+    "argmax_per_group" -> argmaxPerGroup,
+    "dedup_by_unique_key" -> dedupByUniqueKey,
+    "cdc_diff_consecutive" -> cdcDiffConsecutive,
+    "stateful_last_value_diff" -> statefulLastValueDiff,
+    "bounded_state_dedup" -> boundedStateDedup,
+    "update_rowcount_agg" -> updateRowcountAgg,
+    "fk_equi_join" -> fkEquiJoin,
+    "join_filter_through_fk" -> joinFilterThroughFk,
+    "composite_key_correlation_join" -> compositeKeyCorrelationJoin,
+    "upsert_get_or_create" -> upsertGetOrCreate,
+    "scrape_fanout" -> scrapeFanout,
+    "anti_join_seen_set" -> antiJoinSeenSet,
+    "filter_eq_conjunctive" -> filterEqConjunctive,
+    "filter_boolean" -> filterBoolean,
+    "project_drop_columns" -> projectDropColumns,
+    "derive_basename" -> deriveBasename,
+    "parse_qs_extract" -> parseQsExtract,
+    "cast_str_int" -> castStrInt,
+    "synthetic_hash_id" -> syntheticHashId,
+    "jdbc_insert_sink" -> jdbcInsertSink,
+    "jdbc_update_sink" -> jdbcUpdateSink,
+    "doc_merge_upsert_sink" -> docMergeUpsertSink,
+    "startup_snapshot_scan" -> startupSnapshotScan,
+    "union_sources" -> unionSources,
+    "distinct_membership" -> distinctMembership,
+    "order_desc_first" -> orderDescFirst,
+    "reverse_document_order" -> reverseDocumentOrder,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "argmax_per_group" -> argmaxPerGroupSql,
+    "dedup_by_unique_key" -> dedupByUniqueKeySql,
+    "cdc_diff_consecutive" -> cdcDiffConsecutiveSql,
+    "stateful_last_value_diff" -> statefulLastValueDiffSql,
+    "bounded_state_dedup" -> boundedStateDedupSql,
+    "update_rowcount_agg" -> updateRowcountAggSql,
+    "fk_equi_join" -> fkEquiJoinSql,
+    "join_filter_through_fk" -> joinFilterThroughFkSql,
+    "composite_key_correlation_join" -> compositeKeyCorrelationJoinSql,
+    "upsert_get_or_create" -> upsertGetOrCreateSql,
+    "scrape_fanout" -> scrapeFanoutSql,
+    "anti_join_seen_set" -> antiJoinSeenSetSql,
+    "filter_eq_conjunctive" -> filterEqConjunctiveSql,
+    "filter_boolean" -> filterBooleanSql,
+    "project_drop_columns" -> projectDropColumnsSql,
+    "derive_basename" -> deriveBasenameSql,
+    "parse_qs_extract" -> parseQsExtractSql,
+    "cast_str_int" -> castStrIntSql,
+    "synthetic_hash_id" -> syntheticHashIdSql,
+    "jdbc_insert_sink" -> jdbcInsertSinkSql,
+    "jdbc_update_sink" -> jdbcUpdateSinkSql,
+    "doc_merge_upsert_sink" -> docMergeUpsertSinkSql,
+    "startup_snapshot_scan" -> startupSnapshotScanSql,
+    "union_sources" -> unionSourcesSql,
+    "distinct_membership" -> distinctMembershipSql,
+    "order_desc_first" -> orderDescFirstSql,
+    "reverse_document_order" -> reverseDocumentOrderSql,
+  )
+}

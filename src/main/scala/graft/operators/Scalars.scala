@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Fns
+
+/** Oracle-checked query twins for the scalar-function surface
+  * (SURVEY.md §2.7). Each query synthesizes reference-shaped inputs from
+  * the testdata columns, applies the F-group functions, and is mirrored by
+  * DuckDB SQL computing the same values.
+  */
+object Scalars {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val EV =
+    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  /** F1+F2 `regexp_extract_id` — delete-link message IDs and flag-badge
+    * counts (scrapers/chat.py:19-20,59-61,106-114). */
+  val regexpExtractId: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .withColumn("href", concat(lit("javascript:delChat("), col("event_id"), lit(")")))
+      .withColumn("badge", concat((col("user_id") % 5).cast("string"), lit(" flags")))
+      .select(col("event_id"),
+        Fns.messageId(col("href")).cast("long").as("msg_id"),
+        Fns.flagCount(col("badge")).cast("long").as("n_flags"))
+      .orderBy("event_id")
+  val regexpExtractIdSql: String =
+    s"""SELECT event_id,
+       |       CAST(regexp_extract('javascript:delChat(' || event_id || ')',
+       |                           'javascript:(?:un)?delChat\\((\\d+)\\)', 1) AS BIGINT) AS msg_id,
+       |       user_id % 5 AS n_flags
+       |FROM $EV ORDER BY event_id""".stripMargin
+
+  /** F3+F4+F7 `regexp_replace_normalize` — content normalization: forcepath
+    * rewrite, @-link rewrite, <br> split-to-first-line
+    * (scrapers/chat.py:21-25,72-74; bots/base.py:37-44). */
+  val regexpReplaceNormalize: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    val content = concat(
+      lit("<strong>"), col("lang"), lit("path</strong> "),
+      lit("""<a class="close-panel" href="profile.php?user_name="""), col("source"),
+      lit("""" style="color:teal">@"""), col("source"), lit("</a> "),
+      col("text"), lit("<br/>tail line"))
+    d.withColumn("content", content)
+      .select(col("doc_id"),
+        Fns.firstLine(Fns.rewriteAtLinks(Fns.normalizeForcepath(col("content")))).as("norm"))
+      .orderBy("doc_id")
+  }
+  val regexpReplaceNormalizeSql: String =
+    """SELECT doc_id,
+      |  string_split(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          '<strong>' || lang || 'path</strong> <a class="close-panel" href="profile.php?user_name='
+      |            || source || '" style="color:teal">@' || source || '</a> ' || text || '<br/>tail line',
+      |          '<strong>\w+path</strong>', '<strong>Forcepath</strong>', 'g'),
+      |        '<a class="close-panel" href="profile.php\?user_name=[^">]+" style="color:teal">(@[^">]+)</a>',
+      |        '\1:', 'g'),
+      |      '<br\s*/?>', chr(10), 'g'),
+      |    chr(10))[1] AS norm
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** F5 `regexp_extract_all_mentions` — mention extraction. The oracle runs
+    * a lookahead-free pattern (RE2 cannot express the reference's lookahead;
+    * the exact reference pattern is [[graft.functions.Fns.mentions]],
+    * golden-tested in MentionSpec). Output is CSV-joined so the compared
+    * column is a plain string.
+    */
+  val regexpExtractAllMentions: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    val s = concat(lit("@"), col("source"), lit(": "), col("text"),
+      lit(" cc @user"), col("doc_id") % 7, lit(": bye"))
+    d.withColumn("s", s)
+      .select(col("doc_id"),
+        array_join(regexp_extract_all(col("s"), lit("""@([^:\s]+):"""), lit(1)), ",").as("mentions_csv"))
+      .orderBy("doc_id")
+  }
+  val regexpExtractAllMentionsSql: String =
+    """SELECT doc_id,
+      |       array_to_string(
+      |         regexp_extract_all('@' || source || ': ' || text || ' cc @user' || (doc_id % 7) || ': bye',
+      |                            '@([^:\s]+):', 1), ',') AS mentions_csv
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** F11+F12 `to_timestamp_ampm` — round-trip the server's yearless
+    * "%b %d, %I:%M:%S %p" America/Chicago format back to UTC
+    * (scrapers/mailbox.py:45-57, utils/datetime.py:4-13). January slice
+    * only: a fixed UTC offset (CST), so the round-trip is unambiguous —
+    * the reference has the same property because its "now" anchor and the
+    * parsed times share a zone.
+    */
+  val toTimestampAmPm: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir).filter(month(col("ts")) === 1)
+    // Render what the game server would show (it displays America/Chicago).
+    val shown = date_format(from_utc_timestamp(col("ts"), "America/Chicago"),
+      "MMM dd, hh:mm:ss a")
+    ev.withColumn("shown", shown)
+      .select(col("event_id"), col("shown"),
+        Fns.parseServerTs(col("shown"), lit(2024)).as("parsed_utc"))
+      .orderBy("event_id")
+  }
+  val toTimestampAmPmSql: String =
+    s"""SELECT event_id, shown,
+       |       make_timestamp(epoch_us(timezone('America/Chicago',
+       |         strptime('2024 ' || shown, '%Y %b %d, %I:%M:%S %p')))) AS parsed_utc
+       |FROM (
+       |  SELECT event_id,
+       |         strftime(timezone('America/Chicago', timezone('UTC', ts)),
+       |                  '%b %d, %I:%M:%S %p') AS shown
+       |  FROM $EV WHERE month(ts) = 1)
+       |ORDER BY event_id""".stripMargin
+
+  /** F13+F14 `datetime_funcs` — interval arithmetic, truncation, field
+    * extraction, epoch conversion (scrapers/chat.py:50, utils/datetime.py). */
+  val datetimeFuncs: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        (col("ts") - expr("INTERVAL 1 DAY")).as("prev_day"),
+        date_trunc("day", col("ts")).as("day"),
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("m"),
+        unix_micros(col("ts")).as("epoch_us"))
+      .orderBy("event_id")
+  val datetimeFuncsSql: String =
+    s"""SELECT event_id, ts - INTERVAL 1 DAY AS prev_day,
+       |       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |       year(ts) AS y, month(ts) AS m, epoch_us(ts) AS epoch_us
+       |FROM $EV ORDER BY event_id""".stripMargin
+
+  /** F8+F9+F10+F17 `string_funcs` — lower/trim, prefix-drop slice, composite
+    * key concat, fixed-length check. */
+  val stringFuncs: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        lower(col("source")).as("lowered"),
+        trim(concat(lit("  "), col("lang"), lit(" "))).as("trimmed"),
+        Fns.dropPrefix2(col("text")).as("sliced"),
+        Fns.compositeKey(col("lang"), col("source"), col("doc_id")).as("ckey"),
+        (length(col("text")) === 28).as("is_uid_len"))
+      .orderBy("doc_id")
+  val stringFuncsSql: String =
+    """SELECT doc_id, lower(source) AS lowered, trim('  ' || lang || ' ') AS trimmed,
+      |       substr(text, 3) AS sliced,
+      |       lang || '|' || source || '|' || doc_id AS ckey,
+      |       length(text) = 28 AS is_uid_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** F16 `to_json_claims` — claims JSON with a conditional role key
+    * (models/user.py:27-33, firebase.py:32): the key is absent, not null,
+    * when the user has no role. Built by explicit concatenation so both
+    * engines emit byte-identical JSON.
+    */
+  val toJsonClaims: Q = (spark, dir) => {
+    val c = Tables.customer(spark, dir)
+    val role = when(col("c_acctbal") > 9000, lit("ranger"))
+      .when(col("c_acctbal") > 5000, lit("farmhand"))
+    c.select(col("c_custkey"),
+        Fns.claimsJson(col("c_name"), role).as("claims"))
+      .orderBy("c_custkey")
+  }
+  val toJsonClaimsSql: String =
+    """SELECT c_custkey,
+      |       '{"username":"' || c_name || '"' ||
+      |       CASE WHEN c_acctbal > 9000 THEN ',"role":"ranger"'
+      |            WHEN c_acctbal > 5000 THEN ',"role":"farmhand"'
+      |            ELSE '' END || '}' AS claims
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "regexp_extract_id" -> regexpExtractId,
+    "regexp_replace_normalize" -> regexpReplaceNormalize,
+    "regexp_extract_all_mentions" -> regexpExtractAllMentions,
+    "to_timestamp_ampm" -> toTimestampAmPm,
+    "datetime_funcs" -> datetimeFuncs,
+    "string_funcs" -> stringFuncs,
+    "to_json_claims" -> toJsonClaims,
+  )
+  val oracles: Map[String, String] = Map(
+    "regexp_extract_id" -> regexpExtractIdSql,
+    "regexp_replace_normalize" -> regexpReplaceNormalizeSql,
+    "regexp_extract_all_mentions" -> regexpExtractAllMentionsSql,
+    "to_timestamp_ampm" -> toTimestampAmPmSql,
+    "datetime_funcs" -> datetimeFuncsSql,
+    "string_funcs" -> stringFuncsSql,
+    "to_json_claims" -> toJsonClaimsSql,
+  )
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Timestamp-repair operators (SURVEY.md §2.5 W3/W4).
+  *
+  * The reference's chat pages carry only a time-of-day ("%I:%M:%S %p",
+  * scrapers/chat.py:42); walking the page newest→oldest, a time that
+  * *increases* means the previous calendar day was crossed, and rollovers
+  * cascade across multiple days (golden test
+  * test/scrapers/test_chat.py:132-162). Mail timestamps carry month+day
+  * but no year (scrapers/mailbox.py:45-52).
+  *
+  * These are the only order-dependent scans in the reference. W3 needs a
+  * running accumulation — a window `sum` over the document order — not a
+  * pointwise expression; a single `lag` cannot repair a multi-day cascade.
+  */
+object TimeRepair {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val EV =
+    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  /** Deterministic stand-in for "now"/"today" (the reference freezes the
+    * clock in tests the same way, via freezegun). */
+  private val Anchor = "2024-06-01"
+
+  /** W3 `monotonic_ts_repair` — day-rollover repair (scrapers/chat.py:36-51).
+    *
+    * Simulation on testdata: each user's events are a "page"; document
+    * order is newest-first (event_id DESC); the source is assumed to show
+    * only time-of-day. Every row is first anchored to `Anchor`'s date; a
+    * rollover is flagged whenever time-of-day increases while walking
+    * newest→oldest, and the *cumulative* rollover count is subtracted in
+    * days — reproducing the multi-day cascade semantics.
+    *
+    * Plan shape: one shuffle on user_id, one sort within partitions for the
+    * window — at 100 TB this is a single exchange; the running sum is
+    * whole-stage-codegen'd.
+    */
+  val monotonicTsRepair: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("tod", date_format(col("ts"), "HH:mm:ss"))
+      .withColumn("roll",
+        when(col("tod") > lag(col("tod"), 1).over(w), 1).otherwise(0))
+      .withColumn("days_back", sum(col("roll")).over(wRun).cast("int"))
+      .select(col("user_id"), col("event_id"),
+        (to_timestamp(concat(lit(s"$Anchor "), col("tod")))
+          - make_dt_interval(col("days_back"))).as("repaired_ts"))
+      .orderBy("user_id", "event_id")
+  }
+  val monotonicTsRepairSql: String =
+    s"""SELECT user_id, event_id,
+       |       CAST('$Anchor ' || tod AS TIMESTAMP)
+       |         - to_days(CAST(days_back AS INTEGER)) AS repaired_ts
+       |FROM (
+       |  SELECT user_id, event_id, tod,
+       |         sum(CASE WHEN tod > lag(tod) OVER w THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY user_id ORDER BY event_id DESC
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS days_back
+       |  FROM (SELECT user_id, event_id,
+       |               strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') AS tod FROM events)
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id DESC))
+       |ORDER BY user_id, event_id""".stripMargin
+
+  /** W4 `year_rollover_repair` — yearless timestamps are parsed with the
+    * current year and pushed back one year when they land in the future
+    * (scrapers/mailbox.py:45-52; chat.py:100-105 has the same *intent* but
+    * a real bug — the corrected `ts.replace` result is discarded; we
+    * implement the intended semantics, as the mailbox variant does).
+    */
+  val yearRolloverRepair: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val now = to_timestamp(lit(s"$Anchor 00:00:00"))
+    ev.select(col("event_id"), col("ts"),
+        when(col("ts") > now, col("ts") - expr("INTERVAL 1 YEAR"))
+          .otherwise(col("ts")).as("repaired_ts"))
+      .orderBy("event_id")
+  }
+  val yearRolloverRepairSql: String =
+    s"""SELECT event_id, ts,
+       |       CASE WHEN ts > TIMESTAMP '$Anchor 00:00:00'
+       |            THEN ts - INTERVAL 1 YEAR ELSE ts END AS repaired_ts
+       |FROM $EV ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "monotonic_ts_repair" -> monotonicTsRepair,
+    "year_rollover_repair" -> yearRolloverRepair,
+  )
+  val oracles: Map[String, String] = Map(
+    "monotonic_ts_repair" -> monotonicTsRepairSql,
+    "year_rollover_repair" -> yearRolloverRepairSql,
+  )
+}
