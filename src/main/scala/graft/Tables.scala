@@ -22,12 +22,14 @@ object Tables {
     * PARQUET_TYPE_ILLEGAL on it unless nanos are read as raw longs; we
     * then truncate to microseconds, which matches DuckDB's
     * `CAST(ts AS TIMESTAMP)` truncation — keeping the oracle comparable.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` at session
+    * construction (set by [[Sessions.builder]], used in Verify/Bench/tests)
+    * — kept out of here so query functions stay pure.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
 
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")

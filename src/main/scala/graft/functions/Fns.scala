@@ -46,8 +46,12 @@ object Fns {
   // F6: link-shape matchers.
   val FriendsLinkPat = """^members.php\?type=friended&id=(\d+)$"""
   val ProfileLinkPat = """^profile.php\?"""
-  def friendsLinkUserId(href: Column): Column =
-    regexp_extract(href, FriendsLinkPat, 1).cast("long")
+  def friendsLinkUserId(href: Column): Column = {
+    // regexp_extract yields '' on no-match; ANSI cast('' as long) throws,
+    // so null it first (the reference returns None on no-match too).
+    val m = regexp_extract(href, FriendsLinkPat, 1)
+    when(m === "", lit(null)).otherwise(m).cast("long")
+  }
 
   // F7: <br> → newline, take first line; split-once command parsing.
   val BrPat = """<br\s*/?>"""

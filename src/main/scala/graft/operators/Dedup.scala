@@ -1,0 +1,271 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Large-scale training-data deduplication over the `documents` table:
+  * exact (hash-groupBy), MinHash+LSH banding, SimHash fingerprinting, and
+  * exact n-gram Jaccard — each oracle-checked against DuckDB.
+  *
+  * Scale design notes (the point of these ops is the 100 TB case):
+  *   - Nothing here is all-pairs. MinHash candidates come from a
+  *     *band-bucket equi-join* (shuffle on (band, signature)); Jaccard
+  *     pairs come from a *shared-shingle equi-join* with a document
+  *     frequency cap that bounds the worst-case fanout per shingle.
+  *   - Every aggregation is a hash aggregate (map-side combinable): the
+  *     k min-hashes are k `min` aggregates over one exploded pass, not k
+  *     passes.
+  *   - Hashes are md5-prefix-derived 60-bit ints — portable bit-for-bit
+  *     across Spark and DuckDB (unlike xxhash64, which DuckDB lacks, or
+  *     CPython `hash`, which is salted; see SURVEY §7.3). At pure scale
+  *     (no oracle constraint) swap `h60` for `xxhash64` — one line.
+  *
+  * The sf* documents are unique, so "re-crawl" inputs are synthesized:
+  * a copy of part of the corpus, optionally with the first word dropped
+  * (≈ near-duplicate: shingle Jaccard ~ (n-2)/n). This keeps every
+  * operator's positive path provably exercised — no vacuous green.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Portable 60-bit hash: first 15 hex digits of md5, as a long.
+    * DuckDB twin: CAST('0x' || substr(md5(x),1,15) AS BIGINT). */
+  def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Same hash as SQL text, for use inside higher-order-function lambdas. */
+  def h60Sql(x: String): String =
+    s"CAST(conv(substring(md5($x),1,15),16,10) AS BIGINT)"
+  def h60Duck(x: String): String =
+    s"CAST('0x' || substr(md5($x),1,15) AS BIGINT)"
+
+  // ---------------------------------------------------------------------
+  // shared input builders (Spark + DuckDB twins)
+  // ---------------------------------------------------------------------
+
+  /** documents ∪ exact re-crawl of every 3rd doc (same text, new id). */
+  private def withExactDupes(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    d.unionByName(
+      d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+  private val ExactDupesSql =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0)"""
+      .stripMargin
+
+  /** documents ∪ near-duplicate re-crawl (first word dropped) of every doc. */
+  private def withNearDupes(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    d.unionByName(
+      d.select((col("doc_id") + 100000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+  private val NearDupesSql =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id,
+      |        substr(text, strpos(text, ' ') + 1) AS text
+      | FROM documents)""".stripMargin
+
+  /** Distinct word-3-gram shingles per doc (docs shorter than 3 words
+    * yield none). One row per (doc_id, shingle). */
+  private def shingled(df: DataFrame): DataFrame =
+    df.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(words)-3)," +
+          " i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"))).as("shingle"))
+  private def shingledSql(rel: String): String =
+    s"""(SELECT doc_id, unnest(list_distinct(
+       |   list_transform(range(1, len(words)-1),
+       |     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+       | FROM (SELECT doc_id, string_split(text, ' ') AS words FROM $rel)
+       | WHERE len(words) >= 3)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // 1. exact_dedup_documents — hash-groupBy exact dedup
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup: group by content hash, keep min(doc_id) as the
+    * representative, count copies. One shuffle on the 128-bit content
+    * hash (uniform → no skew), map-side combinable. At 100 TB this is
+    * the canonical first dedup pass: O(n) scan, no joins.
+    */
+  val exactDedupDocuments: Q = (spark, dir) =>
+    withExactDupes(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("content_hash"), col("n_copies"))
+      .orderBy("doc_id")
+  val exactDedupDocumentsSql: String =
+    s"""SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS n_copies
+       |FROM $ExactDupesSql GROUP BY md5(text) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // 2. minhash_lsh_candidates — MinHash signatures + LSH band buckets
+  // ---------------------------------------------------------------------
+
+  private val NumHashes = 12
+  private val BandRows = 3 // → 4 bands of 3 hashes
+
+  /** MinHash+LSH near-dup candidate pairs.
+    *
+    * Pipeline: shingle → 12 min-hash aggregates in ONE pass over the
+    * exploded (doc, shingle) relation → 4 LSH bands of 3 hashes → explode
+    * bands → self-equi-join on (band, signature) → distinct (a<b) pairs.
+    *
+    * Never all-pairs: candidate generation cost is Σ_bucket |bucket|²,
+    * bounded because identical signatures imply near-identical shingle
+    * sets. Two shuffles total (doc_id for the signature agg; band key for
+    * the bucket join).
+    */
+  val minhashLshCandidates: Q = (spark, dir) => {
+    val sh = shingled(withNearDupes(spark, dir))
+    val mins = (0 until NumHashes).map(s =>
+      min(h60(concat(lit(s.toString), lit(":"), col("shingle")))).as(s"mh$s"))
+    val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bands = (0 until NumHashes / BandRows).map { b =>
+      val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("sig"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+  val minhashLshCandidatesSql: String = {
+    val minsSql = (0 until NumHashes)
+      .map(s => s"min(${h60Duck(s"'$s:' || shingle")}) AS mh$s").mkString(", ")
+    val bandsSql = (0 until NumHashes / BandRows).map { b =>
+      val cols = (b * BandRows until (b + 1) * BandRows).map(i => s"mh$i").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS sig FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH sh AS ${shingledSql(NearDupesSql)},
+       |sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
+       |buckets AS ($bandsSql)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM buckets a JOIN buckets b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // 3. simhash_fingerprint — 16-bit SimHash per document
+  // ---------------------------------------------------------------------
+
+  private val SimBits = 16
+
+  /** SimHash: per word occurrence, each bit of the word hash votes ±1;
+    * the sign of each bit's vote total becomes that fingerprint bit.
+    * One explode + one hash aggregate (16 sums, map-side combinable),
+    * single shuffle on doc_id. Near-dups then compare by Hamming
+    * distance on the fingerprint — O(n) storage, no pair materialization.
+    */
+  val simhashFingerprint: Q = (spark, dir) => {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("wh", h60(col("w")))
+    val votes = (0 until SimBits).map(j =>
+      sum(when(expr(s"(wh >> $j) & 1") === 1, 1).otherwise(-1)).as(s"v$j"))
+    val bits = (0 until SimBits)
+      .map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    words.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), bits.as("simhash"))
+      .orderBy("doc_id")
+  }
+  val simhashFingerprintSql: String = {
+    val votesSql = (0 until SimBits)
+      .map(j => s"sum(CASE WHEN (wh >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(", ")
+    val bitsSql = (0 until SimBits)
+      .map(j => s"CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH words AS (
+       |  SELECT doc_id, ${h60Duck("w")} AS wh FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+       |votes AS (SELECT doc_id, $votesSql FROM words GROUP BY doc_id)
+       |SELECT doc_id, $bitsSql AS simhash FROM votes ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // 4. ngram_jaccard_pairs — exact shingle Jaccard over shared-shingle join
+  // ---------------------------------------------------------------------
+
+  /** Document-frequency cap: shingles occurring in more docs than this are
+    * excluded from BOTH candidate generation and the Jaccard sets — it is
+    * part of the operator's semantics (capped-Jaccard), bounding the
+    * worst-case join fanout per shingle to DfCap² pairs. At 100 TB this
+    * cap (plus salting the residual hot shingles) is what keeps the
+    * shared-shingle join from degenerating on boilerplate n-grams. */
+  private val DfCap = 100
+  private val JaccardThreshold = 0.5
+
+  /** Exact n-gram Jaccard near-dup pairs: join docs on shared shingles
+    * (df-capped), count common shingles per pair, Jaccard from per-doc
+    * set sizes. Output keeps only pairs above threshold. The ratio is an
+    * exact int/int double division — bit-identical across engines.
+    */
+  val ngramJaccardPairs: Q = (spark, dir) => {
+    val sh = shingled(withNearDupes(spark, dir))
+    val kept = sh.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("df") <= DfCap).drop("df")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = kept.as("a")
+    val b = kept.as("b")
+    val common = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+  val ngramJaccardPairsSql: String =
+    s"""WITH sh AS ${shingledSql(NearDupesSql)},
+       |kept AS (SELECT doc_id, shingle FROM (
+       |  SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+       |  WHERE df <= $DfCap),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b, n_common,
+       |       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+       |FROM common
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // registry
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "exact_dedup_documents" -> exactDedupDocuments,
+    "minhash_lsh_candidates" -> minhashLshCandidates,
+    "simhash_fingerprint" -> simhashFingerprint,
+    "ngram_jaccard_pairs" -> ngramJaccardPairs,
+  )
+  val oracles: Map[String, String] = Map(
+    "exact_dedup_documents" -> exactDedupDocumentsSql,
+    "minhash_lsh_candidates" -> minhashLshCandidatesSql,
+    "simhash_fingerprint" -> simhashFingerprintSql,
+    "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
+  )
+}

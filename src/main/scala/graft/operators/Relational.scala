@@ -165,14 +165,15 @@ object Relational {
   // ===========================================================================
 
   /** J1 `fk_equi_join` — select_related FK join (db/core/models.py:115-137):
-    * fact ⋈ dimension. customer is the dimension → broadcast, so the join is
-    * map-side with zero shuffle of the fact table at any scale where the dim
-    * fits in memory (1.5M rows/SF ≈ ok to ~sf10; beyond that AQE picks SMJ).
+    * fact ⋈ dimension. `customer` scales with the data (1.5M rows × SF), so
+    * no broadcast hint: a hard hint would override AQE's size check and OOM
+    * at the 100 TB design point. AQE picks BHJ while the dim is small and
+    * falls back to SMJ/shuffled-hash beyond the threshold.
     */
   val fkEquiJoin: Q = (spark, dir) => {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("c_name"), col("c_mktsegment"))
       .orderBy("o_orderkey")
@@ -254,12 +255,13 @@ object Relational {
   /** J5 `scrape_fanout` — per-key fan-out (scrapers/user.py:97-102): the
     * online-user list drives one profile fetch per key. Relationally: the
     * distinct key list joined against the profile store (inner, one row per
-    * driving key that resolves).
+    * driving key that resolves). Both sides scale with the data → no
+    * broadcast hint; AQE chooses the strategy from runtime sizes.
     */
   val scrapeFanout: Q = (spark, dir) => {
     val online = Tables.events(spark, dir).select(col("user_id")).distinct()
     val profiles = Tables.customer(spark, dir)
-    online.join(broadcast(profiles), online("user_id") === profiles("c_custkey"))
+    online.join(profiles, online("user_id") === profiles("c_custkey"))
       .select(col("user_id"), col("c_name"), col("c_mktsegment"))
       .orderBy("user_id")
   }
@@ -411,12 +413,14 @@ object Relational {
 
   /** S8 `jdbc_update_sink` — keyed UPDATE: overwrite a field on matched rows,
     * keep the rest (db/chat.py:22-26). Updates = per-user max purchase value.
+    * The update side's cardinality is O(users) — scales with data — so no
+    * broadcast hint; AQE decides from the runtime size.
     */
   val jdbcUpdateSink: Q = (spark, dir) => {
     val ev = Tables.events(spark, dir)
     val updates = ev.filter(col("event_type") === "purchase")
       .groupBy(col("user_id")).agg(max(col("value")).as("new_value"))
-    ev.join(broadcast(updates), Seq("user_id"), "left")
+    ev.join(updates, Seq("user_id"), "left")
       .select(col("event_id"), col("user_id"), col("event_type"),
         coalesce(col("new_value"), col("value")).as("value"))
       .orderBy("event_id")
@@ -435,21 +439,23 @@ object Relational {
     */
   val docMergeUpsertSink: Q = (spark, dir) => {
     val ev = Tables.events(spark, dir)
-    val state = ev.filter(col("event_type") === "signup")
+    // The %-filters make all three merge branches non-empty on testdata:
+    // matched (update), state-only (keep), batch-only (insert).
+    val state = ev.filter(col("event_type") === "signup" && col("user_id") % 5 =!= 0)
       .groupBy(col("user_id")).agg(min(col("ts")).as("first_seen"))
-    val batch = ev.filter(col("event_type") === "login")
-      .groupBy(col("user_id")).agg(max(col("ts")).as("last_login"))
+    val batch = ev.filter(col("event_type") === "view" && col("user_id") % 7 =!= 0)
+      .groupBy(col("user_id")).agg(max(col("ts")).as("last_seen"))
     state.join(batch, Seq("user_id"), "full_outer")
-      .select(col("user_id"), col("first_seen"), col("last_login"))
+      .select(col("user_id"), col("first_seen"), col("last_seen"))
       .orderBy("user_id")
   }
   val docMergeUpsertSinkSql: String =
-    s"""SELECT coalesce(s.user_id, b.user_id) AS user_id, s.first_seen, b.last_login
+    s"""SELECT coalesce(s.user_id, b.user_id) AS user_id, s.first_seen, b.last_seen
        |FROM (SELECT user_id, min(ts) AS first_seen FROM $EV
-       |      WHERE event_type = 'signup' GROUP BY user_id) s
+       |      WHERE event_type = 'signup' AND user_id % 5 <> 0 GROUP BY user_id) s
        |FULL OUTER JOIN
-       |     (SELECT user_id, max(ts) AS last_login FROM $EV
-       |      WHERE event_type = 'login' GROUP BY user_id) b
+       |     (SELECT user_id, max(ts) AS last_seen FROM $EV
+       |      WHERE event_type = 'view' AND user_id % 7 <> 0 GROUP BY user_id) b
        |ON s.user_id = b.user_id ORDER BY user_id""".stripMargin
 
   /** S10 `startup_snapshot_scan` — load the existing-doc key set once, then
@@ -492,16 +498,20 @@ object Relational {
       |ORDER BY name, src""".stripMargin
 
   /** U2 `distinct_membership` — new-member detection: distinct keys EXCEPT
-    * the already-known set (firestore/chat.py:28,52-56). */
+    * the already-known set (firestore/chat.py:28,52-56). The known set is
+    * "signed up in the first week" — every testdata user has SOME signup
+    * event, so an unfiltered known set would make this vacuously empty. */
   val distinctMembership: Q = (spark, dir) => {
     val ev = Tables.events(spark, dir)
     val all = ev.select(col("user_id")).distinct()
-    val known = ev.filter(col("event_type") === "signup").select(col("user_id"))
+    val known = ev.filter(col("event_type") === "signup" &&
+      col("ts") < to_timestamp(lit("2024-01-08 00:00:00"))).select(col("user_id"))
     all.except(known).orderBy("user_id")
   }
   val distinctMembershipSql: String =
     s"""SELECT DISTINCT user_id FROM $EV
-       |EXCEPT SELECT user_id FROM $EV WHERE event_type = 'signup'
+       |EXCEPT SELECT user_id FROM $EV
+       |       WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-08 00:00:00'
        |ORDER BY user_id""".stripMargin
 
   // ===========================================================================

@@ -148,6 +148,47 @@ object Scalars {
       |       length(text) = 28 AS is_uid_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** F6 `regexp_match_link` — link-shape matching (scrapers/user.py:16-17,
+    * 44-52): extract the user id from friends-list hrefs, test
+    * profile-link shapes. Exercises [[Fns.friendsLinkUserId]] /
+    * [[Fns.ProfileLinkPat]] with the reference's exact patterns (both are
+    * lookahead-free, so the oracle runs the same regexes).
+    */
+  val regexpMatchLink: Q = (spark, dir) =>
+    Tables.customer(spark, dir)
+      .withColumn("href",
+        when(col("c_custkey") % 4 === 0, concat(lit("members.php?type=friended&id="), col("c_custkey")))
+          .otherwise(concat(lit("profile.php?user_name="), col("c_name"))))
+      .select(col("c_custkey"), col("href"),
+        Fns.friendsLinkUserId(col("href")).as("friend_id"),
+        col("href").rlike(Fns.ProfileLinkPat).as("is_profile_link"))
+      .orderBy("c_custkey")
+  val regexpMatchLinkSql: String =
+    """SELECT c_custkey, href,
+      |       CAST(NULLIF(regexp_extract(href, '^members.php\?type=friended&id=(\d+)$', 1), '') AS BIGINT) AS friend_id,
+      |       regexp_matches(href, '^profile.php\?') AS is_profile_link
+      |FROM (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_custkey % 4 = 0 THEN 'members.php?type=friended&id=' || c_custkey
+      |              ELSE 'profile.php?user_name=' || c_name END AS href
+      |  FROM customer)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** F7+F8 `command_parse` — DM bot command parsing (bots/base.py:37-44):
+    * first line of the <br>-separated body, command lowered, args split
+    * once. */
+  val commandParse: Q = (spark, dir) =>
+    Tables.customer(spark, dir)
+      .withColumn("body",
+        concat(lit("FIREBASE "), col("c_name"), lit(" extra<br/>ignored tail")))
+      .select(col("c_custkey"),
+        Fns.commandName(col("body")).as("cmd"),
+        Fns.commandArgs(col("body")).as("args"))
+      .orderBy("c_custkey")
+  val commandParseSql: String =
+    """SELECT c_custkey, 'firebase' AS cmd, c_name || ' extra' AS args
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   /** F16 `to_json_claims` — claims JSON with a conditional role key
     * (models/user.py:27-33, firebase.py:32): the key is absent, not null,
     * when the user has no role. Built by explicit concatenation so both
@@ -177,6 +218,8 @@ object Scalars {
     "datetime_funcs" -> datetimeFuncs,
     "string_funcs" -> stringFuncs,
     "to_json_claims" -> toJsonClaims,
+    "regexp_match_link" -> regexpMatchLink,
+    "command_parse" -> commandParse,
   )
   val oracles: Map[String, String] = Map(
     "regexp_extract_id" -> regexpExtractIdSql,
@@ -186,5 +229,7 @@ object Scalars {
     "datetime_funcs" -> datetimeFuncsSql,
     "string_funcs" -> stringFuncsSql,
     "to_json_claims" -> toJsonClaimsSql,
+    "regexp_match_link" -> regexpMatchLinkSql,
+    "command_parse" -> commandParseSql,
   )
 }

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Three tiers, mirroring how ANN is actually deployed over 100 TB:
+  *   1. `cosine_topk_bruteforce` — exact top-k for a BOUNDED query set
+  *      against the full corpus: broadcast the queries (bounded by
+  *      construction), stream the corpus once, per-query top-k via
+  *      window rank. Linear in corpus size, never corpus×corpus.
+  *   2. `embedding_cosine_near_dup` — corpus-wide near-dup detection via
+  *      sign-random-projection LSH buckets: pairs are generated only
+  *      WITHIN a bucket (equi-join on the 8-bit signature), then exact
+  *      cosine filters them. Never all-pairs.
+  *   3. `ann_lsh_bucket_top1` — the scale path for corpus-wide nearest
+  *      neighbor: restrict candidates to the same LSH bucket (recall<1,
+  *      deterministic — the oracle mirrors the same approximation).
+  *
+  * Float-math parity with the DuckDB oracle: embeddings are cast to
+  * double FIRST ([[Tables.embeddingsD]]); dot products fold
+  * left-to-right in both engines (Spark `aggregate`, DuckDB
+  * `list_reduce`) → bit-identical doubles → identical ORDER BY decisions.
+  * Outputs expose only integer ids/ranks/buckets, so the driver's hash
+  * compare never touches a float.
+  *
+  * The sign-projection hyperplanes are pseudo-random but portable:
+  * component (p,i) = (h60("p,i") mod 2001 - 1000) / 1000 ∈ [-1, 1],
+  * reproducible bit-for-bit in any engine with md5.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Dim = 64
+  private val NumPlanes = 8
+  private val TopK = 3
+  private val NumQueries = 10
+
+  /** dot(embedding, embedding2) as a left-to-right fold (SQL expr). */
+  private def dotSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  private def dotDuck(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, $Dim + 1), i -> $a[i] * $b[i])),
+       |    (acc, x) -> acc + x)""".stripMargin
+
+  /** LSH signature: bit p = (dot(v, plane_p) >= 0). */
+  private def lshBucketSql(v: String): String =
+    (0 until NumPlanes).map { p =>
+      val plane = s"transform(sequence(1, $Dim), i -> " +
+        s"(CAST(conv(substring(md5(concat('$p', ',', i)),1,15),16,10) AS BIGINT) % 2001 - 1000) / 1000.0)"
+      s"CASE WHEN aggregate(zip_with($v, $plane, (x, r) -> x * r), 0D, (acc, x) -> acc + x) >= 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString(" + ")
+  private def lshBucketDuck(v: String): String =
+    (0 until NumPlanes).map { p =>
+      val plane = s"list_transform(range(1, $Dim + 1), j -> " +
+        s"(CAST('0x' || substr(md5('$p' || ',' || j),1,15) AS BIGINT) % 2001 - 1000) / 1000.0)"
+      s"""CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(1, $Dim + 1), i -> $v[i] * ($plane)[i])),
+         |  (acc, x) -> acc + x) >= 0 THEN ${1 << p} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+
+  private val EmbD = "(SELECT vec_id, embedding::DOUBLE[] AS embedding, label FROM embeddings)"
+
+  // ---------------------------------------------------------------------
+  // 1. cosine_topk_bruteforce
+  // ---------------------------------------------------------------------
+
+  /** Exact cosine top-k: queries = vec_id < NumQueries (bounded set →
+    * broadcast is CORRECT here, unlike a scaling side), corpus streamed
+    * once; per-query rank by (cosine desc, vec_id) keeps the result
+    * deterministic. Output: (q_id, rank, vec_id) — integers only.
+    */
+  val cosineTopkBruteforce: Q = (spark, dir) => {
+    val e = Tables.embeddingsD(spark, dir)
+      .withColumn("norm", expr(s"sqrt(${dotSql("embedding", "embedding")})"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        expr(s"${dotSql("q_emb", "embedding")}") / (col("q_norm") * col("norm")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"))
+      .orderBy("q_id", "rank")
+  }
+  val cosineTopkBruteforceSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  sqrt(${dotDuck("embedding", "embedding")}) AS norm FROM $EmbD),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |         ${dotDuck("q.embedding", "c.embedding")} / (q.norm * c.norm) AS cos
+       |  FROM e q JOIN e c ON q.vec_id < $NumQueries AND c.vec_id <> q.vec_id)
+       |SELECT q_id, rank, vec_id FROM (
+       |  SELECT q_id, vec_id,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // 2. embedding_cosine_near_dup
+  // ---------------------------------------------------------------------
+
+  /** Near-dup vectors via LSH-bucketed exact-cosine: corpus ∪ re-ingested
+    * copies of every even vec_id (the synthetic duplicate source — sf*
+    * embeddings are random, so organic near-dups don't exist), bucketed
+    * by 8-bit sign-projection signature, pairs generated within buckets
+    * only, kept when cosine > 0.99. Identical vectors always share a
+    * bucket, so recall on true duplicates is 1.0.
+    */
+  val embeddingCosineNearDup: Q = (spark, dir) => {
+    val base = Tables.embeddingsD(spark, dir).select("vec_id", "embedding")
+    val dup = base.filter(col("vec_id") % 2 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val all = base.unionByName(dup)
+      .withColumn("norm", expr(s"sqrt(${dotSql("embedding", "embedding")})"))
+      .withColumn("bucket", expr(lshBucketSql("embedding")))
+    val a = all.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("norm").as("norm_a"), col("bucket"))
+    val b = all.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("norm").as("norm_b"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        expr(s"${dotSql("emb_a", "emb_b")}") / (col("norm_a") * col("norm_b")))
+      .filter(col("cos") > 0.99)
+      .select(col("id_a"), col("id_b"), col("bucket").cast("long").as("bucket"))
+      .orderBy("id_a", "id_b")
+  }
+  val embeddingCosineNearDupSql: String =
+    s"""WITH base AS (SELECT vec_id, embedding FROM $EmbD
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id, embedding FROM $EmbD WHERE vec_id % 2 = 0),
+       |v AS (SELECT vec_id, embedding,
+       |  sqrt(${dotDuck("embedding", "embedding")}) AS norm,
+       |  ${lshBucketDuck("embedding")} AS bucket FROM base)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket
+       |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.norm * b.norm) > 0.99
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // 3. ann_lsh_bucket_top1
+  // ---------------------------------------------------------------------
+
+  /** Approximate nearest neighbor, scale path: each vector's best
+    * neighbor WITHIN its LSH bucket (vectors alone in their bucket emit
+    * nothing). Deterministic approximation — the oracle mirrors it — so
+    * the correctness check validates the bucketing + in-bucket ranking
+    * machinery, while recall/latency tradeoffs are tuned via
+    * NumPlanes (more planes → smaller buckets → cheaper, lower recall).
+    */
+  val annLshBucketTop1: Q = (spark, dir) => {
+    val all = Tables.embeddingsD(spark, dir)
+      .withColumn("norm", expr(s"sqrt(${dotSql("embedding", "embedding")})"))
+      .withColumn("bucket", expr(lshBucketSql("embedding")))
+    val a = all.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("norm").as("norm_a"), col("bucket"))
+    val b = all.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("norm").as("norm_b"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos",
+        expr(s"${dotSql("emb_a", "emb_b")}") / (col("norm_a") * col("norm_b")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))))
+      .filter(col("rn") === 1)
+      .select(col("id_a").as("vec_id"), col("id_b").as("neighbor_id"),
+        col("bucket").cast("long").as("bucket"))
+      .orderBy("vec_id")
+  }
+  val annLshBucketTop1Sql: String =
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |  sqrt(${dotDuck("embedding", "embedding")}) AS norm,
+       |  ${lshBucketDuck("embedding")} AS bucket FROM $EmbD)
+       |SELECT vec_id, neighbor_id, bucket FROM (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, a.bucket AS bucket,
+       |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |           ${dotDuck("a.embedding", "b.embedding")} / (a.norm * b.norm) DESC,
+       |           b.vec_id) AS rn
+       |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "cosine_topk_bruteforce" -> cosineTopkBruteforce,
+    "embedding_cosine_near_dup" -> embeddingCosineNearDup,
+    "ann_lsh_bucket_top1" -> annLshBucketTop1,
+  )
+  val oracles: Map[String, String] = Map(
+    "cosine_topk_bruteforce" -> cosineTopkBruteforceSql,
+    "embedding_cosine_near_dup" -> embeddingCosineNearDupSql,
+    "ann_lsh_bucket_top1" -> annLshBucketTop1Sql,
+  )
+}

@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup.{h60Duck, h60Sql}
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * language ID (marker-n-gram scoring), quality scoring, token counting
+  * (whitespace + BPE-ish regex), rolling-hash fingerprinting, and per-lang
+  * corpus stats. All pure column expressions — codegen'd, no UDFs, no
+  * shuffles except the final stats aggregates.
+  *
+  * NOTE on the testdata: sf* documents share one vocabulary across langs,
+  * so marker sets for `lang_id_ngram` are corpus-derived stand-ins (the
+  * operator machinery — per-class marker counting + deterministic argmax —
+  * is what's exercised; with real corpora you plug in real stopword or
+  * char-n-gram marker lists).
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------------
+  // 1. lang_id_ngram — marker-token scoring + argmax
+  // ---------------------------------------------------------------------
+
+  /** class → marker tokens (corpus-derived; see object Scaladoc). */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast"),
+    "de" -> Seq("table", "row", "column"),
+    "fr" -> Seq("join", "merge", "group"),
+    "es" -> Seq("stream", "batch", "window"),
+    "zh" -> Seq("spark", "hash", "sort"),
+  )
+
+  /** Language ID: count marker-token hits per class over the token
+    * stream, predict the argmax (ties broken by class-list order, i.e.
+    * the first class with the max score — deterministic). Expressed as
+    * pure array expressions: one pass, no explode, no shuffle.
+    */
+  val langIdNgram: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir).withColumn("words", split(col("text"), " "))
+    val scored = Markers.foldLeft(d) { case (df, (cls, ms)) =>
+      val inList = ms.map(m => s"w = '$m'").mkString(" OR ")
+      df.withColumn(s"s_$cls", expr(s"size(filter(words, w -> $inList))").cast("long"))
+    }
+    // argmax with first-wins tiebreak: fold a (best_score, best_cls) pair.
+    val best = Markers.tail.foldLeft(
+      struct(col(s"s_${Markers.head._1}").as("sc"), lit(Markers.head._1).as("cls"))) {
+      case (acc, (cls, _)) =>
+        when(col(s"s_$cls") > acc.getField("sc"),
+          struct(col(s"s_$cls").as("sc"), lit(cls).as("cls"))).otherwise(acc)
+    }
+    scored.select(
+        (col("doc_id") +: Markers.map { case (c, _) => col(s"s_$c") }) :+
+          best.getField("cls").as("pred_lang"): _*)
+      .orderBy("doc_id")
+  }
+  val langIdNgramSql: String = {
+    val scores = Markers.map { case (cls, ms) =>
+      val inList = ms.map(m => s"w = '$m'").mkString(" OR ")
+      s"len(list_filter(string_split(text, ' '), w -> $inList)) AS s_$cls"
+    }.mkString(",\n       ")
+    // first-wins argmax: strictly-greater chain in reverse class order.
+    val argmax = Markers.reverse.tail.foldLeft(s"'${Markers.last._1}'") {
+      case (acc, (cls, _)) =>
+        val later = Markers.dropWhile(_._1 != cls).tail.map(c => s"s_$cls >= s_${c._1}")
+        val earlier = Markers.takeWhile(_._1 != cls).map(c => s"s_$cls > s_${c._1}")
+        s"CASE WHEN ${(earlier ++ later).mkString(" AND ")} THEN '$cls' ELSE $acc END"
+    }
+    s"""SELECT doc_id, ${Markers.map(m => "s_" + m._1).mkString(", ")},
+       |       $argmax AS pred_lang
+       |FROM (SELECT doc_id, $scores FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // 2. text_quality_score — length / ratio heuristics → quality bucket
+  // ---------------------------------------------------------------------
+
+  /** Quality scoring: token count, mean word length, type-token ratio,
+    * stopword ratio — combined into a bucket. All int/int double
+    * divisions (bit-identical across engines). The classic pre-training
+    * filter shape: one projection pass, fully pushed to the scan.
+    */
+  val textQualityScore: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+      .withColumn("n_types", size(array_distinct(col("words"))).cast("long"))
+      .withColumn("n_stop",
+        expr("size(filter(words, w -> w = 'a' OR w = 'the'))").cast("long"))
+      .withColumn("ttr", col("n_types").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("mean_word_len",
+        (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("ttr") < 0.15, "repetitive")
+          .when(col("stop_ratio") > 0.2, "boilerplate")
+          .otherwise("ok"))
+      .select("doc_id", "n_tokens", "n_types", "n_stop", "ttr", "stop_ratio",
+        "mean_word_len", "quality")
+      .orderBy("doc_id")
+  val textQualityScoreSql: String =
+    """SELECT doc_id, n_tokens, n_types, n_stop,
+      |       CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+      |       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      |       CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_word_len,
+      |       CASE WHEN n_tokens < 20 THEN 'too_short'
+      |            WHEN CAST(n_types AS DOUBLE) / n_tokens < 0.15 THEN 'repetitive'
+      |            WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.2 THEN 'boilerplate'
+      |            ELSE 'ok' END AS quality
+      |FROM (
+      |  SELECT doc_id, n_chars,
+      |         len(string_split(text, ' ')) AS n_tokens,
+      |         len(list_distinct(string_split(text, ' '))) AS n_types,
+      |         len(list_filter(string_split(text, ' '), w -> w = 'a' OR w = 'the')) AS n_stop
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // 3. token_count — whitespace + BPE-ish regex tokenization
+  // ---------------------------------------------------------------------
+
+  /** Token counting two ways: whitespace split, and a BPE-ish regex
+    * (letter runs / digit runs / single other chars) — the standard
+    * pre-tokenizer shape. Counts only; pure projection.
+    */
+  val tokenCount: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_checked"))
+      .orderBy("doc_id")
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS ws_tokens,
+      |       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens,
+      |       length(text) AS n_chars_checked
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // 4. doc_fingerprint — rolling polynomial hash + content hash
+  // ---------------------------------------------------------------------
+
+  private val Mod = 1000000007L
+
+  /** Document fingerprint: a polynomial rolling hash over the word
+    * stream (base 31, mod 1e9+7 — all intermediates < 2^35, so the
+    * arithmetic is exact and identical in any 64-bit engine), plus the
+    * full md5. The rolling form is what incremental/windowed
+    * fingerprinting builds on at scale.
+    */
+  val docFingerprint: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("aggregate(split(text, ' '), 0L," +
+          s" (acc, w) -> (acc * 31 + ${h60Sql("w")} % $Mod) % $Mod)").as("fingerprint"),
+        md5(col("text")).as("content_hash"))
+      .orderBy("doc_id")
+  val docFingerprintSql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(text, ' '),
+       |        w -> ${h60Duck("w")} % $Mod)),
+       |    (acc, h) -> (acc * 31 + h) % $Mod) AS fingerprint,
+       |  md5(text) AS content_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // 5. text_stats — per-language corpus aggregates
+  // ---------------------------------------------------------------------
+
+  /** Per-language corpus stats: doc count, token totals, avg length
+    * (decimal-pinned for partial-agg order independence), distinct
+    * sources. Single hash aggregate, map-side combinable.
+    */
+  val textStats: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        avg(col("n_chars").cast("decimal(38,10)")).cast("double").as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+  val textStatsSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |       sum(len(string_split(text, ' '))) AS total_tokens,
+      |       CAST(avg(CAST(n_chars AS DECIMAL(38,10))) AS DOUBLE) AS avg_chars,
+      |       count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "lang_id_ngram" -> langIdNgram,
+    "text_quality_score" -> textQualityScore,
+    "token_count" -> tokenCount,
+    "doc_fingerprint" -> docFingerprint,
+    "text_stats" -> textStats,
+  )
+  val oracles: Map[String, String] = Map(
+    "lang_id_ngram" -> langIdNgramSql,
+    "text_quality_score" -> textQualityScoreSql,
+    "token_count" -> tokenCountSql,
+    "doc_fingerprint" -> docFingerprintSql,
+    "text_stats" -> textStatsSql,
+  )
+}

@@ -25,8 +25,11 @@ object TimeRepair {
     "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
 
   /** Deterministic stand-in for "now"/"today" (the reference freezes the
-    * clock in tests the same way, via freezegun). */
-  private val Anchor = "2024-06-01"
+    * clock in tests the same way, via freezegun). Deliberately INSIDE the
+    * testdata's ts range (2024-01-01..2024-01-30) so that both branches of
+    * the W4 rollover CASE actually fire on real rows — an anchor past the
+    * data would make the repair a vacuous pass-through. */
+  private val Anchor = "2024-01-15"
 
   /** W3 `monotonic_ts_repair` — day-rollover repair (scrapers/chat.py:36-51).
     *
@@ -60,12 +63,14 @@ object TimeRepair {
        |         - to_days(CAST(days_back AS INTEGER)) AS repaired_ts
        |FROM (
        |  SELECT user_id, event_id, tod,
-       |         sum(CASE WHEN tod > lag(tod) OVER w THEN 1 ELSE 0 END)
-       |           OVER (PARTITION BY user_id ORDER BY event_id DESC
-       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS days_back
-       |  FROM (SELECT user_id, event_id,
-       |               strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') AS tod FROM events)
-       |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id DESC))
+       |         sum(roll) OVER (PARTITION BY user_id ORDER BY event_id DESC
+       |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS days_back
+       |  FROM (
+       |    SELECT user_id, event_id, tod,
+       |           CASE WHEN tod > lag(tod) OVER (PARTITION BY user_id ORDER BY event_id DESC)
+       |                THEN 1 ELSE 0 END AS roll
+       |    FROM (SELECT user_id, event_id,
+       |                 strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') AS tod FROM events)))
        |ORDER BY user_id, event_id""".stripMargin
 
   /** W4 `year_rollover_repair` — yearless timestamps are parsed with the
