@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Relational, Scalars, TimeRepair, Dedup, TextAnalysis, Similarity}
+import graft.operators.{Relational, Scalars, TimeRepair, Dedup, TextAnalysis, Similarity, Multimodal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Scalars.queries ++ TimeRepair.queries ++
-      Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries
+      Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Scalars.oracles ++ TimeRepair.oracles ++
-      Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles
+      Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
+      Multimodal.oracles
 }
