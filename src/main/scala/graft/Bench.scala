@@ -3,6 +3,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.get("graft-bench")
+    // Warm-up: touch every table once (parquet footers, FS metadata) and
+    // run one tiny query end-to-end (codegen/JIT paths), so the first
+    // measured query isn't charged for session warm-up.
+    Tables.names.foreach(n => Tables.table(spark, sfDir, n).count())
+    SparkEntry.queries.get("argmax_per_group")
+      .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
     // noop sink = full evaluation of every row/column (sorts and
     // projections are NOT optimized away, unlike count()), zero I/O cost.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -110,6 +110,20 @@ object Dedup {
   private val NumHashes = 12
   private val BandRows = 3 // → 4 bands of 3 hashes
 
+  /** Universal-hash family over the Mersenne prime p = 2^31-1: the k
+    * min-hashes are (A_s·h + B_s) mod p over ONE base md5 hash per
+    * shingle, not k md5 evaluations (12× fewer string hashes on the hot
+    * path; products stay < 2^62 so the arithmetic is exact and
+    * overflow-free in any 64-bit engine — DuckDB checks overflow).
+    * A_s/B_s are md5-derived constants, embedded in both engines. */
+  private val MersenneP = 2147483647L
+  private def h60c(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+  private val HashA: IndexedSeq[Long] = (0 until NumHashes).map(s => h60c(s"A$s") % (MersenneP - 1) + 1)
+  private val HashB: IndexedSeq[Long] = (0 until NumHashes).map(s => h60c(s"B$s") % MersenneP)
+
   /** MinHash+LSH near-dup candidate pairs.
     *
     * Pipeline: shingle → 12 min-hash aggregates in ONE pass over the
@@ -123,8 +137,9 @@ object Dedup {
     */
   val minhashLshCandidates: Q = (spark, dir) => {
     val sh = shingled(withNearDupes(spark, dir))
+      .withColumn("h", h60(col("shingle")) % MersenneP)
     val mins = (0 until NumHashes).map(s =>
-      min(h60(concat(lit(s.toString), lit(":"), col("shingle")))).as(s"mh$s"))
+      min((col("h") * HashA(s) + HashB(s)) % MersenneP).as(s"mh$s"))
     val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val bands = (0 until NumHashes / BandRows).map { b =>
       val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"mh$i"))
@@ -142,12 +157,13 @@ object Dedup {
   }
   val minhashLshCandidatesSql: String = {
     val minsSql = (0 until NumHashes)
-      .map(s => s"min(${h60Duck(s"'$s:' || shingle")}) AS mh$s").mkString(", ")
+      .map(s => s"min((h * ${HashA(s)} + ${HashB(s)}) % $MersenneP) AS mh$s").mkString(", ")
     val bandsSql = (0 until NumHashes / BandRows).map { b =>
       val cols = (b * BandRows until (b + 1) * BandRows).map(i => s"mh$i").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($cols) AS sig FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH sh AS ${shingledSql(NearDupesSql)},
+    s"""WITH sh AS (SELECT doc_id, ${h60Duck("shingle")} % $MersenneP AS h
+       |            FROM ${shingledSql(NearDupesSql)}),
        |sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
        |buckets AS ($bandsSql)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -214,14 +230,18 @@ object Dedup {
     * exact int/int double division — bit-identical across engines.
     */
   val ngramJaccardPairs: Q = (spark, dir) => {
+    // join key = hashed shingle (64-bit compare beats variable-length
+    // string compare on the hot self-join; the oracle hashes identically,
+    // and a 60-bit collision is ~never at any realistic corpus size)
     val sh = shingled(withNearDupes(spark, dir))
+      .select(col("doc_id"), h60(col("shingle")).as("sh"))
     val kept = sh.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
       .filter(col("df") <= DfCap).drop("df")
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = kept.as("a")
     val b = kept.as("b")
-    val common = a.join(b, col("a.shingle") === col("b.shingle") &&
+    val common = a.join(b, col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -235,14 +255,15 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
   val ngramJaccardPairsSql: String =
-    s"""WITH sh AS ${shingledSql(NearDupesSql)},
-       |kept AS (SELECT doc_id, shingle FROM (
-       |  SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+    s"""WITH sh AS (SELECT doc_id, ${h60Duck("shingle")} AS sh
+       |            FROM ${shingledSql(NearDupesSql)}),
+       |kept AS (SELECT doc_id, sh FROM (
+       |  SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
        |  WHERE df <= $DfCap),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
        |common AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id)
        |SELECT doc_a, doc_b, n_common,
        |       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard

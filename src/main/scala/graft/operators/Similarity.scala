@@ -47,11 +47,22 @@ object Similarity {
        |      list_transform(range(1, $Dim + 1), i -> $a[i] * $b[i])),
        |    (acc, x) -> acc + x)""".stripMargin
 
-  /** LSH signature: bit p = (dot(v, plane_p) >= 0). */
+  /** Hyperplane component (p,i) = (h60("p,i") mod 2001 - 1000)/1000 —
+    * computed ONCE here and embedded as array literals on the Spark
+    * side (they are constants; recomputing 8×64 md5 calls per ROW was
+    * the dominant cost of the LSH queries). The DuckDB oracle derives
+    * the identical values from the same md5 arithmetic inline. */
+  private def h60(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+  private val Planes: IndexedSeq[IndexedSeq[Double]] =
+    (0 until NumPlanes).map(p => (1 to Dim).map(i => (h60(s"$p,$i") % 2001 - 1000) / 1000.0))
+
+  /** LSH signature: bit p = (dot(v, plane_p) >= 0), planes as literals. */
   private def lshBucketSql(v: String): String =
     (0 until NumPlanes).map { p =>
-      val plane = s"transform(sequence(1, $Dim), i -> " +
-        s"(CAST(conv(substring(md5(concat('$p', ',', i)),1,15),16,10) AS BIGINT) % 2001 - 1000) / 1000.0)"
+      val plane = Planes(p).mkString("array(", "D, ", "D)")
       s"CASE WHEN aggregate(zip_with($v, $plane, (x, r) -> x * r), 0D, (acc, x) -> acc + x) >= 0 THEN ${1 << p} ELSE 0 END"
     }.mkString(" + ")
   private def lshBucketDuck(v: String): String =
@@ -120,6 +131,7 @@ object Similarity {
     val all = base.unionByName(dup)
       .withColumn("norm", expr(s"sqrt(${dotSql("embedding", "embedding")})"))
       .withColumn("bucket", expr(lshBucketSql("embedding")))
+      .cache()
     val a = all.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
       col("norm").as("norm_a"), col("bucket"))
     val b = all.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
@@ -155,21 +167,27 @@ object Similarity {
     * NumPlanes (more planes → smaller buckets → cheaper, lower recall).
     */
   val annLshBucketTop1: Q = (spark, dir) => {
+    // signatures+norms materialized once (two join sides would otherwise
+    // recompute the 8 plane dot-products per scan); on a cluster this is
+    // the persisted signature table every ANN serving path builds anyway.
     val all = Tables.embeddingsD(spark, dir)
       .withColumn("norm", expr(s"sqrt(${dotSql("embedding", "embedding")})"))
       .withColumn("bucket", expr(lshBucketSql("embedding")))
+      .cache()
     val a = all.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
       col("norm").as("norm_a"), col("bucket"))
     val b = all.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
       col("norm").as("norm_b"), col("bucket"))
+    // top-1 per key as a max_by hash aggregate (map-side combinable; a
+    // row_number window would sort every bucket partition instead)
     a.join(b, Seq("bucket")).filter(col("id_a") =!= col("id_b"))
       .withColumn("cos",
         expr(s"${dotSql("emb_a", "emb_b")}") / (col("norm_a") * col("norm_b")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))))
-      .filter(col("rn") === 1)
-      .select(col("id_a").as("vec_id"), col("id_b").as("neighbor_id"),
-        col("bucket").cast("long").as("bucket"))
+      .groupBy(col("id_a").as("vec_id"))
+      .agg(max_by(struct(col("id_b"), col("bucket")),
+        struct(col("cos"), (-col("id_b")).as("neg_id"))).as("m"))
+      .select(col("vec_id"), col("m.id_b").as("neighbor_id"),
+        col("m.bucket").cast("long").as("bucket"))
       .orderBy("vec_id")
   }
   val annLshBucketTop1Sql: String =
