@@ -17,6 +17,8 @@ object Sessions {
       // functions stay pure.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // engine extensions: native expressions (graft_dot, …)
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.ui.enabled", "false")
   }
 

@@ -39,9 +39,11 @@ object Similarity {
   private val TopK = 3
   private val NumQueries = 10
 
-  /** dot(embedding, embedding2) as a left-to-right fold (SQL expr). */
+  /** dot(a,b): native codegen'd expression ([[graft.expressions.DotProduct]]);
+    * left-to-right accumulation, bit-identical to the built-in
+    * `aggregate(zip_with(...))` fold and to the DuckDB twin below. */
   private def dotSql(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    s"graft_dot($a, $b)"
   private def dotDuck(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list_transform(range(1, $Dim + 1), i -> $a[i] * $b[i])),
