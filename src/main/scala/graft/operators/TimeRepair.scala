@@ -31,30 +31,45 @@ object TimeRepair {
     * data would make the repair a vacuous pass-through. */
   private val Anchor = "2024-01-15"
 
-  /** W3 `monotonic_ts_repair` — day-rollover repair (scrapers/chat.py:36-51).
+  /** W3 core: repair timestamps that carry only a time-of-day, walking a
+    * page newest→oldest (scrapers/chat.py:36-51). A row whose time-of-day
+    * exceeds its predecessor's (the FIRST row compares against "now"'s
+    * time-of-day — the reference seeds `last_ts = now`) crossed a
+    * calendar day; the CUMULATIVE rollover count is subtracted in days,
+    * reproducing multi-day cascades (golden test
+    * test/scrapers/test_chat.py:132-162, replayed through this exact
+    * function in TimeRepairSpec).
     *
-    * Simulation on testdata: each user's events are a "page"; document
-    * order is newest-first (event_id DESC); the source is assumed to show
-    * only time-of-day. Every row is first anchored to `Anchor`'s date; a
-    * rollover is flagged whenever time-of-day increases while walking
-    * newest→oldest, and the *cumulative* rollover count is subtracted in
-    * days — reproducing the multi-day cascade semantics.
+    * Plan shape: one shuffle on the partition key, one in-partition sort
+    * for the window; the running sum is whole-stage-codegen'd. At 100 TB
+    * pages are the partition key — no global ordering anywhere.
     *
-    * Plan shape: one shuffle on user_id, one sort within partitions for the
-    * window — at 100 TB this is a single exchange; the running sum is
-    * whole-stage-codegen'd.
+    * @param docOrder column whose DESCENDING order is document order
+    *                 (newest first)
+    * @param tod      time-of-day as 'HH:mm:ss' (lexicographic = temporal)
+    * @param anchorDate date of "now" ('yyyy-MM-dd'); rows anchor here
+    * @param nowTod   time-of-day of "now" — the seed for the first compare
     */
+  def monotonicRepair(df: DataFrame, part: String, docOrder: String, tod: String,
+      anchorDate: String, nowTod: String): DataFrame = {
+    val w = Window.partitionBy(part).orderBy(col(docOrder).desc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("roll",
+        when(col(tod) > lag(col(tod), 1, nowTod).over(w), 1).otherwise(0))
+      .withColumn("days_back", sum(col("roll")).over(wRun).cast("int"))
+      .withColumn("repaired_ts",
+        to_timestamp(concat(lit(s"$anchorDate "), col(tod)))
+          - make_dt_interval(col("days_back")))
+  }
+
+  /** W3 `monotonic_ts_repair` — the oracle-checked form over testdata:
+    * each user's events are a "page", document order is event_id DESC,
+    * "now" is `Anchor` midnight. */
   val monotonicTsRepair: Q = (spark, dir) => {
     val ev = Tables.events(spark, dir)
-    val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.withColumn("tod", date_format(col("ts"), "HH:mm:ss"))
-      .withColumn("roll",
-        when(col("tod") > lag(col("tod"), 1).over(w), 1).otherwise(0))
-      .withColumn("days_back", sum(col("roll")).over(wRun).cast("int"))
-      .select(col("user_id"), col("event_id"),
-        (to_timestamp(concat(lit(s"$Anchor "), col("tod")))
-          - make_dt_interval(col("days_back"))).as("repaired_ts"))
+      .withColumn("tod", date_format(col("ts"), "HH:mm:ss"))
+    monotonicRepair(ev, "user_id", "event_id", "tod", Anchor, "00:00:00")
+      .select(col("user_id"), col("event_id"), col("repaired_ts"))
       .orderBy("user_id", "event_id")
   }
   val monotonicTsRepairSql: String =
@@ -67,7 +82,8 @@ object TimeRepair {
        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS days_back
        |  FROM (
        |    SELECT user_id, event_id, tod,
-       |           CASE WHEN tod > lag(tod) OVER (PARTITION BY user_id ORDER BY event_id DESC)
+       |           CASE WHEN tod > lag(tod, 1, '00:00:00')
+       |                           OVER (PARTITION BY user_id ORDER BY event_id DESC)
        |                THEN 1 ELSE 0 END AS roll
        |    FROM (SELECT user_id, event_id,
        |                 strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') AS tod FROM events)))
