@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.time.Instant
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+import graft.sources.{ChatMessage, RawPage, Scans}
+
+/** The reference's hottest path, composed end-to-end (SURVEY §3.1;
+  * scrapers/chat.py:124-171 → db/chat.py:13-26 + firestore/chat.py:39-71):
+  *
+  *   pages ─ flatMap parse (S2, W2/W3 repairs inside)
+  *         ─ per-key stateful diff (A4: emit-on-change, deletion stamps)
+  *         ─ foreachBatch:
+  *             ├─ message store: idempotent keyed upsert (S7/S8)
+  *             └─ doc store: drop flags, derive mentions (F5, P3),
+  *                merge-upsert (S9)
+  *
+  * One linear plan per micro-batch; the reference's per-listener task
+  * fan-out becomes two writes of one cached batch (it guarantees no
+  * cross-sink ordering anyway, events.py:23).
+  */
+object ChatPipeline {
+
+  /** Batch/stream-agnostic transform: pages → changed messages.
+    * Works on a static Dataset (tests, backfill over archived pages)
+    * and a streaming one (live) identically — the Spark win the
+    * reference's hand-rolled loop can't have. */
+  def changedMessages(pages: Dataset[RawPage], now: Instant): Dataset[ChatMessage] =
+    Streams.lastValueDiff(Scans.chatScan(pages, now))
+
+  /** Sink-side projection for the doc store: drop `flags`, keep
+    * `deleted_ts` only when deleted (firestore/chat.py:42-48), derive
+    * the mentions array with the reference's exact regex (F5). */
+  def toDocRows(msgs: DataFrame): DataFrame =
+    msgs
+      .withColumn("mentions", Fns.mentions(col("content")))
+      .withColumn("deletedTs", when(col("deleted"), col("deletedTs")))
+      .drop("flags")
+
+  /** Wire the full pipeline onto a streaming page source. Each batch
+    * merges into both stores; both merges are idempotent, so
+    * at-least-once delivery yields exactly-once effects (db/chat.py:14-19).
+    */
+  def start(pages: Dataset[RawPage], now: Instant, msgStorePath: String,
+      docStorePath: String, intervalMs: Long = 1000) = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val changed = changedMessages(pages, now)
+    val sink: (Dataset[ChatMessage], Long) => Unit = (batch, batchId) =>
+      Streams.isolated { (df, _) =>
+        val cached = df.cache()
+        try {
+          MergeSink.merge(cached, Seq("room", "id"), msgStorePath, MergeSink.Upsert)
+          MergeSink.merge(toDocRows(cached), Seq("room", "id"), docStorePath, MergeSink.Upsert)
+        } finally cached.unpersist()
+      }(batch.toDF(), batchId)
+    changed.writeStream
+      .queryName("chat-pipeline")
+      .outputMode("update")
+      .foreachBatch(sink)
+      .start()
+  }
+}

@@ -70,7 +70,12 @@ object Streams {
               }
             }
             last.foreach(state.update)
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + stateTtlMs)
+            // TTL anchored to the key's own event time (not the global
+            // watermark, which lags a batch and would evict live keys
+            // whose events are older than watermark+ttl)
+            val lastTsMs = last.map(_.ts.getTime).getOrElse(0L)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + stateTtlMs, lastTsMs + stateTtlMs))
             out.result().iterator
           }
       }
