@@ -1,0 +1,65 @@
+package graft.operators
+
+import java.time.Instant
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.{RawPage, Scans}
+
+/** S2–S6 HTML scans registered as driver-checkable queries.
+  *
+  * HTML parsing has no DuckDB-SQL oracle (deliberately omitted from
+  * `oracleSql` → the driver records the weaker rows>0 check); exact
+  * field-level correctness is covered by the golden fixture suites
+  * (ChatParserSpec/UserParserSpec/MailboxParserSpec, expected values
+  * ported from the reference's own tests).
+  *
+  * Inputs are the reference's captured fixture pages — the only real
+  * HTML in the environment. The scan itself is the distributed
+  * `Dataset[RawPage] → flatMap(parse)` operator, page-parallel.
+  */
+object ScanQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val FixtureDir = "/root/reference/test/scrapers/fixtures"
+  private val Now = Instant.parse("2022-04-17T23:59:59Z")
+
+  private def page(spark: SparkSession, key: String, fixture: String) = {
+    import spark.implicits._
+    val html = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$FixtureDir/$fixture.html")), "UTF-8")
+    Seq(RawPage(key, html, java.sql.Timestamp.from(Now))).toDS()
+  }
+
+  val htmlScanChat: Q = (spark, _) =>
+    Scans.chatScan(
+      page(spark, "help", "chat_help")
+        .unionByName(page(spark, "global", "chat_complex"))
+        .unionByName(page(spark, "global", "chat_long")), Now)
+      .drop("deletedTs").toDF().orderBy("room", "id")
+
+  val htmlScanFlags: Q = (spark, _) =>
+    Scans.flagsScan(page(spark, "global", "flags"), Now)
+      .drop("deletedTs").toDF().orderBy("id")
+
+  val htmlScanProfile: Q = (spark, _) =>
+    Scans.profileScan(page(spark, "RybeR", "profile_ryber"), Now).toDF()
+
+  val htmlScanOnline: Q = (spark, _) => {
+    import spark.implicits._
+    Scans.onlineScan(
+      page(spark, "online", "online").unionByName(page(spark, "staff", "members_staff")))
+      .toDF("username").orderBy("username")
+  }
+
+  val htmlScanMailbox: Q = (spark, _) =>
+    Scans.mailboxScan(page(spark, "", "mailbox")).toDF().orderBy("id")
+
+  val queries: Map[String, Q] = Map(
+    "html_scan_chat" -> htmlScanChat,
+    "html_scan_flags" -> htmlScanFlags,
+    "html_scan_profile" -> htmlScanProfile,
+    "html_scan_online" -> htmlScanOnline,
+    "html_scan_mailbox" -> htmlScanMailbox,
+  )
+  /** deliberately empty — see object Scaladoc. */
+  val oracles: Map[String, String] = Map.empty
+}
