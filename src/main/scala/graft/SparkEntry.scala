@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Relational, Scalars, TimeRepair, Dedup, TextAnalysis, Similarity, Multimodal, ScanQueries}
+import graft.operators.{Relational, Scalars, TimeRepair, Dedup, TextAnalysis, Similarity, Multimodal, ScanQueries, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,12 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Scalars.queries ++ TimeRepair.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
-      Multimodal.queries ++ ScanQueries.queries
+      Multimodal.queries ++ ScanQueries.queries ++ Windows.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Scalars.oracles ++ TimeRepair.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
-      Multimodal.oracles
+      Multimodal.oracles ++ Windows.oracles
 }
