@@ -204,14 +204,98 @@ object Similarity {
        |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // 4. ann_ivf_topk — inverted-file ANN (coarse cells + probe-2)
+  // ---------------------------------------------------------------------
+
+  private val CentroidStride = 50 // centroids = vec_id % stride == 0
+  private val Probes = 2
+
+  /** IVF-flat ANN, the second scale path next to LSH: vectors are
+    * assigned to the nearest of K coarse centroids (here: a
+    * deterministic sample of the corpus — real deployments k-means
+    * these; the sampled choice keeps both engines bit-identical),
+    * queries probe their `Probes` nearest cells and rank candidates
+    * only within the probed inverted lists.
+    *
+    * At 100 TB: the assignment is one broadcast(K) pass; search cost is
+    * probes/K of the corpus per query instead of all of it; the
+    * centroid set is the only driver-sized object.
+    */
+  val annIvfTopk: Q = (spark, dir) => {
+    val e = Tables.embeddingsD(spark, dir)
+      .withColumn("norm", expr(s"sqrt(${dotSql("embedding", "embedding")})"))
+      .cache()
+    val cent = e.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        col("norm").as("cent_norm"))
+    val withCos = e.crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        expr(s"${dotSql("embedding", "cent_emb")}") / (col("norm") * col("cent_norm")))
+    // inverted lists: every vector to its nearest centroid
+    val assign = withCos.groupBy(col("vec_id").as("v_id"))
+      .agg(max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("n"))).as("cell"))
+    // queries probe their `Probes` nearest cells
+    val probes = withCos.filter(col("vec_id") < NumQueries)
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))))
+      .filter(col("prn") <= Probes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("cent_id").as("cell"))
+    val cands = probes
+      .join(assign, Seq("cell"))
+      .filter(col("v_id") =!= col("q_id"))
+      .join(e.select(col("vec_id").as("v_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm")), Seq("v_id"))
+      .withColumn("cos",
+        expr(s"${dotSql("q_emb", "c_emb")}") / (col("q_norm") * col("c_norm")))
+    cands.withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("v_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("v_id").as("vec_id"))
+      .orderBy("q_id", "rank")
+  }
+  val annIvfTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  sqrt(${dotDuck("embedding", "embedding")}) AS norm FROM $EmbD),
+       |cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb, norm AS cent_norm
+       |         FROM e WHERE vec_id % $CentroidStride = 0),
+       |withcos AS (
+       |  SELECT e.vec_id, e.embedding, e.norm, c.cent_id,
+       |         ${dotDuck("e.embedding", "c.cent_emb")} / (e.norm * c.cent_norm) AS ccos
+       |  FROM e CROSS JOIN cent c),
+       |assign AS (
+       |  SELECT vec_id AS v_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+       |    FROM withcos) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm, cent_id AS cell FROM (
+       |    SELECT vec_id, embedding, norm, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS prn
+       |    FROM withcos WHERE vec_id < $NumQueries) WHERE prn <= $Probes),
+       |cands AS (
+       |  SELECT p.q_id, a.v_id,
+       |         ${dotDuck("p.q_emb", "e2.embedding")} / (p.q_norm * e2.norm) AS cos
+       |  FROM probes p
+       |  JOIN assign a ON a.cell = p.cell AND a.v_id <> p.q_id
+       |  JOIN e e2 ON e2.vec_id = a.v_id)
+       |SELECT q_id, rank, v_id AS vec_id FROM (
+       |  SELECT q_id, v_id,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, v_id) AS rank
+       |  FROM cands)
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "cosine_topk_bruteforce" -> cosineTopkBruteforce,
     "embedding_cosine_near_dup" -> embeddingCosineNearDup,
     "ann_lsh_bucket_top1" -> annLshBucketTop1,
+    "ann_ivf_topk" -> annIvfTopk,
   )
   val oracles: Map[String, String] = Map(
     "cosine_topk_bruteforce" -> cosineTopkBruteforceSql,
     "embedding_cosine_near_dup" -> embeddingCosineNearDupSql,
     "ann_lsh_bucket_top1" -> annLshBucketTop1Sql,
+    "ann_ivf_topk" -> annIvfTopkSql,
   )
 }
