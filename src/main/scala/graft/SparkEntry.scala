@@ -9,17 +9,35 @@ import graft.operators.{Relational, Scalars, TimeRepair, Dedup, TextAnalysis, Si
   * the §2 operator names so the judge can line them up.
   */
 object SparkEntry {
+  /** The engine's session requirements, applied idempotently so the
+    * contract holds even when the CALLER owns the session (the driver
+    * may smoke-check with its own): nanos-as-long for the events table
+    * and the graft_dot native function ([[graft.expressions.DotProduct]];
+    * normally injected via spark.sql.extensions in [[Sessions]]). */
+  private def ensure(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      ch => graft.expressions.DotProduct(ch.head, ch(1)),
+      "built-in")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A1 `argmax_per_group` — the reference's most load-bearing query
     * (SURVEY §7.1 slice 0). */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    ensure(spark)
     Relational.argmaxPerGroup(spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Scalars.queries ++ TimeRepair.queries ++
+    (Relational.queries ++ Scalars.queries ++ TimeRepair.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
-      Multimodal.queries ++ ScanQueries.queries ++ Windows.queries
+      Multimodal.queries ++ ScanQueries.queries ++ Windows.queries)
+      .map { case (k, f) =>
+        k -> ((s: SparkSession, d: String) => { ensure(s); f(s, d) })
+      }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
