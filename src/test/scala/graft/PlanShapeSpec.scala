@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.SimpleMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Plan-shape regression tests: the scale properties documented in
+  * docs/SCALE.md, enforced on the optimized physical plans so a
+  * refactor can't silently reintroduce a cartesian product, lose a
+  * pushdown, or force a broadcast on a scaling side. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val Dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, Dir)
+      .queryExecution.explainString(SimpleMode)
+
+  test("filters reach the parquet scan (predicate pushdown)") {
+    val p = plan("filter_eq_conjunctive")
+    assert(p.contains("DataFilters") && p.contains("event_type"),
+      s"expected event_type filter at the scan:\n$p")
+  }
+
+  test("column pruning: dropped columns never leave the scan") {
+    val p = plan("project_drop_columns")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      s"props/value should be pruned from ReadSchema:\n$readSchema")
+  }
+
+  test("argmax is a map-side-combinable aggregate, not a window sort") {
+    val p = plan("argmax_per_group")
+    assert(p.contains("partial_max_by"), s"expected partial max_by:\n$p")
+    assert(!p.contains("Window"), s"argmax must not use a window:\n$p")
+  }
+
+  test("no forced broadcast on scaling join sides") {
+    // fk_equi_join must leave strategy choice to the planner: the plan at
+    // tiny SF may pick BHJ from statistics, but the LOGICAL plan must not
+    // carry a broadcast hint on customer.
+    val logical = SparkEntry.queries("fk_equi_join")(spark, Dir)
+      .queryExecution.logical.toString
+    assert(!logical.toLowerCase.contains("hint"),
+      s"no broadcast hint expected in logical plan:\n$logical")
+  }
+
+  test("dedup/similarity candidate generation is never a cartesian product") {
+    Seq("minhash_lsh_candidates", "ngram_jaccard_pairs",
+        "embedding_cosine_near_dup", "ann_lsh_bucket_top1").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not be all-pairs:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must use equi-joins:\n$p")
+    }
+  }
+
+  test("top-1 global sort is TakeOrderedAndProject, not a full sort") {
+    assert(plan("order_desc_first").contains("TakeOrderedAndProject"))
+  }
+
+  test("windowed aggs are hash aggregates with partial combine") {
+    val p = plan("tumbling_window_agg")
+    assert(p.contains("HashAggregate") && p.contains("partial_"),
+      s"expected partial hash agg:\n$p")
+  }
+}
