@@ -211,6 +211,66 @@ object Dedup {
        |SELECT doc_id, $bitsSql AS simhash FROM votes ORDER BY doc_id""".stripMargin
   }
 
+  /** SimHash near-dup pairs: candidates share at least one of the two
+    * 8-bit halves of their fingerprint (the classic Charikar banding —
+    * any pair within Hamming distance 1 per half must collide on the
+    * other), then exact Hamming distance ≤ HammingMax filters. Input is
+    * the near-dup re-crawl union so the positive path provably fires.
+    * Never all-pairs: candidates come from two band equi-joins.
+    */
+  private val HammingMax = 3
+  private val NdBits = 32 // wider than the fingerprint op: pairing needs low collision odds
+  val simhashNearDup: Q = (spark, dir) => {
+    val words = withNearDupes(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("wh", h60(col("w")))
+    val votes = (0 until NdBits).map(j =>
+      sum(when(expr(s"(wh >> $j) & 1") === 1, 1).otherwise(-1)).as(s"v$j"))
+    val bits = (0 until NdBits)
+      .map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val fp = words.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), bits.as("sh"))
+      .withColumn("lo", expr("sh & 65535"))
+      .withColumn("hi", expr("(sh >> 16) & 65535"))
+    val a = fp.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val b = fp.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("lo").as("lo_b"), col("hi").as("hi_b"))
+    val loPairs = a.join(b, col("lo_a") === col("lo_b") && col("doc_a") < col("doc_b"))
+    val hiPairs = a.join(b, col("hi_a") === col("hi_b") && col("doc_a") < col("doc_b"))
+    loPairs.select("doc_a", "doc_b", "sh_a", "sh_b")
+      .unionByName(hiPairs.select("doc_a", "doc_b", "sh_a", "sh_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+  val simhashNearDupSql: String = {
+    val votesSql = (0 until NdBits)
+      .map(j => s"sum(CASE WHEN (wh >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(", ")
+    val bitsSql = (0 until NdBits)
+      .map(j => s"CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH words AS (
+       |  SELECT doc_id, ${h60Duck("w")} AS wh FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM $NearDupesSql)),
+       |votes AS (SELECT doc_id, $votesSql FROM words GROUP BY doc_id),
+       |fp AS (SELECT doc_id, sh, sh & 65535 AS lo, (sh >> 16) & 65535 AS hi
+       |       FROM (SELECT doc_id, $bitsSql AS sh FROM votes)),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+       |  FROM fp a JOIN fp b ON a.lo = b.lo AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+       |  FROM fp a JOIN fp b ON a.hi = b.hi AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // 4. ngram_jaccard_pairs — exact shingle Jaccard over shared-shingle join
   // ---------------------------------------------------------------------
@@ -281,12 +341,14 @@ object Dedup {
     "exact_dedup_documents" -> exactDedupDocuments,
     "minhash_lsh_candidates" -> minhashLshCandidates,
     "simhash_fingerprint" -> simhashFingerprint,
+    "simhash_near_dup" -> simhashNearDup,
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
   )
   val oracles: Map[String, String] = Map(
     "exact_dedup_documents" -> exactDedupDocumentsSql,
     "minhash_lsh_candidates" -> minhashLshCandidatesSql,
     "simhash_fingerprint" -> simhashFingerprintSql,
+    "simhash_near_dup" -> simhashNearDupSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
   )
 }
