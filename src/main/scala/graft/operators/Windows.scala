@@ -53,12 +53,39 @@ object Windows {
        |  SELECT to_timestamp((floor(epoch(ts) / 10800) - 1) * 10800) AS w_start FROM $EV)
        |GROUP BY w_start ORDER BY w_start""".stripMargin
 
+  /** Session windows per user, 1-hour inactivity gap: Spark's
+    * `session_window` vs the classic gaps-and-islands SQL (lag → new-
+    * session flag → running island id) in the oracle — same result,
+    * which is itself worth proving, since session_window is the one
+    * windowing primitive with merge semantics. */
+  val sessionWindowAgg: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sumd(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  val sessionWindowAggSql: String =
+    s"""SELECT user_id, min(ts) AS session_start, count(*) AS n,
+       |       CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sum_value
+       |FROM (
+       |  SELECT user_id, ts, value,
+       |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM (
+       |    SELECT user_id, ts, value, event_id,
+       |           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |                     <= INTERVAL 1 HOUR THEN 0 ELSE 1 END AS new_session
+       |    FROM $EV))
+       |GROUP BY user_id, island ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tumbling_window_agg" -> tumblingWindowAgg,
     "sliding_window_agg" -> slidingWindowAgg,
+    "session_window_agg" -> sessionWindowAgg,
   )
   val oracles: Map[String, String] = Map(
     "tumbling_window_agg" -> tumblingWindowAggSql,
     "sliding_window_agg" -> slidingWindowAggSql,
+    "session_window_agg" -> sessionWindowAggSql,
   )
 }

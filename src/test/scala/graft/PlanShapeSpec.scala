@@ -63,4 +63,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") && p.contains("partial_"),
       s"expected partial hash agg:\n$p")
   }
+
+  test("no UDFs anywhere: every registered query plan is built-in/codegen expressions") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      val p = plan(q)
+      // mapPartitions-based scans legitimately show (De)SerializeFromObject;
+      // scalar UDFs (ScalaUDF / BatchEvalPython) must never appear.
+      assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+        s"$q contains a UDF:\n$p")
+    }
+  }
 }
