@@ -195,7 +195,38 @@ object TextAnalysis {
       |       count(DISTINCT source) AS n_sources
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // 6. top_terms_per_lang — per-class term ranking (vocabulary profiling)
+  // ---------------------------------------------------------------------
+
+  /** Top-5 terms per language by occurrence count (ties broken
+    * lexically): the corpus-profiling pass behind stopword lists and
+    * tf-idf vocabularies. Explode → hash agg (map-side combinable) →
+    * per-lang top-k window over the small aggregated relation (one row
+    * per distinct (lang, term) — the window sorts aggregates, never raw
+    * tokens). Counts and ranks only — no float crosses the oracle. */
+  val topTermsPerLang: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("n").desc, col("term"))))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank").cast("long").as("rank"), col("term"), col("n"))
+      .orderBy("lang", "rank")
+  val topTermsPerLangSql: String =
+    """SELECT lang, rank, term, n FROM (
+      |  SELECT lang, term, n,
+      |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rank
+      |  FROM (
+      |    SELECT lang, term, count(*) AS n FROM (
+      |      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+      |    GROUP BY 1, 2))
+      |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "top_terms_per_lang" -> topTermsPerLang,
     "lang_id_ngram" -> langIdNgram,
     "text_quality_score" -> textQualityScore,
     "token_count" -> tokenCount,
@@ -203,6 +234,7 @@ object TextAnalysis {
     "text_stats" -> textStats,
   )
   val oracles: Map[String, String] = Map(
+    "top_terms_per_lang" -> topTermsPerLangSql,
     "lang_id_ngram" -> langIdNgramSql,
     "text_quality_score" -> textQualityScoreSql,
     "token_count" -> tokenCountSql,
