@@ -211,15 +211,27 @@ object Dedup {
        |SELECT doc_id, $bitsSql AS simhash FROM votes ORDER BY doc_id""".stripMargin
   }
 
-  /** SimHash near-dup pairs: candidates share at least one of the two
-    * 8-bit halves of their fingerprint (the classic Charikar banding —
-    * any pair within Hamming distance 1 per half must collide on the
-    * other), then exact Hamming distance ≤ HammingMax filters. Input is
-    * the near-dup re-crawl union so the positive path provably fires.
-    * Never all-pairs: candidates come from two band equi-joins.
+  /** SimHash near-dup pairs, Charikar banding with a REAL recall
+    * guarantee: the 60-bit fingerprint (all the entropy `h60` offers —
+    * 60 bits also keeps every band value and the fingerprint itself
+    * inside a non-negative BIGINT in both engines, no sign-bit games
+    * under Spark's ANSI overflow checks) is split into NdBands = 4
+    * bands of 15 bits. Any pair within Hamming distance ≤ 3 differs in
+    * at most 3 bands, so by pigeonhole it collides on at least one band
+    * — recall is exactly 1 at the HammingMax = 3 threshold (the r2
+    * two-band variant only guaranteed distance ≤ 1). Exact
+    * `bit_count(xor)` then filters the candidates.
+    *
+    * Scale shape: candidates come from ONE exploded band equi-join
+    * (shuffle key = (band, 15-bit value) → 4·2^15 buckets; in-bucket
+    * work is Θ(Σ|bucket|²), never all-pairs). Band width is the scale
+    * knob: docs/SCALE.md derives width ≈ log₂(N) for N docs, with
+    * HammingMax ≤ bands−1 preserving the pigeonhole guarantee.
     */
   private val HammingMax = 3
-  private val NdBits = 32 // wider than the fingerprint op: pairing needs low collision odds
+  private val NdBits = 60    // full h60 entropy; non-negative in BIGINT
+  private val NdBands = 4    // HammingMax+1 bands ⇒ guaranteed collision
+  private val NdBandWidth = NdBits / NdBands // 15 bits → 2^15 buckets/band
   val simhashNearDup: Q = (spark, dir) => {
     val words = withNearDupes(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -231,16 +243,17 @@ object Dedup {
       .reduce(_ + _)
     val fp = words.groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), bits.as("sh"))
-      .withColumn("lo", expr("sh & 65535"))
-      .withColumn("hi", expr("(sh >> 16) & 65535"))
-    val a = fp.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-      col("lo").as("lo_a"), col("hi").as("hi_a"))
-    val b = fp.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-      col("lo").as("lo_b"), col("hi").as("hi_b"))
-    val loPairs = a.join(b, col("lo_a") === col("lo_b") && col("doc_a") < col("doc_b"))
-    val hiPairs = a.join(b, col("hi_a") === col("hi_b") && col("doc_a") < col("doc_b"))
-    loPairs.select("doc_a", "doc_b", "sh_a", "sh_b")
-      .unionByName(hiPairs.select("doc_a", "doc_b", "sh_a", "sh_b"))
+    val mask = (1L << NdBandWidth) - 1
+    val banded = fp.select(col("doc_id"), col("sh"),
+        explode(expr(s"transform(sequence(0, ${NdBands - 1}), " +
+          s"k -> struct(k AS band, shiftright(sh, k * $NdBandWidth) & $mask AS bval))")).as("b"))
+      .select(col("doc_id"), col("sh"), col("b.band").as("band"), col("b.bval").as("bval"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("band"), col("bval"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("band"), col("bval"))
+    a.join(b, Seq("band", "bval")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
       .distinct()
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
       .filter(col("hamming") <= HammingMax)
@@ -254,18 +267,18 @@ object Dedup {
     val bitsSql = (0 until NdBits)
       .map(j => s"CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
+    val mask = (1L << NdBandWidth) - 1
     s"""WITH words AS (
        |  SELECT doc_id, ${h60Duck("w")} AS wh FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM $NearDupesSql)),
        |votes AS (SELECT doc_id, $votesSql FROM words GROUP BY doc_id),
-       |fp AS (SELECT doc_id, sh, sh & 65535 AS lo, (sh >> 16) & 65535 AS hi
-       |       FROM (SELECT doc_id, $bitsSql AS sh FROM votes)),
+       |fp AS (SELECT doc_id, $bitsSql AS sh FROM votes),
+       |banded AS (SELECT doc_id, sh, k AS band, (sh >> (k * $NdBandWidth)) & $mask AS bval
+       |           FROM fp, range($NdBands) t(k)),
        |cand AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
-       |  FROM fp a JOIN fp b ON a.lo = b.lo AND a.doc_id < b.doc_id
-       |  UNION
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
-       |  FROM fp a JOIN fp b ON a.hi = b.hi AND a.doc_id < b.doc_id)
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
        |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $HammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
@@ -282,12 +295,28 @@ object Dedup {
     * cap (plus salting the residual hot shingles) is what keeps the
     * shared-shingle join from degenerating on boilerplate n-grams. */
   private val DfCap = 100
+  private val HotDf = 25      // keys above this df take the salted path
+  private val SaltBuckets = 4 // spread one hot key's pair-gen over 4 tasks
   private val JaccardThreshold = 0.5
 
   /** Exact n-gram Jaccard near-dup pairs: join docs on shared shingles
     * (df-capped), count common shingles per pair, Jaccard from per-doc
     * set sizes. Output keeps only pairs above threshold. The ratio is an
     * exact int/int double division — bit-identical across engines.
+    *
+    * Skew defenses, in order:
+    *  1. df is a `groupBy(sh).count()` hash aggregate (map-side
+    *     combinable) joined back — NOT a window over the exploded
+    *     relation, which would SORT on the most skewed key in the
+    *     pipeline (hot shingles), the exact degeneracy the cap guards
+    *     against.
+    *  2. The df ≤ DfCap filter bounds any key's fanout to DfCap².
+    *  3. Keys still hot under the cap (df > HotDf) take a salted
+    *     two-path self-join: side A salts each row by hash(doc_id) mod
+    *     SaltBuckets, side B replicates per salt, join on (sh, salt) —
+    *     one key's quadratic pair generation spreads over SaltBuckets
+    *     tasks instead of one straggler. Cold keys join unsalted (no
+    *     replication cost). Pair sets are identical either way.
     */
   val ngramJaccardPairs: Q = (spark, dir) => {
     // join key = hashed shingle (64-bit compare beats variable-length
@@ -295,15 +324,24 @@ object Dedup {
     // and a 60-bit collision is ~never at any realistic corpus size)
     val sh = shingled(withNearDupes(spark, dir))
       .select(col("doc_id"), h60(col("shingle")).as("sh"))
-    val kept = sh.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .filter(col("df") <= DfCap).drop("df")
+    val dfBySh = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val kept = sh.join(dfBySh.filter(col("df") <= DfCap), "sh")
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = kept.as("a")
-    val b = kept.as("b")
-    val common = a.join(b, col("a.sh") === col("b.sh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    def pairGen(aa: DataFrame, bb: DataFrame, keys: Seq[String]): DataFrame =
+      aa.join(bb, keys).filter(col("doc_a") < col("doc_b")).select("doc_a", "doc_b")
+    val cold = kept.filter(col("df") <= HotDf)
+    val hot = kept.filter(col("df") > HotDf)
+    val coldPairs = pairGen(
+      cold.select(col("doc_id").as("doc_a"), col("sh")),
+      cold.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+    val hotPairs = pairGen(
+      hot.select(col("doc_id").as("doc_a"), col("sh"),
+        pmod(hash(col("doc_id")), lit(SaltBuckets)).as("salt")),
+      hot.select(col("doc_id").as("doc_b"), col("sh"),
+        explode(expr(s"sequence(0, ${SaltBuckets - 1})")).as("salt")),
+      Seq("sh", "salt"))
+    val common = coldPairs.unionByName(hotPairs)
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_common"))
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
@@ -317,9 +355,9 @@ object Dedup {
   val ngramJaccardPairsSql: String =
     s"""WITH sh AS (SELECT doc_id, ${h60Duck("shingle")} AS sh
        |            FROM ${shingledSql(NearDupesSql)}),
-       |kept AS (SELECT doc_id, sh FROM (
-       |  SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
-       |  WHERE df <= $DfCap),
+       |dfs AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+       |kept AS (SELECT doc_id, s.sh FROM sh s JOIN dfs ON s.sh = dfs.sh
+       |         WHERE dfs.df <= $DfCap),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
        |common AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common

@@ -537,10 +537,54 @@ object Relational {
     s"SELECT * FROM $EV ORDER BY ts ASC, event_id ASC LIMIT 100"
 
   // ===========================================================================
+  // J7 — fact-table-scale join (SURVEY §2.3 family at full cardinality)
+  // ===========================================================================
+
+  /** J7 `fact_join_agg` — the gigabyte-scale shuffle the rest of the
+    * suite doesn't exercise: lineitem ⋈ orders ⋈ customer at fact-table
+    * cardinality with a group-aggregate on top (TPC-H Q3/Q5 shape;
+    * reference anchor: the J1/J2 FK family, db/core/models.py:115-137,
+    * at realistic fact cardinality). Plan at 100 TB: the shipdate filter
+    * pushes to the lineitem scan; lineitem⋈orders shuffles on orderkey
+    * (both sides scale — AQE picks SMJ/SHJ); customer is smaller but
+    * also scales, so no forced broadcast — AQE decides from stats. The
+    * revenue sum runs in EXACT integer money math — price in cents ×
+    * discount complement in basis points, summed as BIGINT (order-
+    * independent partials → map-side combinable), one int/int double
+    * division at the end. (Decimal-pinning the double PRODUCT instead
+    * diverges in the last ulp: Spark and DuckDB round double→decimal
+    * differently — the per-row products sum exactly ≤ 6·10¹³ here,
+    * far under the 2^62 overflow rule.)
+    */
+  val factJoinAgg: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > to_timestamp(lit("1996-01-01 00:00:00")))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(round(col("l_extendedprice") * 100).cast("long") *
+             (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+          .cast("double") / 1000000L).as("revenue"))
+      .orderBy("c_mktsegment", "o_orderpriority")
+  val factJoinAggSql: String =
+    """SELECT c_mktsegment, o_orderpriority, count(*) AS n_items,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |                (10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS DOUBLE)
+      |         / 1000000 AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY c_mktsegment, o_orderpriority
+      |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
+
+  // ===========================================================================
   // registry
   // ===========================================================================
 
   val queries: Map[String, Q] = Map(
+    "fact_join_agg" -> factJoinAgg,
     "argmax_per_group" -> argmaxPerGroup,
     "dedup_by_unique_key" -> dedupByUniqueKey,
     "cdc_diff_consecutive" -> cdcDiffConsecutive,
@@ -571,6 +615,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "fact_join_agg" -> factJoinAggSql,
     "argmax_per_group" -> argmaxPerGroupSql,
     "dedup_by_unique_key" -> dedupByUniqueKeySql,
     "cdc_diff_consecutive" -> cdcDiffConsecutiveSql,

@@ -53,12 +53,24 @@ object ScanQueries {
   val htmlScanMailbox: Q = (spark, _) =>
     Scans.mailboxScan(page(spark, "", "mailbox")).toDF().orderBy("id")
 
+  /** S6b mail-detail scan (`message.php`, scrapers/mailbox.py:25-60).
+    * Each page anchors to the `now` of its golden test so the yearless
+    * timestamp repair runs its real paths: the second fixture is the
+    * December-mail-read-in-January rollover (test_mailbox.py:44-47). */
+  val htmlScanMessage: Q = (spark, _) =>
+    Scans.messageScan(page(spark, "782186", "message"),
+        Instant.parse("2022-06-16T23:59:59Z")).toDF()
+      .unionByName(Scans.messageScan(page(spark, "781884", "message_year"),
+        Instant.parse("2023-01-02T00:00:00Z")).toDF())
+      .orderBy("id")
+
   val queries: Map[String, Q] = Map(
     "html_scan_chat" -> htmlScanChat,
     "html_scan_flags" -> htmlScanFlags,
     "html_scan_profile" -> htmlScanProfile,
     "html_scan_online" -> htmlScanOnline,
     "html_scan_mailbox" -> htmlScanMailbox,
+    "html_scan_message" -> htmlScanMessage,
   )
   /** deliberately empty — see object Scaladoc. */
   val oracles: Map[String, String] = Map.empty

@@ -176,8 +176,10 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
 
   /** Per-language corpus stats: doc count, token totals, avg length
-    * (decimal-pinned for partial-agg order independence), distinct
-    * sources. Single hash aggregate, map-side combinable.
+    * (exact BIGINT sum, then one int/int double division — bit-exact
+    * across engines, unlike decimal-avg whose last-ulp rounding
+    * diverges), distinct sources. Single hash aggregate, map-side
+    * combinable.
     */
   val textStats: Q = (spark, dir) =>
     Tables.documents(spark, dir)
@@ -185,13 +187,13 @@ object TextAnalysis {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
-        avg(col("n_chars").cast("decimal(38,10)")).cast("double").as("avg_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
         countDistinct(col("source")).as("n_sources"))
       .orderBy("lang")
   val textStatsSql: String =
     """SELECT lang, count(*) AS n_docs,
       |       sum(len(string_split(text, ' '))) AS total_tokens,
-      |       CAST(avg(CAST(n_chars AS DECIMAL(38,10))) AS DOUBLE) AS avg_chars,
+      |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
       |       count(DISTINCT source) AS n_sources
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 

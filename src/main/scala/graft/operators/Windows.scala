@@ -33,7 +33,7 @@ object Windows {
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("w_start", "event_type")
   val tumblingWindowAggSql: String =
-    s"""SELECT to_timestamp(floor(epoch(ts) / 21600) * 21600) AS w_start, event_type,
+    s"""SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS w_start, event_type,
        |       count(*) AS n,
        |       CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sum_value
        |FROM $EV GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
@@ -48,9 +48,9 @@ object Windows {
       .orderBy("w_start")
   val slidingWindowAggSql: String =
     s"""SELECT w_start, count(*) AS n FROM (
-       |  SELECT to_timestamp(floor(epoch(ts) / 10800) * 10800) AS w_start FROM $EV
+       |  SELECT CAST(to_timestamp(floor(epoch(ts) / 10800) * 10800) AS TIMESTAMP) AS w_start FROM $EV
        |  UNION ALL
-       |  SELECT to_timestamp((floor(epoch(ts) / 10800) - 1) * 10800) AS w_start FROM $EV)
+       |  SELECT CAST(to_timestamp((floor(epoch(ts) / 10800) - 1) * 10800) AS TIMESTAMP) AS w_start FROM $EV)
        |GROUP BY w_start ORDER BY w_start""".stripMargin
 
   /** Session windows per user, 1-hour inactivity gap: Spark's

@@ -54,6 +54,12 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram_jaccard df-cap is an aggregate+join, never a window on the skewed shingle key") {
+    val p = plan("ngram_jaccard_pairs")
+    assert(!p.contains("Window"), s"df-cap must not sort on the hot shingle key:\n$p")
+    assert(p.contains("partial_count"), s"expected map-side-combinable df aggregate:\n$p")
+  }
+
   test("top-1 global sort is TakeOrderedAndProject, not a full sort") {
     assert(plan("order_desc_first").contains("TakeOrderedAndProject"))
   }

@@ -16,11 +16,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    # normalize tz-aware timestamps to naive UTC
-    for c in df.columns:
-        if isinstance(df[c].dtype, pd.DatetimeTZDtype):
-            df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
     return df.reset_index(drop=True)
+
+
+def tz_mismatch(a: pd.DataFrame, b: pd.DataFrame):
+    """The driver compares schemas strictly: a tz-aware TIMESTAMPTZ on one
+    side vs a naive TIMESTAMP on the other is a schema_match failure. Do
+    NOT silently normalize it away here (that made the local gate pass
+    queries the real driver failed in round 2)."""
+    for c in a.columns:
+        aw = isinstance(a[c].dtype, pd.DatetimeTZDtype)
+        bw = isinstance(b[c].dtype, pd.DatetimeTZDtype)
+        if aw != bw:
+            return c
+    return None
 
 
 def main():
@@ -47,6 +56,11 @@ def main():
             print(f"FAIL {name}: oracle error: {str(e)[:300]}"); n_fail += 1; continue
         if list(spark_df.columns) != list(duck_df.columns):
             print(f"FAIL {name}: columns spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
+            n_fail += 1; continue
+        tzc = tz_mismatch(spark_df, duck_df)
+        if tzc:
+            print(f"FAIL {name}: col {tzc}: tz-aware vs naive timestamp "
+                  f"(spark={spark_df[tzc].dtype} duck={duck_df[tzc].dtype})")
             n_fail += 1; continue
         if len(spark_df) != len(duck_df):
             print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
