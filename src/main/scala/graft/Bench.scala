@@ -11,7 +11,11 @@ object Bench {
       .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
     // noop sink = full evaluation of every row/column (sorts and
     // projections are NOT optimized away, unlike count()), zero I/O cost.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args narrow the run to named queries (local iteration).
+    val picked =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

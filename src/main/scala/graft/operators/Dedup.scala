@@ -291,61 +291,70 @@ object Dedup {
   /** Document-frequency cap: shingles occurring in more docs than this are
     * excluded from BOTH candidate generation and the Jaccard sets — it is
     * part of the operator's semantics (capped-Jaccard), bounding the
-    * worst-case join fanout per shingle to DfCap² pairs. At 100 TB this
-    * cap (plus salting the residual hot shingles) is what keeps the
-    * shared-shingle join from degenerating on boilerplate n-grams. */
+    * worst-case pair fanout per shingle to DfCap²/2. At 100 TB this cap
+    * is what keeps shared-shingle pair generation from degenerating on
+    * boilerplate n-grams. */
   private val DfCap = 100
-  private val HotDf = 25      // keys above this df take the salted path
-  private val SaltBuckets = 4 // spread one hot key's pair-gen over 4 tasks
   private val JaccardThreshold = 0.5
 
-  /** Exact n-gram Jaccard near-dup pairs: join docs on shared shingles
-    * (df-capped), count common shingles per pair, Jaccard from per-doc
-    * set sizes. Output keeps only pairs above threshold. The ratio is an
-    * exact int/int double division — bit-identical across engines.
+  /** Exact n-gram Jaccard near-dup pairs: enumerate co-occurring doc
+    * pairs per shared shingle (df-capped), count common shingles per
+    * pair, Jaccard from per-doc set sizes. Output keeps only pairs above
+    * threshold. The ratio is an exact int/int double division —
+    * bit-identical across engines.
     *
-    * Skew defenses, in order:
-    *  1. df is a `groupBy(sh).count()` hash aggregate (map-side
-    *     combinable) joined back — NOT a window over the exploded
-    *     relation, which would SORT on the most skewed key in the
-    *     pipeline (hot shingles), the exact degeneracy the cap guards
-    *     against.
-    *  2. The df ≤ DfCap filter bounds any key's fanout to DfCap².
-    *  3. Keys still hot under the cap (df > HotDf) take a salted
-    *     two-path self-join: side A salts each row by hash(doc_id) mod
-    *     SaltBuckets, side B replicates per salt, join on (sh, salt) —
-    *     one key's quadratic pair generation spreads over SaltBuckets
-    *     tasks instead of one straggler. Cold keys join unsalted (no
-    *     replication cost). Pair sets are identical either way.
+    * Pair generation is GROUPED ENUMERATION, not a self-join: group the
+    * capped shingle relation by shingle (list state provably ≤ DfCap
+    * entries because over-cap keys are anti-joined out FIRST — the df
+    * pre-pass is a count-only hash aggregate, map-side combinable, so no
+    * unbounded collect ever runs), then explode the sorted i<j
+    * combinations. Each unordered pair is generated exactly once (a
+    * self-join produces both orders and shuffles the relation twice);
+    * per-key work is ≤ DfCap²/2 rows inside a codegen'd explode. That
+    * bound is also the skew story: no shingle can produce a straggler
+    * larger than ~5000 rows, so hash partitioning over millions of
+    * shingle keys load-balances without salting — which a self-join
+    * formulation would need for its hot keys. (r2's df-window variant
+    * additionally SORTED the exploded relation on the hottest key; the
+    * count-aggregate pre-pass replaces it.)
+    *
+    * Per-doc set sizes are broadcast-attached to the shingle rows BEFORE
+    * grouping, so pairs leave the explode complete — (doc_a, doc_b, n_a,
+    * n_b) — and the millions of candidate pairs never pass through a
+    * join: the only full-size shuffle after enumeration is the
+    * (doc_a, doc_b) count itself, and the Jaccard threshold filters
+    * immediately after it.
     */
   val ngramJaccardPairs: Q = (spark, dir) => {
-    // join key = hashed shingle (64-bit compare beats variable-length
-    // string compare on the hot self-join; the oracle hashes identically,
-    // and a 60-bit collision is ~never at any realistic corpus size)
+    // the raw shingle STRING is the grouping key: with no self-join left
+    // there is nothing to equi-compare, so hashing shingles first (r2)
+    // would only add 0.5M md5 evaluations — the shuffle partitioner
+    // hashes the string anyway, exactly and collision-free in both
+    // engines. The explode is cheap enough to recompute per consumer
+    // (caching strings costs more than re-deriving them); a real 100 TB
+    // campaign persists this relation as its shingle table first.
     val sh = shingled(withNearDupes(spark, dir))
-      .select(col("doc_id"), h60(col("shingle")).as("sh"))
+      .select(col("doc_id"), col("shingle").as("sh"))
     val dfBySh = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val kept = sh.join(dfBySh.filter(col("df") <= DfCap), "sh")
+    // over-cap keys form a TINY list (only boilerplate shingles); the
+    // planner broadcasts the anti-join from stats — df never rides
+    // along every shingle row
+    val blocked = dfBySh.filter(col("df") > DfCap).select("sh")
+    val kept = sh.join(blocked, Seq("sh"), "left_anti")
+    // one row per doc — broadcast-joined back onto the shingle rows
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    def pairGen(aa: DataFrame, bb: DataFrame, keys: Seq[String]): DataFrame =
-      aa.join(bb, keys).filter(col("doc_a") < col("doc_b")).select("doc_a", "doc_b")
-    val cold = kept.filter(col("df") <= HotDf)
-    val hot = kept.filter(col("df") > HotDf)
-    val coldPairs = pairGen(
-      cold.select(col("doc_id").as("doc_a"), col("sh")),
-      cold.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
-    val hotPairs = pairGen(
-      hot.select(col("doc_id").as("doc_a"), col("sh"),
-        pmod(hash(col("doc_id")), lit(SaltBuckets)).as("salt")),
-      hot.select(col("doc_id").as("doc_b"), col("sh"),
-        explode(expr(s"sequence(0, ${SaltBuckets - 1})")).as("salt")),
-      Seq("sh", "salt"))
-    val common = coldPairs.unionByName(hotPairs)
-      .groupBy("doc_a", "doc_b")
+    val pairs = kept.join(sizes, "doc_id")
+      .groupBy("sh")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ids"))
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+          "a.n_sh AS n_a, b.n_sh AS n_b))))")).as("p"))
+      .select(col("p.*"))
+    pairs
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= JaccardThreshold)
@@ -353,7 +362,7 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
   val ngramJaccardPairsSql: String =
-    s"""WITH sh AS (SELECT doc_id, ${h60Duck("shingle")} AS sh
+    s"""WITH sh AS (SELECT doc_id, shingle AS sh
        |            FROM ${shingledSql(NearDupesSql)}),
        |dfs AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
        |kept AS (SELECT doc_id, s.sh FROM sh s JOIN dfs ON s.sh = dfs.sh
