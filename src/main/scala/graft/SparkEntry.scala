@@ -20,6 +20,10 @@ object SparkEntry {
       "graft_dot",
       ch => graft.expressions.DotProduct(ch.head, ch(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash",
+      ch => graft.expressions.SimHashVotes(ch.head, ch(1)),
+      "built-in")
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

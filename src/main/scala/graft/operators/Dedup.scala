@@ -180,21 +180,20 @@ object Dedup {
 
   /** SimHash: per word occurrence, each bit of the word hash votes ±1;
     * the sign of each bit's vote total becomes that fingerprint bit.
-    * One explode + one hash aggregate (16 sums, map-side combinable),
-    * single shuffle on doc_id. Near-dups then compare by Hamming
-    * distance on the fingerprint — O(n) storage, no pair materialization.
+    * One explode + ONE fused native aggregate
+    * ([[graft.expressions.SimHashVotes]]: a tight int[bits] vote loop
+    * per row instead of `bits` separate sum(when(...)) aggregates —
+    * still map-side combinable), single shuffle on doc_id. Near-dups
+    * then compare by Hamming distance on the fingerprint — O(n)
+    * storage, no pair materialization. The oracle runs the unfused
+    * per-bit-sum SQL; SimHashVotesSpec asserts the two forms equal.
     */
   val simhashFingerprint: Q = (spark, dir) => {
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("wh", h60(col("w")))
-    val votes = (0 until SimBits).map(j =>
-      sum(when(expr(s"(wh >> $j) & 1") === 1, 1).otherwise(-1)).as(s"v$j"))
-    val bits = (0 until SimBits)
-      .map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    words.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), bits.as("simhash"))
+    words.groupBy("doc_id")
+      .agg(expr(s"graft_simhash(wh, $SimBits)").as("simhash"))
       .orderBy("doc_id")
   }
   val simhashFingerprintSql: String = {
@@ -236,13 +235,9 @@ object Dedup {
     val words = withNearDupes(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("wh", h60(col("w")))
-    val votes = (0 until NdBits).map(j =>
-      sum(when(expr(s"(wh >> $j) & 1") === 1, 1).otherwise(-1)).as(s"v$j"))
-    val bits = (0 until NdBits)
-      .map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val fp = words.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), bits.as("sh"))
+    // fused native vote kernel — see simhashFingerprint Scaladoc
+    val fp = words.groupBy("doc_id")
+      .agg(expr(s"graft_simhash(wh, $NdBits)").as("sh"))
     val mask = (1L << NdBandWidth) - 1
     val banded = fp.select(col("doc_id"), col("sh"),
         explode(expr(s"transform(sequence(0, ${NdBands - 1}), " +

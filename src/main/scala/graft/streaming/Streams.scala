@@ -177,14 +177,58 @@ object MergeSink {
         }
         joined
       }
-    // snapshot swap: write next to the live dir, then two atomic renames
+    writeSnapshot(merged, path)
+  }
+
+  /** Snapshot swap: write next to the live dir, then two atomic renames
+    * (see [[merge]] Scaladoc for the crash-recovery contract). */
+  private def writeSnapshot(merged: DataFrame, path: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = path + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
     val old = Paths.get(path + ".old")
     if (Files.exists(old)) org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
-    if (dir.exists())
+    if (Files.exists(Paths.get(path)))
       Files.move(Paths.get(path), old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
     if (Files.exists(old)) org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+  }
+
+  /** S9b — nested-subdocument merge (firestore/chat.py:63-71: the
+    * `mod/flags` subdocument `set` under a chat document): one
+    * StructType column of the keyed state is merged FIELD-WISE — a
+    * non-null batch field wins, every other field persists from state —
+    * while top-level non-key columns upsert (batch wins when present).
+    * A batch row for an unknown key inserts whole. This is Firestore's
+    * set-on-subdocument without clobbering sibling fields, as one
+    * relational merge; on a transactional table format it is the
+    * `MERGE INTO ... UPDATE SET sub.f = coalesce(src.sub.f, tgt.sub.f)`
+    * form with identical call sites.
+    */
+  def mergeStruct(batch: DataFrame, keys: Seq[String], path: String, structCol: String): Unit = {
+    recover(path)
+    val spark = batch.sparkSession
+    val deduped = batch.dropDuplicates(keys)
+    val merged =
+      if (!new java.io.File(path).exists()) deduped
+      else {
+        val state = spark.read.parquet(path)
+        val others = state.columns.filterNot(c => keys.contains(c) || c == structCol).toSeq
+        val fields = state.schema(structCol).dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+        val st = state.select(keys.map(col) ++ others.map(c => col(c).as(s"_s_$c")) :+
+          col(structCol).as("_s_sub"): _*)
+        val bt = deduped.select(keys.map(col) ++ others.map(c => col(c).as(s"_b_$c")) :+
+          col(structCol).as("_b_sub"): _*)
+        val mergedSub = struct(fields.map(f =>
+          coalesce(col(s"_b_sub.$f"), col(s"_s_sub.$f")).as(f)): _*)
+        st.join(bt, keys, "full_outer")
+          .select(keys.map(col) ++
+            others.map(c => coalesce(col(s"_b_$c"), col(s"_s_$c")).as(c)) :+
+            when(col("_b_sub").isNull, col("_s_sub"))
+              .when(col("_s_sub").isNull, col("_b_sub"))
+              .otherwise(mergedSub).as(structCol): _*)
+      }
+    writeSnapshot(merged, path)
   }
 }
