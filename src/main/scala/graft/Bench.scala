@@ -23,8 +23,11 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries that cache intermediates (signature relations) must not
-      // squeeze later queries' memory — isolate measurements
+      // squeeze later queries' memory — isolate measurements. Persisted
+      // RDDs cover what clearCache misses: localCheckpoint blocks from
+      // iterative queries live in the block manager, not the catalog.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }

@@ -135,7 +135,9 @@ object Dedup {
     * sets. Two shuffles total (doc_id for the signature agg; band key for
     * the bucket join).
     */
-  val minhashLshCandidates: Q = (spark, dir) => {
+  /** The candidate-pair pipeline, shared by `minhash_lsh_candidates`
+    * and `near_dup_cluster` (the pairs are that query's edge set). */
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(withNearDupes(spark, dir))
       .withColumn("h", h60(col("shingle")) % MersenneP)
     val mins = (0 until NumHashes).map(s =>
@@ -153,24 +155,93 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
-  val minhashLshCandidatesSql: String = {
+  val minhashLshCandidates: Q = (spark, dir) =>
+    minhashPairs(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** CTE prefix producing `mh_pairs(doc_a, doc_b)` — shared by the
+    * candidates oracle and the clustering oracle. */
+  private val minhashCtesSql: String = {
     val minsSql = (0 until NumHashes)
       .map(s => s"min((h * ${HashA(s)} + ${HashB(s)}) % $MersenneP) AS mh$s").mkString(", ")
     val bandsSql = (0 until NumHashes / BandRows).map { b =>
       val cols = (b * BandRows until (b + 1) * BandRows).map(i => s"mh$i").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($cols) AS sig FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH sh AS (SELECT doc_id, ${h60Duck("shingle")} % $MersenneP AS h
+    s"""sh AS (SELECT doc_id, ${h60Duck("shingle")} % $MersenneP AS h
        |            FROM ${shingledSql(NearDupesSql)}),
        |sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
-       |buckets AS ($bandsSql)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM buckets a JOIN buckets b
-       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |buckets AS ($bandsSql),
+       |mh_pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
   }
+  val minhashLshCandidatesSql: String =
+    s"""WITH $minhashCtesSql
+       |SELECT doc_a, doc_b FROM mh_pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // 2b. near_dup_cluster — connected components over the candidate graph
+  // ---------------------------------------------------------------------
+
+  private val MaxCcIters = 50
+
+  /** Cluster assignment: every doc in the near-dup corpus gets
+    * `cluster_id` = min doc_id of its connected component in the
+    * MinHash candidate graph (singletons cluster with themselves) —
+    * the step that turns pairwise candidates into dedup groups with a
+    * deterministic canonical representative (min id).
+    *
+    * Spark form: Pregel-style min-label propagation — per iteration,
+    * each node takes the min of its label and its neighbors' labels
+    * (edges join + map-side-combinable min aggregate), until a
+    * fixpoint. Iterations ≤ component diameter (near-dup clusters are
+    * shallow: re-crawled copies chain through their source doc), each
+    * one shuffle of the label relation; the per-iteration `count` of
+    * changed labels is the standard driver-side convergence check every
+    * iterative-graph framework does. The min-label fixpoint is unique,
+    * so the result is independent of iteration schedule — which is what
+    * lets a recursive-CTE oracle (transitive closure + min) check an
+    * iterative distributed algorithm. Labels are re-cached and lineage
+    * is cut each round (localCheckpoint) so deep graphs don't grow an
+    * unbounded plan.
+    */
+  val nearDupCluster: Q = (spark, dir) => {
+    val pairs = minhashPairs(spark, dir)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = withNearDupes(spark, dir).select(col("doc_id"))
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < MaxCcIters) {
+      val msgs = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.unionByName(msgs)
+        .groupBy("doc_id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $MaxCcIters iterations")
+    labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+  }
+  val nearDupClusterSql: String =
+    s"""WITH RECURSIVE $minhashCtesSql,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+       |nodes AS (SELECT DISTINCT doc_id FROM $NearDupesSql),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+       |SELECT a AS doc_id, min(b) AS cluster_id FROM reach
+       |GROUP BY a ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // 3. simhash_fingerprint — 16-bit SimHash per document
@@ -382,6 +453,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "exact_dedup_documents" -> exactDedupDocuments,
     "minhash_lsh_candidates" -> minhashLshCandidates,
+    "near_dup_cluster" -> nearDupCluster,
     "simhash_fingerprint" -> simhashFingerprint,
     "simhash_near_dup" -> simhashNearDup,
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
@@ -389,6 +461,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "exact_dedup_documents" -> exactDedupDocumentsSql,
     "minhash_lsh_candidates" -> minhashLshCandidatesSql,
+    "near_dup_cluster" -> nearDupClusterSql,
     "simhash_fingerprint" -> simhashFingerprintSql,
     "simhash_near_dup" -> simhashNearDupSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
