@@ -52,4 +52,28 @@ object Scans {
     import spark.implicits._
     pages.map(p => HtmlParsers.parseMessage(p.key.toLong, p.html, now))
   }
+
+  /** Archived-page backfill: a directory tree of captured pages as a
+    * distributed `Dataset[RawPage]`, page-per-file via the binaryFile
+    * source — the path a 100 TB page archive takes into the SAME
+    * parsers the live stream uses (each scan above is source-agnostic).
+    * The scrape key is the file name's prefix before "__" (archive
+    * convention `<key>__<fetch-id>.html`), or the bare stem when there
+    * is none; fetchedAt is the file's modification time. Reading is
+    * file-parallel with no shuffle; pages parse where they are read.
+    */
+  def readArchive(spark: SparkSession, dir: String): Dataset[RawPage] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(dir)
+      .select("path", "modificationTime", "content")
+      .as[(String, java.sql.Timestamp, Array[Byte])]
+      .map { case (path, mtime, content) =>
+        val stem = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".html")
+        val key = stem.indexOf("__") match {
+          case -1 => stem
+          case i => stem.substring(0, i)
+        }
+        RawPage(key, new String(content, "UTF-8"), mtime)
+      }
+  }
 }

@@ -47,7 +47,8 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("dedup/similarity candidate generation is never a cartesian product") {
     Seq("minhash_lsh_candidates", "ngram_jaccard_pairs",
-        "embedding_cosine_near_dup", "ann_lsh_bucket_top1").foreach { q =>
+        "embedding_cosine_near_dup", "ann_lsh_bucket_top1",
+        "benchmark_contamination").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not be all-pairs:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must use equi-joins:\n$p")
@@ -58,6 +59,12 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("ngram_jaccard_pairs")
     assert(!p.contains("Window"), s"df-cap must not sort on the hot shingle key:\n$p")
     assert(p.contains("partial_count"), s"expected map-side-combinable df aggregate:\n$p")
+  }
+
+  test("stratified_sample is a pure projection+filter — no shuffle, no join") {
+    val p = plan("stratified_sample")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"),
+      s"hash-coin sampling must not shuffle or join:\n$p")
   }
 
   test("top-1 global sort is TakeOrderedAndProject, not a full sort") {

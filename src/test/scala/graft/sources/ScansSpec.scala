@@ -39,6 +39,21 @@ class ScansSpec extends AnyFunSuite {
     assert(snap.userId == 4153L && snap.isRanger)
   }
 
+  test("readArchive: page-per-file backfill feeds the same parsers as the live stream") {
+    val dir = java.nio.file.Files.createTempDirectory("archive")
+    java.nio.file.Files.writeString(dir.resolve("help__0001.html"), load("chat_help"))
+    java.nio.file.Files.writeString(dir.resolve("global__0002.html"), load("chat_complex"))
+    java.nio.file.Files.writeString(dir.resolve("trade.html"), load("chat_deleted"))
+    val pages = Scans.readArchive(spark, dir.toString)
+    assert(pages.collect().map(_.key).sorted.toSeq == Seq("global", "help", "trade"))
+    val got = Scans.chatScan(pages, Now).collect().toSeq
+    val expected =
+      HtmlParsers.parseChat("help", load("chat_help"), Now) ++
+        HtmlParsers.parseChat("global", load("chat_complex"), Now) ++
+        HtmlParsers.parseChat("trade", load("chat_deleted"), Now)
+    assert(got.sortBy(_.id) == expected.sortBy(_.id))
+  }
+
   test("mailboxScan + messageScan") {
     import spark.implicits._
     val rows = Scans.mailboxScan(
