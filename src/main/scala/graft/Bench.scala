@@ -28,6 +28,7 @@ object Bench {
       // iterative queries live in the block manager, not the catalog.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc() // outside the timed section: don't charge query N+1 for query N's garbage
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
