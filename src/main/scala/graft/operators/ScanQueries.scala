@@ -64,6 +64,26 @@ object ScanQueries {
         Instant.parse("2023-01-02T00:00:00Z")).toDF())
       .orderBy("id")
 
+  /** The archived-page backfill path, end-to-end: fixtures copied once
+    * into a page-per-file archive layout (`<key>__<id>.html`), read as
+    * a distributed `Dataset[RawPage]` via the binaryFile source
+    * ([[Scans.readArchive]]), parsed by the same chat scan as the live
+    * stream. Same 105 messages as `html_scan_chat` — proving live and
+    * backfill ingest are one code path. */
+  private lazy val archiveDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-archive")
+    Seq("help__1" -> "chat_help", "global__1" -> "chat_complex", "global__2" -> "chat_long")
+      .foreach { case (name, fixture) =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$FixtureDir/$fixture.html"),
+          dir.resolve(s"$name.html"))
+      }
+    dir.toString
+  }
+  val htmlScanArchive: Q = (spark, _) =>
+    Scans.chatScan(Scans.readArchive(spark, archiveDir), Now)
+      .drop("deletedTs").toDF().orderBy("room", "id")
+
   val queries: Map[String, Q] = Map(
     "html_scan_chat" -> htmlScanChat,
     "html_scan_flags" -> htmlScanFlags,
@@ -71,6 +91,7 @@ object ScanQueries {
     "html_scan_online" -> htmlScanOnline,
     "html_scan_mailbox" -> htmlScanMailbox,
     "html_scan_message" -> htmlScanMessage,
+    "html_scan_archive" -> htmlScanArchive,
   )
   /** deliberately empty — see object Scaladoc. */
   val oracles: Map[String, String] = Map.empty
