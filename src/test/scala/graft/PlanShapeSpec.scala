@@ -61,6 +61,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"expected map-side-combinable df aggregate:\n$p")
   }
 
+  test("asof_join is join-free: union + running-last window, no pair materialization") {
+    val p = plan("asof_join")
+    assert(!p.contains("Join"), s"as-of must be the merge formulation, not a join:\n$p")
+    assert(p.contains("Window"), s"expected the running-last window:\n$p")
+  }
+
+  test("range_join_count is a bucketed equi-join, never a nested-loop/cartesian") {
+    val p = plan("range_join_count")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval condition must ride an equi-join via bucketing:\n$p")
+  }
+
   test("stratified_sample is a pure projection+filter — no shuffle, no join") {
     val p = plan("stratified_sample")
     assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"),
