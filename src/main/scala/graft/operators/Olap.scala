@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multi-dimensional OLAP surface over the TPC tables: rollup
+  * hierarchies, pivoted cross-tabs, exact quantiles — the reporting
+  * shapes a warehouse engine is expected to run next to the pipeline
+  * operators. All aggregates here are counts/int-sums or int-sourced
+  * interpolations, keeping the cross-engine parity rules intact.
+  */
+object Olap {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Known dimension values (TPC-H enumerations) — pivot columns must be
+    * explicit so the plan is static and both engines agree on schema. */
+  private val Priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  // ---------------------------------------------------------------------
+  // 1. rollup_agg — hierarchy subtotals in one pass
+  // ---------------------------------------------------------------------
+
+  /** Rollup over (mktsegment, orderpriority): detail rows + per-segment
+    * subtotals + grand total in ONE aggregation pass (Spark expands
+    * grouping sets internally — no N separate scans). NULL grouping
+    * markers are coalesced to '(all)' so ordering semantics are
+    * identical across engines (NULLS FIRST/LAST defaults differ).
+    */
+  val rollupAgg: Q = (spark, dir) =>
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .rollup(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(coalesce(col("c_mktsegment"), lit("(all)")).as("mktsegment"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("orderpriority"),
+        col("n_orders"))
+      .orderBy("mktsegment", "orderpriority")
+  val rollupAggSql: String =
+    """SELECT coalesce(c_mktsegment, '(all)') AS mktsegment,
+      |       coalesce(o_orderpriority, '(all)') AS orderpriority,
+      |       count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+      |ORDER BY mktsegment, orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // 2. pivot_wide — cross-tab via the DataFrame pivot API
+  // ---------------------------------------------------------------------
+
+  /** Order counts per segment × priority as a WIDE table — the
+    * DataFrame `pivot` API with explicit values (never inferred: value
+    * inference is an extra distinct pass AND makes the schema
+    * data-dependent, which breaks at scale and in any oracle compare).
+    * The oracle spells the same thing as conditional aggregation.
+    */
+  val pivotWide: Q = (spark, dir) =>
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .pivot("o_orderpriority", Priorities)
+      .agg(count(lit(1)))
+      .orderBy("mktsegment")
+  val pivotWideSql: String = {
+    val cols = Priorities.map(p =>
+      s"""count(CASE WHEN o_orderpriority = '$p' THEN 1 END) AS "$p"""").mkString(",\n       ")
+    s"""SELECT c_mktsegment AS mktsegment,
+       |       $cols
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment ORDER BY mktsegment""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // 3. quantile_stats — exact percentiles per group
+  // ---------------------------------------------------------------------
+
+  /** Exact p50/p90 of document length per language. Spark's
+    * `percentile` and DuckDB's `quantile_cont` both interpolate at
+    * position (n−1)·q over the sorted values; with BIGINT inputs the
+    * interpolation arithmetic is the same IEEE expression in both
+    * engines, so the doubles match bit-for-bit (asserted by the oracle
+    * hash). Exact percentile sorts within each group — the honest cost;
+    * the approximate path at scale is `approx_percentile` (t-digest),
+    * which has no cross-engine-exact oracle and so stays out of the
+    * registry.
+    */
+  val quantileStats: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(expr("percentile(n_chars, 0.5)").as("p50_chars"),
+        expr("percentile(n_chars, 0.9)").as("p90_chars"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+  val quantileStatsSql: String =
+    """SELECT lang,
+      |       quantile_cont(n_chars, 0.5) AS p50_chars,
+      |       quantile_cont(n_chars, 0.9) AS p90_chars,
+      |       count(*) AS n_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "rollup_agg" -> rollupAgg,
+    "pivot_wide" -> pivotWide,
+    "quantile_stats" -> quantileStats,
+  )
+  val oracles: Map[String, String] = Map(
+    "rollup_agg" -> rollupAggSql,
+    "pivot_wide" -> pivotWideSql,
+    "quantile_stats" -> quantileStatsSql,
+  )
+}
