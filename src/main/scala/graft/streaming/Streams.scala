@@ -89,6 +89,25 @@ object Streams {
     msgs.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("room", "id")
 
+  /** Stream–stream interval join: the streaming twin of the batch
+    * bucketed range join ([[graft.operators.TemporalJoins]]): each left
+    * event joined to right events of the same key within a trailing
+    * window. Structured Streaming requires exactly what makes this
+    * scale: watermarks on BOTH sides plus the time-bound join
+    * condition, which together bound the join state — right rows are
+    * dropped from state once the left watermark passes `ts + window`,
+    * so state tracks event-time progress, not stream length. Columns
+    * are pre-renamed per side: stream–stream self-joins of one source
+    * otherwise collide on attribute ids.
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+      windowSecs: Long, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("l_ts", watermarkDelay)
+    val r = right.withWatermark("r_ts", watermarkDelay)
+    l.join(r, expr(
+      s"l_$key = r_$key AND r_ts >= l_ts - INTERVAL $windowSecs SECONDS AND r_ts <= l_ts"))
+  }
+
   /** S1 `periodic_poll_source` error isolation (tasks.py:23-37): one
     * failing micro-batch is logged and skipped; the query keeps running.
     * Wraps a `foreachBatch` body the way the reference wraps each poll
