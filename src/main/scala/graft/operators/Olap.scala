@@ -99,14 +99,65 @@ object Olap {
       |       count(*) AS n_docs
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // 4. profile_table — exact per-column data profiling
+  // ---------------------------------------------------------------------
+
+  /** Columns profiled and how min/max serialize. Only BIGINT and
+    * VARCHAR columns: both stringify identically across engines
+    * (doubles don't — scientific-notation thresholds differ, the same
+    * class of trap as decimal-avg rounding). */
+  private val ProfileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  /** Table profiling: one output row per column with row/null/distinct
+    * counts and min/max — the first query every ingestion pipeline runs
+    * against a new drop. ONE pass over the table computes all 4×4
+    * aggregates (not a scan per column); `stack` unpivots the single
+    * aggregate row. Exact distincts (the profile contract); at larger
+    * column counts the same shape carries `approx_count_distinct`.
+    */
+  val profileTable: Q = (spark, dir) => {
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ ProfileCols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      countDistinct(col(c)).as(s"${c}_nd"),
+      min(col(c)).cast("string").as(s"${c}_min"),
+      max(col(c)).cast("string").as(s"${c}_max")))
+    val stackArgs = ProfileCols.map(c =>
+      s"'$c', ${c}_nulls, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
+    Tables.orders(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${ProfileCols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_val, max_val)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+        col("min_val"), col("max_val"))
+      .orderBy("col_name")
+  }
+  val profileTableSql: String = {
+    val aggCols = ProfileCols.map(c =>
+      s"""sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS ${c}_nulls,
+         |  count(DISTINCT $c) AS ${c}_nd,
+         |  CAST(min($c) AS VARCHAR) AS ${c}_min, CAST(max($c) AS VARCHAR) AS ${c}_max""".stripMargin)
+      .mkString(",\n  ")
+    val arms = ProfileCols.map(c =>
+      s"SELECT '$c' AS col_name, n_rows, ${c}_nulls AS n_nulls, ${c}_nd AS n_distinct, " +
+        s"${c}_min AS min_val, ${c}_max AS max_val FROM a").mkString("\nUNION ALL\n")
+    s"""WITH a AS (SELECT count(*) AS n_rows,
+       |  $aggCols
+       |FROM orders)
+       |$arms
+       |ORDER BY col_name""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "rollup_agg" -> rollupAgg,
     "pivot_wide" -> pivotWide,
     "quantile_stats" -> quantileStats,
+    "profile_table" -> profileTable,
   )
   val oracles: Map[String, String] = Map(
     "rollup_agg" -> rollupAggSql,
     "pivot_wide" -> pivotWideSql,
     "quantile_stats" -> quantileStatsSql,
+    "profile_table" -> profileTableSql,
   )
 }
