@@ -42,22 +42,30 @@ object TemporalJoins {
     * pre-distinct on (user, ts) so the as-of pick is unique in both
     * engines.
     */
-  val asofJoin: Q = (spark, dir) => {
-    val e = Tables.events(spark, dir)
-    val views = e.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts")).distinct()
+  /** The as-of core over arbitrary relations: left (event_id, user_id,
+    * ts) rows each pick up the latest right (user_id, ts) at or before
+    * them as `last_view_ts`. Exposed for the ScalaCheck brute-force
+    * equivalence test. */
+  private[graft] def asofOf(left: DataFrame, right: DataFrame): DataFrame = {
+    val r = right.select(col("user_id"), col("ts")).distinct()
       .select(col("user_id"), col("ts"), lit(0).as("src"),
         lit(null).cast("long").as("event_id"), col("ts").as("r_ts"))
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), lit(1).as("src"),
-        col("event_id"), lit(null).cast("timestamp").as("r_ts"))
+    val l = left.select(col("user_id"), col("ts"), lit(1).as("src"),
+      col("event_id"), lit(null).cast("timestamp").as("r_ts"))
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("src"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    views.unionByName(purchases)
+    r.unionByName(l)
       .withColumn("last_view_ts", last(col("r_ts"), ignoreNulls = true).over(w))
       .filter(col("src") === 1)
       .select(col("event_id"), col("user_id"), col("ts"), col("last_view_ts"))
+  }
+
+  val asofJoin: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+    asofOf(
+      e.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+      e.filter(col("event_type") === "view").select("user_id", "ts"))
       .orderBy("event_id")
   }
   val asofJoinSql: String =

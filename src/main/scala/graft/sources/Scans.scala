@@ -64,8 +64,27 @@ object Scans {
     */
   def readArchive(spark: SparkSession, dir: String): Dataset[RawPage] = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(dir)
-      .select("path", "modificationTime", "content")
+    toPages(spark.read.format("binaryFile").load(dir))
+  }
+
+  /** Streaming form of [[readArchive]]: the archive as an UNBOUNDED
+    * source — files appearing in the tree become micro-batches, and
+    * with `Trigger.AvailableNow` the whole backlog replays through the
+    * live pipeline in bounded batches (`maxFilesPerTrigger`) and the
+    * query stops — the backfill mode for a 100 TB page archive: same
+    * parsers, same sinks, same exactly-once merge semantics, bounded
+    * memory per batch. */
+  def streamArchive(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1000): Dataset[RawPage] =
+    toPages(spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir))
+
+  private def toPages(files: org.apache.spark.sql.DataFrame): Dataset[RawPage] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select("path", "modificationTime", "content")
       .as[(String, java.sql.Timestamp, Array[Byte])]
       .map { case (path, mtime, content) =>
         val stem = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".html")

@@ -43,7 +43,8 @@ object ChatPipeline {
     * at-least-once delivery yields exactly-once effects (db/chat.py:14-19).
     */
   def start(pages: Dataset[RawPage], now: Instant, msgStorePath: String,
-      docStorePath: String, intervalMs: Long = 1000) = {
+      docStorePath: String, intervalMs: Long = 1000,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None) = {
     val spark = pages.sparkSession
     import spark.implicits._
     val changed = changedMessages(pages, now)
@@ -58,6 +59,10 @@ object ChatPipeline {
     changed.writeStream
       .queryName("chat-pipeline")
       .outputMode("update")
+      // default: the reference's fixed poll cadence; AvailableNow for
+      // archive backfill (drain the backlog in bounded batches, stop)
+      .trigger(trigger.getOrElse(
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(intervalMs)))
       .foreachBatch(sink)
       .start()
   }
