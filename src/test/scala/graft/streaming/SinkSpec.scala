@@ -36,6 +36,23 @@ class SinkSpec extends AnyFunSuite {
       s"""$url  {"localId":"1","customAttributes":"{\\"username\\":\\"alice\\",\\"role\\":\\"ranger\\"}"}""").sorted)
   }
 
+  test("merge recovers the snapshot after a crash between the two swap renames") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("crash").toString + "/state"
+    MergeSink.merge(Seq((1L, "a")).toDF("id", "v"), Seq("id"), path, MergeSink.Upsert)
+    // simulate dying after live→.old but before tmp→live: the last
+    // complete snapshot is stranded at .old and no live dir exists
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(path), java.nio.file.Paths.get(path + ".old"))
+    assert(!new java.io.File(path).exists())
+    // next merge must resurrect .old as the state and apply on top of it
+    MergeSink.merge(Seq((2L, "b")).toDF("id", "v"), Seq("id"), path, MergeSink.Upsert)
+    val rows = spark.read.parquet(path).as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "a"), (2L, "b")),
+      "the pre-crash row must survive recovery, not be clobbered by a fresh-store write")
+    assert(!new java.io.File(path + ".old").exists())
+  }
+
   test("mergeStruct: subdocument fields merge without clobbering siblings (firestore mod/flags)") {
     import spark.implicits._
     val path = Files.createTempDirectory("substruct").toString + "/docs"
