@@ -134,7 +134,7 @@ object Olap {
   }
   val profileTableSql: String = {
     val aggCols = ProfileCols.map(c =>
-      s"""sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS ${c}_nulls,
+      s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_nulls,
          |  count(DISTINCT $c) AS ${c}_nd,
          |  CAST(min($c) AS VARCHAR) AS ${c}_min, CAST(max($c) AS VARCHAR) AS ${c}_max""".stripMargin)
       .mkString(",\n  ")

@@ -192,7 +192,7 @@ object TextAnalysis {
       .orderBy("lang")
   val textStatsSql: String =
     """SELECT lang, count(*) AS n_docs,
-      |       sum(len(string_split(text, ' '))) AS total_tokens,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
       |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
       |       count(DISTINCT source) AS n_sources
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin

@@ -32,6 +32,20 @@ def tz_mismatch(a: pd.DataFrame, b: pd.DataFrame):
     return None
 
 
+def int_float_mismatch(a: pd.DataFrame, b: pd.DataFrame):
+    """The driver hashes values as-typed: an int64 column on one side vs a
+    float64 on the other (e.g. a bare DuckDB integer sum() widening to
+    HUGEINT, which pandas surfaces as float64) is a hash_match failure even
+    when the values are numerically equal. Do NOT coerce it away here (that
+    made the local gate pass queries the real driver failed in rounds 2 AND
+    3 — fix the oracle SQL with an explicit CAST instead)."""
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if (ka in "iu" and kb == "f") or (ka == "f" and kb in "iu"):
+            return c
+    return None
+
+
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -61,6 +75,12 @@ def main():
         if tzc:
             print(f"FAIL {name}: col {tzc}: tz-aware vs naive timestamp "
                   f"(spark={spark_df[tzc].dtype} duck={duck_df[tzc].dtype})")
+            n_fail += 1; continue
+        ifc = int_float_mismatch(spark_df, duck_df)
+        if ifc:
+            print(f"FAIL {name}: col {ifc}: int vs float dtype "
+                  f"(spark={spark_df[ifc].dtype} duck={duck_df[ifc].dtype}) — "
+                  f"CAST the oracle aggregate (DuckDB sum() widens to HUGEINT)")
             n_fail += 1; continue
         if len(spark_df) != len(duck_df):
             print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
