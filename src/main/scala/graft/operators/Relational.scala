@@ -579,12 +579,49 @@ object Relational {
       |GROUP BY c_mktsegment, o_orderpriority
       |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
 
+  /** J8 `part_enrich_agg` — the second fact-scale join axis: lineitem ⋈
+    * part on partkey with a brand/type rollup (TPC-H Q14 promo-revenue
+    * shape; reference anchor: the same J1 `select_related` family,
+    * db/core/models.py:115-137, enriching through the item dimension
+    * instead of the customer one). Scale story: unlike nation/region,
+    * `part` GROWS with the corpus (2k rows at sf0.01, millions at
+    * 100 TB), so no forced broadcast — AQE flips the partkey join from
+    * BHJ to SMJ/SHJ when the dimension outgrows the threshold. Shipdate
+    * filter pushes to the lineitem scan; money math is the exact
+    * cents × basis-points BIGINT sum; quantities are integral doubles
+    * summed as BIGINT, so every aggregate is order-independent and
+    * map-side combinable.
+    */
+  val partEnrichAgg: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > to_timestamp(lit("1996-01-01 00:00:00")))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+        (sum(round(col("l_extendedprice") * 100).cast("long") *
+             (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+          .cast("double") / 1000000L).as("revenue"))
+      .orderBy("p_brand", "p_type")
+  val partEnrichAggSql: String =
+    """SELECT p_brand, p_type, count(*) AS n_items,
+      |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |                (10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS DOUBLE)
+      |         / 1000000 AS revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY p_brand, p_type
+      |ORDER BY p_brand, p_type""".stripMargin
+
   // ===========================================================================
   // registry
   // ===========================================================================
 
   val queries: Map[String, Q] = Map(
     "fact_join_agg" -> factJoinAgg,
+    "part_enrich_agg" -> partEnrichAgg,
     "argmax_per_group" -> argmaxPerGroup,
     "dedup_by_unique_key" -> dedupByUniqueKey,
     "cdc_diff_consecutive" -> cdcDiffConsecutive,
@@ -616,6 +653,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "fact_join_agg" -> factJoinAggSql,
+    "part_enrich_agg" -> partEnrichAggSql,
     "argmax_per_group" -> argmaxPerGroupSql,
     "dedup_by_unique_key" -> dedupByUniqueKeySql,
     "cdc_diff_consecutive" -> cdcDiffConsecutiveSql,

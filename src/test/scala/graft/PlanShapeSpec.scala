@@ -45,6 +45,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no broadcast hint expected in logical plan:\n$logical")
   }
 
+  test("fact-scale joins: pushed shipdate filter, no forced broadcast, partial agg") {
+    Seq("fact_join_agg", "part_enrich_agg").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, Dir)
+      val logical = df.queryExecution.logical.toString
+      assert(!logical.toLowerCase.contains("hint"),
+        s"$q: join strategy must stay AQE/statistics-owned:\n$logical")
+      val p = df.queryExecution.explainString(SimpleMode)
+      assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+        s"$q: shipdate filter must reach the lineitem scan:\n$p")
+      assert(p.contains("partial_sum") || p.contains("partial_count"),
+        s"$q: aggregates must be map-side combinable:\n$p")
+    }
+  }
+
   test("dedup/similarity candidate generation is never a cartesian product") {
     Seq("minhash_lsh_candidates", "ngram_jaccard_pairs",
         "embedding_cosine_near_dup", "ann_lsh_bucket_top1",
