@@ -118,12 +118,127 @@ object Curation {
        |WHERE bucket < rate ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // 3. repetition_score — Gopher-style within-doc repetition filter
+  // ---------------------------------------------------------------------
+
+  /** Repetition thresholds (Rae et al. 2021 "Scaling Language Models:
+    * Gopher", table A1 uses 0.2 for top-word fraction and 0.2 for
+    * duplicate 2-gram CHARACTER fraction; we use the token-count analog
+    * at 0.3). A doc dominated by one term or by repeated bigrams is
+    * boilerplate/spam, not prose. */
+  private val TopTermMax = 0.20
+  private val DupBigramMax = 0.30
+
+  /** Within-document repetition metrics: most-frequent-term fraction and
+    * duplicate-bigram fraction, with the Gopher-style keep verdict. ALL
+    * per-row array algebra — `array_distinct`/`filter`/`transform` over
+    * the token list — so the operator is a pure projection: no explode,
+    * no shuffle, embarrassingly parallel at any corpus size (the same
+    * scale shape as `lang_id_ngram`). Per-row cost is O(distinct·n) for
+    * the top-term scan — bounded by doc length, independent of corpus
+    * size. Fractions are exact int/int double divisions (bit-exact
+    * cross-engine); the verdict compares those exact doubles.
+    */
+  val repetitionScore: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 2)
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+      .withColumn("top_term_n", expr(
+        "CAST(array_max(transform(array_distinct(words), w -> size(filter(words, x -> x = w)))) AS BIGINT)"))
+      .withColumn("bigrams", expr(
+        "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i + 1]))"))
+      .withColumn("n_bigrams", size(col("bigrams")).cast("long"))
+      .withColumn("n_distinct_bigrams", size(array_distinct(col("bigrams"))).cast("long"))
+      .withColumn("top_term_frac", col("top_term_n").cast("double") / col("n_tokens"))
+      .withColumn("dup_bigram_frac",
+        (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") / col("n_bigrams"))
+      .withColumn("keep",
+        col("top_term_frac") <= TopTermMax && col("dup_bigram_frac") <= DupBigramMax)
+      .select(col("doc_id"), col("n_tokens"), col("top_term_n"), col("n_bigrams"),
+        col("n_distinct_bigrams"), col("top_term_frac"), col("dup_bigram_frac"), col("keep"))
+      .orderBy("doc_id")
+  val repetitionScoreSql: String =
+    s"""SELECT doc_id, n_tokens, top_term_n, n_bigrams, n_distinct_bigrams,
+       |       CAST(top_term_n AS DOUBLE) / n_tokens AS top_term_frac,
+       |       CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams AS dup_bigram_frac,
+       |       (CAST(top_term_n AS DOUBLE) / n_tokens <= $TopTermMax AND
+       |        CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams <= $DupBigramMax) AS keep
+       |FROM (
+       |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+       |         CAST(list_max(list_transform(list_distinct(words),
+       |           w -> len(list_filter(words, x -> x = w)))) AS BIGINT) AS top_term_n,
+       |         CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+       |         CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams
+       |  FROM (
+       |    SELECT doc_id, words,
+       |           list_transform(range(1, len(words)),
+       |             i -> words[i] || ' ' || words[i + 1]) AS bigrams
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+       |    WHERE len(words) >= 2))
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // 4. pii_redact — pattern scrubbing before training
+  // ---------------------------------------------------------------------
+
+  /** Simple-dialect patterns that parse identically in Java regex
+    * (Spark) and RE2 (DuckDB): no backrefs, no lookaround. */
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhonePat = "\\b555-[0-9]{4}\\b"
+
+  /** PII scrubbing: replace emails and (toy North-American test-range)
+    * phone numbers with typed placeholders and count what was removed —
+    * the redaction pass a corpus takes before training. The sf* docs are
+    * PII-free word soup, so every 10th doc gets a deterministic injected
+    * contact line (same practice as the contamination leak above: the
+    * positive path stays provably exercised). Pure projection — regex
+    * evaluation is per-row, no shuffle; at 100 TB the pattern set grows
+    * but the shape (chained codegen'd regexp_replace) does not. Counts
+    * come from `regexp_extract_all` BEFORE replacement, so the output
+    * carries its own audit trail.
+    */
+  val piiRedact: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" reach user"), col("doc_id"),
+            lit("@mail.example or 555-0142 now")))
+          .otherwise(col("text")))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("text"), lit(PhonePat), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("text"), EmailPat, "<EMAIL>"),
+          PhonePat, "<PHONE>"))
+      .select(col("doc_id"), col("redacted"), col("n_emails"), col("n_phones"))
+      .orderBy("doc_id")
+  val piiRedactSql: String =
+    s"""SELECT doc_id,
+       |       regexp_replace(regexp_replace(text, '$EmailPat', '<EMAIL>', 'g'),
+       |                      '$PhonePat', '<PHONE>', 'g') AS redacted,
+       |       CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(text, '$PhonePat')) AS BIGINT) AS n_phones
+       |FROM (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 10 = 0
+       |              THEN text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example or 555-0142 now'
+       |              ELSE text END AS text
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "benchmark_contamination" -> benchmarkContamination,
     "stratified_sample" -> stratifiedSample,
+    "repetition_score" -> repetitionScore,
+    "pii_redact" -> piiRedact,
   )
   val oracles: Map[String, String] = Map(
     "benchmark_contamination" -> benchmarkContaminationSql,
     "stratified_sample" -> stratifiedSampleSql,
+    "repetition_score" -> repetitionScoreSql,
+    "pii_redact" -> piiRedactSql,
   )
 }

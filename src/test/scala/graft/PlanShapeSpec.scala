@@ -93,6 +93,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"hash-coin sampling must not shuffle or join:\n$p")
   }
 
+  test("per-row curation passes (repetition, PII) never shuffle or join") {
+    Seq("repetition_score", "pii_redact").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"),
+        s"$q must stay a pure projection:\n$p")
+    }
+  }
+
   test("top-1 global sort is TakeOrderedAndProject, not a full sort") {
     assert(plan("order_desc_first").contains("TakeOrderedAndProject"))
   }
