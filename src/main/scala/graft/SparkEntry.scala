@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Relational, Scalars, TimeRepair, Dedup, TextAnalysis, Similarity, Multimodal, ScanQueries, Windows, Curation, TemporalJoins, Sketches, Olap}
+import graft.operators.{Relational, Scalars, TimeRepair, Dedup, TextAnalysis, Similarity, Multimodal, ScanQueries, Windows, Curation, TemporalJoins, Sketches, Olap, TrainingMix}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,7 +39,8 @@ object SparkEntry {
     (Relational.queries ++ Scalars.queries ++ TimeRepair.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
       Multimodal.queries ++ ScanQueries.queries ++ Windows.queries ++
-      Curation.queries ++ TemporalJoins.queries ++ Sketches.queries ++ Olap.queries)
+      Curation.queries ++ TemporalJoins.queries ++ Sketches.queries ++ Olap.queries ++
+      TrainingMix.queries)
       .map { case (k, f) =>
         k -> ((s: SparkSession, d: String) => { ensure(s); f(s, d) })
       }
@@ -49,5 +50,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Scalars.oracles ++ TimeRepair.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ Windows.oracles ++ Curation.oracles ++ TemporalJoins.oracles ++ Sketches.oracles ++ Olap.oracles
+      Multimodal.oracles ++ Windows.oracles ++ Curation.oracles ++ TemporalJoins.oracles ++ Sketches.oracles ++ Olap.oracles ++
+      TrainingMix.oracles
 }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup.{h60, h60Duck}
+
+/** The last mile of a training-data pipeline, after dedup/quality/
+  * sampling: balance the language mix and pack documents into
+  * fixed-length training sequences. Both are deterministic relational
+  * passes — no RNG, no driver loops — so the same corpus always yields
+  * the same mix and the same packing on any engine or partitioning.
+  */
+object TrainingMix {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------------
+  // 1. temperature_resample — multilingual temperature-balanced sampling
+  // ---------------------------------------------------------------------
+
+  /** Temperature-balanced language resampling at τ = 0.5 (the
+    * multilingual-mix practice from the XLM-R line of work: sampling
+    * probability ∝ (n_l/N)^τ flattens the language distribution without
+    * discarding the head entirely). With p_l ∝ (n_l)^(τ-1) = 1/√n_l,
+    * normalized so the RAREST language keeps everything, the per-mille
+    * keep threshold is floor(1000·√(n_min/n_l)). The keep decision is
+    * the same content-keyed hash coin as `stratified_sample` —
+    * reproducible across runs, engines, and partitionings.
+    *
+    * Scale shape: one tiny per-language count aggregate (bounded by
+    * language cardinality, broadcast back by stats), a one-row global
+    * min, then a pure row-parallel filter. √ and ÷ are IEEE
+    * correctly-rounded so the threshold is bit-identical cross-engine,
+    * and the floor-to-integer comparison removes even last-ulp risk.
+    */
+  val temperatureResample: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val nMin = counts.agg(min(col("n_lang")).as("n_min"))
+    docs.join(counts, "lang").crossJoin(nMin)
+      .withColumn("threshold",
+        floor(lit(1000) * sqrt(col("n_min").cast("double") / col("n_lang"))).cast("long"))
+      .withColumn("bucket",
+        pmod(h60(concat(lit("resample:"), col("doc_id"))), lit(1000)))
+      .filter(col("bucket") < col("threshold"))
+      .select(col("doc_id"), col("lang"), col("bucket").cast("long").as("bucket"),
+        col("threshold"))
+      .orderBy("doc_id")
+  }
+  val temperatureResampleSql: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+       |m AS (SELECT min(n_lang) AS n_min FROM c),
+       |t AS (SELECT lang,
+       |             CAST(floor(1000 * sqrt(CAST(n_min AS DOUBLE) / n_lang)) AS BIGINT) AS threshold
+       |      FROM c CROSS JOIN m)
+       |SELECT doc_id, lang, bucket, threshold FROM (
+       |  SELECT d.doc_id, d.lang,
+       |         ${h60Duck("'resample:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket,
+       |         t.threshold
+       |  FROM documents d JOIN t USING (lang))
+       |WHERE bucket < threshold ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // 2. sequence_pack — concat-and-chunk packing into training sequences
+  // ---------------------------------------------------------------------
+
+  private val SeqLen = 256   // tokens per training sequence (testdata-sized)
+  private val NumShards = 8  // independent packing lanes; ∝ corpus/executor at scale
+
+  /** Pack documents into fixed-[[SeqLen]] training sequences by the
+    * concat-then-chunk contract: within a shard, documents concatenate
+    * in doc_id order and the stream is chunked every SeqLen tokens; each
+    * doc reports the sequence its first token lands in and its offset
+    * there. Pure integer math end-to-end.
+    *
+    * Scale shape: packing needs a running token total — a prefix sum —
+    * which would serialize on a single global window. Sharding by a
+    * deterministic doc_id hash bounds every window partition
+    * (corpus/NumShards docs), makes the lanes independent and
+    * embarrassingly parallel, and keeps the result reproducible: one
+    * shuffle on shard + an in-partition sort, the same cost shape as
+    * the W3 time-repair window. NumShards scales with the corpus (set
+    * it so a shard's docs fit one task); sequences are globally
+    * identified by (shard, seq_in_shard).
+    */
+  val sequencePack: Q = (spark, dir) => {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("shard", pmod(h60(concat(lit("shard:"), col("doc_id"))), lit(NumShards)))
+      .withColumn("tok_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard").cast("long").as("shard"), col("n_tokens"),
+        expr(s"tok_start div $SeqLen").as("seq_in_shard"),
+        pmod(col("tok_start"), lit(SeqLen)).cast("long").as("tok_offset"))
+      .orderBy("doc_id")
+  }
+  val sequencePackSql: String =
+    s"""SELECT doc_id, shard, n_tokens,
+       |       CAST(tok_start // $SeqLen AS BIGINT) AS seq_in_shard,
+       |       CAST(tok_start % $SeqLen AS BIGINT) AS tok_offset
+       |FROM (
+       |  SELECT doc_id, shard, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |           ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start
+       |  FROM (
+       |    SELECT doc_id,
+       |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |           ${h60Duck("'shard:' || CAST(doc_id AS VARCHAR)")} % $NumShards AS shard
+       |    FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "temperature_resample" -> temperatureResample,
+    "sequence_pack" -> sequencePack,
+  )
+  val oracles: Map[String, String] = Map(
+    "temperature_resample" -> temperatureResampleSql,
+    "sequence_pack" -> sequencePackSql,
+  )
+}

@@ -101,6 +101,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence_pack is a sharded prefix sum: one window, no joins") {
+    val p = plan("sequence_pack")
+    assert(!p.contains("Join"), s"packing must not join:\n$p")
+    assert(p.contains("Window"), s"expected the sharded running-total window:\n$p")
+  }
+
+  test("temperature_resample decides per-row: no window, no global sort of the corpus") {
+    val p = plan("temperature_resample")
+    assert(!p.contains("Window"), s"threshold comes from a tiny agg, not a window:\n$p")
+  }
+
   test("top-1 global sort is TakeOrderedAndProject, not a full sort") {
     assert(plan("order_desc_first").contains("TakeOrderedAndProject"))
   }
