@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Invariants of the training-mix passes that the oracle hash can't
+  * state directly: packing is gapless within a shard, offsets respect
+  * the chunk contract, and resampling keeps the rarest language whole.
+  */
+class TrainingMixSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val Dir = "/root/testdata/sf0.001"
+
+  test("sequence_pack: offsets in range, per-shard token stream is gapless") {
+    val rows = TrainingMix.sequencePack(spark, Dir)
+      .select("doc_id", "shard", "n_tokens", "seq_in_shard", "tok_offset")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, seq, off) =>
+      assert(seq >= 0 && off >= 0 && off < 256)
+    }
+    // within a shard, each doc's global start = previous doc's start + its
+    // tokens (concat-then-chunk leaves no gaps and no overlaps)
+    rows.groupBy(_._2).values.foreach { docs =>
+      val inOrder = docs.sortBy(_._1)
+      inOrder.zip(inOrder.scanLeft(0L) { case (acc, (_, _, n, _, _)) => acc + n })
+        .foreach { case ((_, _, _, seq, off), expectedStart) =>
+          assert(seq == expectedStart / 256 && off == expectedStart % 256)
+        }
+    }
+  }
+
+  test("temperature_resample: rarest language keeps everything, head is downsampled") {
+    val docs = graft.Tables.documents(spark, Dir)
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rarest = counts.minBy { case (l, n) => (n, l) }._1
+    val kept = TrainingMix.temperatureResample(spark, Dir)
+      .groupBy("lang").agg(count(lit(1)).as("n"), first("threshold").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(kept(rarest)._2 == 1000L, "rarest language threshold must be 1000 per mille")
+    assert(kept(rarest)._1 == counts(rarest), "rarest language must keep every doc")
+    counts.foreach { case (l, n) =>
+      // every language's keep count is bounded by its per-mille threshold
+      // (hash coin is uniform, not exact — only the upper bound is certain)
+      assert(kept.get(l).forall(_._1 <= n))
+    }
+  }
+}
