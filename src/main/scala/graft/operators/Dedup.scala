@@ -207,7 +207,9 @@ object Dedup {
     * is cut each round (localCheckpoint) so deep graphs don't grow an
     * unbounded plan.
     */
-  val nearDupCluster: Q = (spark, dir) => {
+  /** The CC core, shared by `near_dup_cluster` and `dedup_resolve`:
+    * (doc_id, cluster_id), unordered. */
+  private[operators] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashPairs(spark, dir)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -229,19 +231,64 @@ object Dedup {
       iter += 1
     }
     require(converged, s"label propagation did not converge in $MaxCcIters iterations")
-    labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
-  val nearDupClusterSql: String =
-    s"""WITH RECURSIVE $minhashCtesSql,
+  val nearDupCluster: Q = (spark, dir) =>
+    clusterLabels(spark, dir).orderBy("doc_id")
+
+  /** CTE list producing `labels(doc_id, cluster_id)` — the recursive
+    * transitive-closure oracle for the CC core, shared by both cluster
+    * queries (caller must open with WITH RECURSIVE). */
+  private val ccCtesSql: String =
+    s"""$minhashCtesSql,
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
        |          UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
        |nodes AS (SELECT DISTINCT doc_id FROM $NearDupesSql),
        |reach(a, b) AS (
        |  SELECT doc_id, doc_id FROM nodes
        |  UNION
-       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
-       |SELECT a AS doc_id, min(b) AS cluster_id FROM reach
-       |GROUP BY a ORDER BY doc_id""".stripMargin
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+       |labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)""".stripMargin
+  val nearDupClusterSql: String =
+    s"""WITH RECURSIVE $ccCtesSql
+       |SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""".stripMargin
+
+  /** Dedup RESOLUTION — the step after clustering that the pipeline
+    * actually ships: per near-dup cluster, keep the most complete copy
+    * (max token count, ties to the smallest doc_id) and record how many
+    * members it shadowed. Re-crawled near-dups are degraded copies
+    * (dropped words), so "longest member" is the canonical-selection
+    * heuristic; a production pipeline swaps in any per-doc quality
+    * score without changing the shape.
+    *
+    * Scale shape: one fk join of the label relation onto per-doc token
+    * counts, then a single map-side-combinable max_by/count aggregate
+    * per cluster — no window over raw docs, no pair re-materialization.
+    */
+  val dedupResolve: Q = (spark, dir) => {
+    val toks = withNearDupes(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    clusterLabels(spark, dir).join(toks, "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        max_by(struct(col("doc_id"), col("n_tokens")),
+          struct(col("n_tokens"), (-col("doc_id")).as("nid"))).as("k"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("k.doc_id").as("kept_doc"),
+        col("k.n_tokens").as("kept_tokens"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+  val dedupResolveSql: String =
+    s"""WITH RECURSIVE $ccCtesSql,
+       |toks AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |         FROM $NearDupesSql)
+       |SELECT cluster_id, doc_id AS kept_doc, n_tokens AS kept_tokens, n_members FROM (
+       |  SELECT l.cluster_id, l.doc_id, t.n_tokens,
+       |         count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+       |         row_number() OVER (PARTITION BY l.cluster_id
+       |                            ORDER BY t.n_tokens DESC, l.doc_id) AS rn
+       |  FROM labels l JOIN toks t USING (doc_id))
+       |WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // 3. simhash_fingerprint — 16-bit SimHash per document
@@ -468,6 +515,7 @@ object Dedup {
     "exact_dedup_documents" -> exactDedupDocuments,
     "minhash_lsh_candidates" -> minhashLshCandidates,
     "near_dup_cluster" -> nearDupCluster,
+    "dedup_resolve" -> dedupResolve,
     "simhash_fingerprint" -> simhashFingerprint,
     "simhash_near_dup" -> simhashNearDup,
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
@@ -476,6 +524,7 @@ object Dedup {
     "exact_dedup_documents" -> exactDedupDocumentsSql,
     "minhash_lsh_candidates" -> minhashLshCandidatesSql,
     "near_dup_cluster" -> nearDupClusterSql,
+    "dedup_resolve" -> dedupResolveSql,
     "simhash_fingerprint" -> simhashFingerprintSql,
     "simhash_near_dup" -> simhashNearDupSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
