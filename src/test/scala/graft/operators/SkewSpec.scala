@@ -44,6 +44,51 @@ class SkewSpec extends AnyFunSuite {
     assert(maxList <= 100)
   }
 
+  test("AQE splits a skewed join partition at runtime (the fact-join hot-key story)") {
+    import spark.implicits._
+    // SCALE.md leaves fact-join skew to AQE rather than manual salting;
+    // prove AQE actually fires: one key owning 90% of the left side gets
+    // its partition split (skew=true in the final adaptive plan) and the
+    // join result stays exact. Thresholds are lowered so testdata-sized
+    // partitions count as skewed.
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      // pad must be incompressible and survive to the output: skew
+      // detection reads COMPRESSED map-output sizes, and 90k identical
+      // rows otherwise shrink below any threshold
+      val left = ((1 to 90000).map(i => (0L, i)) ++
+          (1 to 10000).map(i => (i.toLong % 1000, i)))
+        .toDF("k", "i")
+        .withColumn("pad", md5(concat_ws(":", col("k"), col("i"))))
+      val right = (0L to 999L).toDF("k").withColumn("v", col("k") * 2)
+      // execute the join itself: a groupBy on the join key downstream
+      // would legitimately suppress the split (it would break the
+      // partitioning the aggregate wants to reuse)
+      val joined = left.join(right, "k").select(col("k"), col("pad"))
+        .as[(Long, String)]
+      val got = joined.collect().groupBy(_._1).view.mapValues(_.size).toMap
+      assert(got(0L) == 90010) // 90000 hot + 10 from the modulo tail
+      assert(got(7L) == 10)
+      // executedPlan of the dataset that actually ran: AQE has finalized
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"))
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must mark the hot partition's join as skew-handled:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed range join: one hot user stays an equi-join with bounded per-bucket fanout") {
     import spark.implicits._
     // one user produces 2000 clicks in a single 6h bucket; 50 quiet users
