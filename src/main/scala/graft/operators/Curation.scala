@@ -132,12 +132,16 @@ object Curation {
 
   /** Within-document repetition metrics: most-frequent-term fraction and
     * duplicate-bigram fraction, with the Gopher-style keep verdict. ALL
-    * per-row array algebra — `array_distinct`/`filter`/`transform` over
-    * the token list — so the operator is a pure projection: no explode,
-    * no shuffle, embarrassingly parallel at any corpus size (the same
-    * scale shape as `lang_id_ngram`). Per-row cost is O(distinct·n) for
-    * the top-term scan — bounded by doc length, independent of corpus
-    * size. Fractions are exact int/int double divisions (bit-exact
+    * per-row array algebra over the token list — the operator is a pure
+    * projection: no explode, no shuffle, embarrassingly parallel at any
+    * corpus size (the same scale shape as `lang_id_ngram`).
+    *
+    * The top-term count is computed as the longest run in the SORTED
+    * token array — O(n log n) per row — not the naive
+    * distinct×scan (O(d·n)), which an adversarial 100k-token doc with
+    * high vocabulary turns into an O(n²) straggler. The oracle keeps
+    * the naive spelling as the independent spec of the same value.
+    * Fractions are exact int/int double divisions (bit-exact
     * cross-engine); the verdict compares those exact doubles.
     */
   val repetitionScore: Q = (spark, dir) =>
@@ -146,7 +150,16 @@ object Curation {
       .filter(size(col("words")) >= 2)
       .withColumn("n_tokens", size(col("words")).cast("long"))
       .withColumn("top_term_n", expr(
-        "CAST(array_max(transform(array_distinct(words), w -> size(filter(words, x -> x = w)))) AS BIGINT)"))
+        // longest run in the sorted array: fold (prev, run, best); the
+        // run for the incoming word is recomputed in both fields because
+        // lambda bodies can't bind locals
+        """CAST(aggregate(array_sort(words),
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+          |  (acc, w) -> named_struct(
+          |    'prev', w,
+          |    'run',  IF(w <=> acc.prev, acc.run + 1L, 1L),
+          |    'best', GREATEST(acc.best, IF(w <=> acc.prev, acc.run + 1L, 1L))),
+          |  acc -> acc.best) AS BIGINT)""".stripMargin))
       .withColumn("bigrams", expr(
         "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i + 1]))"))
       .withColumn("n_bigrams", size(col("bigrams")).cast("long"))
@@ -185,7 +198,7 @@ object Curation {
 
   /** Simple-dialect patterns that parse identically in Java regex
     * (Spark) and RE2 (DuckDB): no backrefs, no lookaround. */
-  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhonePat = "\\b555-[0-9]{4}\\b"
 
   /** PII scrubbing: replace emails and (toy North-American test-range)
