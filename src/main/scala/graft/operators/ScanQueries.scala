@@ -22,11 +22,19 @@ object ScanQueries {
   private val FixtureDir = "/root/reference/test/scrapers/fixtures"
   private val Now = Instant.parse("2022-04-17T23:59:59Z")
 
+  /** One fixture page as a DISTRIBUTED `Dataset[RawPage]`: the file is
+    * staged once into an archive-layout temp dir (`<key>__<name>.html`,
+    * driver-side setup exactly like [[archiveDir]]) and then read
+    * through the same binaryFile source the 100 TB backfill path uses —
+    * page bytes reach executors via the source, never as a
+    * driver-captured literal. */
+  private lazy val stagedFixtures: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-fixtures")
   private def page(spark: SparkSession, key: String, fixture: String) = {
-    import spark.implicits._
-    val html = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$FixtureDir/$fixture.html")), "UTF-8")
-    Seq(RawPage(key, html, java.sql.Timestamp.from(Now))).toDS()
+    val f = stagedFixtures.resolve(s"${key}__$fixture.html")
+    if (!java.nio.file.Files.exists(f))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$FixtureDir/$fixture.html"), f)
+    Scans.readArchive(spark, f.toString)
   }
 
   val htmlScanChat: Q = (spark, _) =>
@@ -50,8 +58,11 @@ object ScanQueries {
       .toDF("username").orderBy("username")
   }
 
+  // key must be non-empty here: a "__"-prefixed staged file would be
+  // skipped as hidden by Spark's file sources (the `_SUCCESS`
+  // convention); mailboxScan never reads the key
   val htmlScanMailbox: Q = (spark, _) =>
-    Scans.mailboxScan(page(spark, "", "mailbox")).toDF().orderBy("id")
+    Scans.mailboxScan(page(spark, "mailbox", "mailbox")).toDF().orderBy("id")
 
   /** S6b mail-detail scan (`message.php`, scrapers/mailbox.py:25-60).
     * Each page anchors to the `now` of its golden test so the yearless
