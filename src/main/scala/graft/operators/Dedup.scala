@@ -508,6 +508,79 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // 5. corpus_chunk_dedup — C4-style cross-document span removal
+  // ---------------------------------------------------------------------
+
+  private val ChunkW = 10 // tokens per span; C4 removes 3-sentence spans
+
+  /** Cross-document boilerplate span removal (the C4 cleanup step: any
+    * span occurring more than once in the corpus is dropped from every
+    * document, and the text is rebuilt from the surviving spans).
+    * Documents are segmented into consecutive [[ChunkW]]-token chunks
+    * (the trailing partial chunk is out of contract), chunk frequency is
+    * counted corpus-wide, chunks with df ≥ 2 are removed, and each doc's
+    * text is reassembled in chunk order. Runs on the exact-dupe corpus,
+    * where re-crawled copies make every chunk of a duplicated doc
+    * corpus-frequent — both copies scrub to empty, the way C4 kills
+    * mirrored boilerplate.
+    *
+    * Scale shape: segmentation is a projection; the df count is one
+    * map-side-combinable hash aggregate on the chunk string; removal is
+    * an anti-join (planner sizes the common-chunk side from stats); the
+    * rebuild groups each doc's surviving chunks — `sort_array` over a
+    * list bounded by doc length, never a corpus-wide sort. Nothing is
+    * ever doc × doc.
+    */
+  val corpusChunkDedup: Q = (spark, dir) => {
+    val docs = withExactDupes(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_chunks", expr(s"CAST(size(words) div $ChunkW AS BIGINT)"))
+    val chunks = docs.filter(col("n_chunks") > 0)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, CAST(n_chunks AS INT) - 1), " +
+          s"i -> struct(CAST(i AS BIGINT) AS idx, " +
+          s"concat_ws(' ', slice(words, i * $ChunkW + 1, $ChunkW)) AS chunk))")).as("c"))
+      .select(col("doc_id"), col("c.idx").as("idx"), col("c.chunk").as("chunk"))
+    val common = chunks.groupBy("chunk").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("chunk")
+    val kept = chunks.join(common, Seq("chunk"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(sort_array(collect_list(struct(idx, chunk))), s -> s.chunk)"),
+          " ").as("clean_text"))
+    docs.select(col("doc_id"), col("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+  val corpusChunkDedupSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, words, CAST(len(words) // $ChunkW AS BIGINT) AS n_chunks
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM $ExactDupesSql)),
+       |chunks AS (
+       |  SELECT doc_id, u.idx AS idx, u.chunk AS chunk FROM (
+       |    SELECT doc_id, unnest(list_transform(range(0, CAST(n_chunks AS INT)),
+       |      i -> {'idx': CAST(i AS BIGINT),
+       |            'chunk': array_to_string(words[(i * $ChunkW + 1):(i * $ChunkW + $ChunkW)], ' ')})) AS u
+       |    FROM docs WHERE n_chunks > 0)),
+       |common AS (
+       |  SELECT chunk FROM (SELECT chunk, count(*) AS df FROM chunks GROUP BY chunk)
+       |  WHERE df >= 2),
+       |kept AS (SELECT chunks.* FROM chunks ANTI JOIN common USING (chunk)),
+       |rebuilt AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |         string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, d.n_chunks,
+       |       d.n_chunks - COALESCE(r.n_kept, 0) AS n_removed,
+       |       COALESCE(r.clean_text, '') AS clean_text
+       |FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
 
@@ -516,6 +589,7 @@ object Dedup {
     "minhash_lsh_candidates" -> minhashLshCandidates,
     "near_dup_cluster" -> nearDupCluster,
     "dedup_resolve" -> dedupResolve,
+    "corpus_chunk_dedup" -> corpusChunkDedup,
     "simhash_fingerprint" -> simhashFingerprint,
     "simhash_near_dup" -> simhashNearDup,
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
@@ -525,6 +599,7 @@ object Dedup {
     "minhash_lsh_candidates" -> minhashLshCandidatesSql,
     "near_dup_cluster" -> nearDupClusterSql,
     "dedup_resolve" -> dedupResolveSql,
+    "corpus_chunk_dedup" -> corpusChunkDedupSql,
     "simhash_fingerprint" -> simhashFingerprintSql,
     "simhash_near_dup" -> simhashNearDupSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
