@@ -62,7 +62,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("dedup/similarity candidate generation is never a cartesian product") {
     Seq("minhash_lsh_candidates", "ngram_jaccard_pairs",
         "embedding_cosine_near_dup", "ann_lsh_bucket_top1",
-        "benchmark_contamination").foreach { q =>
+        "benchmark_contamination", "corpus_chunk_dedup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not be all-pairs:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must use equi-joins:\n$p")
