@@ -36,10 +36,14 @@ object Sketches {
     * maybe-true and the prefilter drops nothing. At 10⁹ seen keys and
     * p = 1%, the law gives ~1.2 GB — still a broadcast, not a shuffle.
     */
-  def sizeBits(expectedN: Long, fpRate: Double): Int = {
+  def sizeBits(expectedN: Long, fpRate: Double): Long = {
+    // Long arithmetic throughout: at n = 10⁹, p = 1% the law already
+    // gives ~9.6e9 bits, which Int math would silently saturate and
+    // fold to the 32-bit floor
     val m = math.ceil(
-      expectedN * math.log(1.0 / fpRate) / (math.log(2.0) * math.log(2.0))).toInt
-    math.max(LaneBits, Integer.highestOneBit(m - 1) * 2) // next power of two ≥ m
+      expectedN * math.log(1.0 / fpRate) / (math.log(2.0) * math.log(2.0))).toLong
+    // next power of two ≥ m
+    math.max(LaneBits.toLong, java.lang.Long.highestOneBit(math.max(1L, m - 1)) * 2)
   }
 
   /** Testdata instantiation: the sf0.01 seen set (first-week signups)
@@ -48,7 +52,7 @@ object Sketches {
     * so the bit pattern stays verifiable across rounds. */
   private val ExpectedSeenN = 141L
   private val TargetFpRate = 0.08
-  private val Bits = sizeBits(ExpectedSeenN, TargetFpRate) // = 1024
+  private val Bits = sizeBits(ExpectedSeenN, TargetFpRate).toInt // = 1024
   private val Lanes = Bits / LaneBits // 32 lanes
   private val NumHashes = 2
 

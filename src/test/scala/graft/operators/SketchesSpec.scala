@@ -17,12 +17,15 @@ class SketchesSpec extends AnyFunSuite {
     for (n <- Seq(1L, 10L, 141L, 10000L, 1000000000L); p <- Seq(0.5, 0.08, 0.01)) {
       val m = Sketches.sizeBits(n, p)
       assert(m >= 32, s"n=$n p=$p")
-      assert(Integer.bitCount(m) === 1, s"n=$n p=$p m=$m not a power of two")
+      assert(java.lang.Long.bitCount(m) === 1, s"n=$n p=$p m=$m not a power of two")
     }
   }
 
   test("size grows with the seen-set and with tighter fp targets") {
-    assert(Sketches.sizeBits(1000000L, 0.01) === (1 << 24)) // ~9.6 Mbit → 16 Mbit
+    assert(Sketches.sizeBits(1000000L, 0.01) === (1L << 24)) // ~9.6 Mbit → 16 Mbit
+    // the SCALE.md design point: 10⁹ keys at 1% must NOT fold back to
+    // the 32-bit floor (the Int-saturation bug this pins against)
+    assert(Sketches.sizeBits(1000000000L, 0.01) === (1L << 34)) // ~9.6 Gbit → 16 Gbit
     for (n <- Seq(100L, 10000L, 1000000L)) {
       assert(Sketches.sizeBits(n * 10, 0.01) >= Sketches.sizeBits(n, 0.01))
       assert(Sketches.sizeBits(n, 0.001) >= Sketches.sizeBits(n, 0.01))
