@@ -50,6 +50,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Scalars.oracles ++ TimeRepair.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ Windows.oracles ++ Curation.oracles ++ TemporalJoins.oracles ++ Sketches.oracles ++ Olap.oracles ++
+      Multimodal.oracles ++ ScanQueries.oracles ++ Windows.oracles ++
+      Curation.oracles ++ TemporalJoins.oracles ++ Sketches.oracles ++ Olap.oracles ++
       TrainingMix.oracles
 }

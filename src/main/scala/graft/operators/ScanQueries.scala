@@ -6,11 +6,15 @@ import graft.sources.{RawPage, Scans}
 
 /** S2–S6 HTML scans registered as driver-checkable queries.
   *
-  * HTML parsing has no DuckDB-SQL oracle (deliberately omitted from
-  * `oracleSql` → the driver records the weaker rows>0 check); exact
-  * field-level correctness is covered by the golden fixture suites
-  * (ChatParserSpec/UserParserSpec/MailboxParserSpec, expected values
-  * ported from the reference's own tests).
+  * HTML parsing has no SQL-COMPUTABLE oracle, so each scan's oracle is a
+  * pinned `VALUES`-literal golden (`resources/graft/oracles/<name>.sql`,
+  * emitted by [[graft.EmitScanOracles]]) — the exact expected output as
+  * DuckDB SQL, so the driver hash-checks the parsers like every other
+  * query. The goldens are grounded independently: the same parses are
+  * verified field-by-field in ChatParserSpec/UserParserSpec/
+  * MailboxParserSpec against expectations ported from the reference's
+  * own tests, and ScanOracleSpec asserts the committed goldens stay in
+  * sync with the live parse.
   *
   * Inputs are the reference's captured fixture pages — the only real
   * HTML in the environment. The scan itself is the distributed
@@ -32,8 +36,11 @@ object ScanQueries {
     java.nio.file.Files.createTempDirectory("graft-fixtures")
   private def page(spark: SparkSession, key: String, fixture: String) = {
     val f = stagedFixtures.resolve(s"${key}__$fixture.html")
-    if (!java.nio.file.Files.exists(f))
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$FixtureDir/$fixture.html"), f)
+    // REPLACE_EXISTING keeps staging idempotent under concurrent callers
+    // (exists-then-copy was a TOCTOU race: two queries staging the same
+    // fixture in parallel hit FileAlreadyExistsException)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$FixtureDir/$fixture.html"), f,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     Scans.readArchive(spark, f.toString)
   }
 
@@ -104,6 +111,12 @@ object ScanQueries {
     "html_scan_message" -> htmlScanMessage,
     "html_scan_archive" -> htmlScanArchive,
   )
-  /** deliberately empty — see object Scaladoc. */
-  val oracles: Map[String, String] = Map.empty
+  /** Pinned VALUES-literal goldens, one resource file per scan — see
+    * object Scaladoc for why these are literals, not computed SQL. */
+  lazy val oracles: Map[String, String] = queries.keys.map { name =>
+    val in = getClass.getResourceAsStream(s"/graft/oracles/$name.sql")
+    require(in != null, s"missing oracle golden for $name")
+    try name -> new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }.toMap
 }
