@@ -127,8 +127,8 @@ object Curation {
     * duplicate 2-gram CHARACTER fraction; we use the token-count analog
     * at 0.3). A doc dominated by one term or by repeated bigrams is
     * boilerplate/spam, not prose. */
-  private val TopTermMax = 0.20
-  private val DupBigramMax = 0.30
+  private[operators] val TopTermMax = 0.20
+  private[operators] val DupBigramMax = 0.30
 
   /** Within-document repetition metrics: most-frequent-term fraction and
     * duplicate-bigram fraction, with the Gopher-style keep verdict. ALL
@@ -198,8 +198,8 @@ object Curation {
 
   /** Simple-dialect patterns that parse identically in Java regex
     * (Spark) and RE2 (DuckDB): no backrefs, no lookaround. */
-  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhonePat = "\\b555-[0-9]{4}\\b"
+  private[operators] val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val PhonePat = "\\b555-[0-9]{4}\\b"
 
   /** PII scrubbing: replace emails and (toy North-American test-range)
     * phone numbers with typed placeholders and count what was removed —

@@ -135,10 +135,11 @@ object Dedup {
     * sets. Two shuffles total (doc_id for the signature agg; band key for
     * the bucket join).
     */
-  /** The candidate-pair pipeline, shared by `minhash_lsh_candidates`
-    * and `near_dup_cluster` (the pairs are that query's edge set). */
-  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(withNearDupes(spark, dir))
+  /** The candidate-pair pipeline, shared by `minhash_lsh_candidates`,
+    * `near_dup_cluster`, and the composed `corpus_pipeline` (the pairs
+    * are the clustering edge set). Input: (doc_id, text [, ...]). */
+  private[operators] def minhashPairsOf(docs: DataFrame): DataFrame = {
+    val sh = shingled(docs)
       .withColumn("h", h60(col("shingle")) % MersenneP)
     val mins = (0 until NumHashes).map(s =>
       min((col("h") * HashA(s) + HashB(s)) % MersenneP).as(s"mh$s"))
@@ -156,12 +157,15 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(withNearDupes(spark, dir))
   val minhashLshCandidates: Q = (spark, dir) =>
     minhashPairs(spark, dir).orderBy("doc_a", "doc_b")
 
-  /** CTE prefix producing `mh_pairs(doc_a, doc_b)` — shared by the
-    * candidates oracle and the clustering oracle. */
-  private val minhashCtesSql: String = {
+  /** CTE prefix producing `mh_pairs(doc_a, doc_b)` over any relation
+    * `rel(doc_id, text, ...)` — shared by the candidates oracle, the
+    * clustering oracle, and the composed pipeline oracle. */
+  private[operators] def minhashCtes(rel: String): String = {
     val minsSql = (0 until NumHashes)
       .map(s => s"min((h * ${HashA(s)} + ${HashB(s)}) % $MersenneP) AS mh$s").mkString(", ")
     val bandsSql = (0 until NumHashes / BandRows).map { b =>
@@ -169,7 +173,7 @@ object Dedup {
       s"SELECT doc_id, $b AS band, md5($cols) AS sig FROM sig"
     }.mkString(" UNION ALL ")
     s"""sh AS (SELECT doc_id, ${h60Duck("shingle")} % $MersenneP AS h
-       |            FROM ${shingledSql(NearDupesSql)}),
+       |            FROM ${shingledSql(rel)}),
        |sig AS (SELECT doc_id, $minsSql FROM sh GROUP BY doc_id),
        |buckets AS ($bandsSql),
        |mh_pairs AS (
@@ -178,7 +182,7 @@ object Dedup {
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
   }
   val minhashLshCandidatesSql: String =
-    s"""WITH $minhashCtesSql
+    s"""WITH ${minhashCtes(NearDupesSql)}
        |SELECT doc_a, doc_b FROM mh_pairs ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -207,14 +211,15 @@ object Dedup {
     * is cut each round (localCheckpoint) so deep graphs don't grow an
     * unbounded plan.
     */
-  /** The CC core, shared by `near_dup_cluster` and `dedup_resolve`:
-    * (doc_id, cluster_id), unordered. */
-  private[operators] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(spark, dir)
+  /** The CC core, shared by `near_dup_cluster`, `dedup_resolve`, and the
+    * composed `corpus_pipeline` (each computes labels exactly ONCE):
+    * (doc_id, cluster_id), unordered. Input: (doc_id, text [, ...]). */
+  private[operators] def clusterLabelsOf(docs: DataFrame): DataFrame = {
+    val pairs = minhashPairsOf(docs)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = withNearDupes(spark, dir).select(col("doc_id"))
+    var labels = docs.select(col("doc_id"))
       .withColumn("label", col("doc_id")).localCheckpoint()
     var iter = 0
     var converged = false
@@ -233,24 +238,27 @@ object Dedup {
     require(converged, s"label propagation did not converge in $MaxCcIters iterations")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
+  private[operators] def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    clusterLabelsOf(withNearDupes(spark, dir))
   val nearDupCluster: Q = (spark, dir) =>
     clusterLabels(spark, dir).orderBy("doc_id")
 
-  /** CTE list producing `labels(doc_id, cluster_id)` — the recursive
-    * transitive-closure oracle for the CC core, shared by both cluster
-    * queries (caller must open with WITH RECURSIVE). */
-  private val ccCtesSql: String =
-    s"""$minhashCtesSql,
+  /** CTE list producing `labels(doc_id, cluster_id)` over any relation
+    * `rel(doc_id, text, ...)` — the recursive transitive-closure oracle
+    * for the CC core, shared by the cluster queries and the composed
+    * pipeline oracle (caller must open with WITH RECURSIVE). */
+  private[operators] def ccCtes(rel: String): String =
+    s"""${minhashCtes(rel)},
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
        |          UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
-       |nodes AS (SELECT DISTINCT doc_id FROM $NearDupesSql),
+       |nodes AS (SELECT DISTINCT doc_id FROM $rel),
        |reach(a, b) AS (
        |  SELECT doc_id, doc_id FROM nodes
        |  UNION
        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
        |labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)""".stripMargin
   val nearDupClusterSql: String =
-    s"""WITH RECURSIVE $ccCtesSql
+    s"""WITH RECURSIVE ${ccCtes(NearDupesSql)}
        |SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""".stripMargin
 
   /** Dedup RESOLUTION — the step after clustering that the pipeline
@@ -279,7 +287,7 @@ object Dedup {
       .orderBy("cluster_id")
   }
   val dedupResolveSql: String =
-    s"""WITH RECURSIVE $ccCtesSql,
+    s"""WITH RECURSIVE ${ccCtes(NearDupesSql)},
        |toks AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
        |         FROM $NearDupesSql)
        |SELECT cluster_id, doc_id AS kept_doc, n_tokens AS kept_tokens, n_members FROM (
@@ -531,8 +539,11 @@ object Dedup {
     * list bounded by doc length, never a corpus-wide sort. Nothing is
     * ever doc × doc.
     */
-  val corpusChunkDedup: Q = (spark, dir) => {
-    val docs = withExactDupes(spark, dir)
+  /** The span-removal core over any (doc_id, text, ...) relation:
+    * (doc_id, n_chunks, n_removed, clean_text), one row per input doc —
+    * shared by `corpus_chunk_dedup` and the composed `corpus_pipeline`. */
+  private[operators] def chunkDedupOf(input: DataFrame): DataFrame = {
+    val docs = input
       .withColumn("words", split(col("text"), " "))
       .withColumn("n_chunks", expr(s"CAST(size(words) div $ChunkW AS BIGINT)"))
     val chunks = docs.filter(col("n_chunks") > 0)
@@ -554,30 +565,39 @@ object Dedup {
       .select(col("doc_id"), col("n_chunks"),
         (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
-      .orderBy("doc_id")
   }
-  val corpusChunkDedupSql: String =
-    s"""WITH docs AS (
+  val corpusChunkDedup: Q = (spark, dir) =>
+    chunkDedupOf(withExactDupes(spark, dir)).orderBy("doc_id")
+  /** CTE list producing `chunked(doc_id, n_chunks, n_removed,
+    * clean_text)` over any relation `rel(doc_id, text, ...)` — the
+    * oracle twin of [[chunkDedupOf]] (cd_-prefixed names so it composes
+    * with the CC CTEs in one WITH). */
+  private[operators] def chunkCtes(rel: String): String =
+    s"""cd_docs AS (
        |  SELECT doc_id, words, CAST(len(words) // $ChunkW AS BIGINT) AS n_chunks
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM $ExactDupesSql)),
-       |chunks AS (
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM $rel)),
+       |cd_chunks AS (
        |  SELECT doc_id, u.idx AS idx, u.chunk AS chunk FROM (
        |    SELECT doc_id, unnest(list_transform(range(0, CAST(n_chunks AS INT)),
        |      i -> {'idx': CAST(i AS BIGINT),
        |            'chunk': array_to_string(words[(i * $ChunkW + 1):(i * $ChunkW + $ChunkW)], ' ')})) AS u
-       |    FROM docs WHERE n_chunks > 0)),
-       |common AS (
-       |  SELECT chunk FROM (SELECT chunk, count(*) AS df FROM chunks GROUP BY chunk)
+       |    FROM cd_docs WHERE n_chunks > 0)),
+       |cd_common AS (
+       |  SELECT chunk FROM (SELECT chunk, count(*) AS df FROM cd_chunks GROUP BY chunk)
        |  WHERE df >= 2),
-       |kept AS (SELECT chunks.* FROM chunks ANTI JOIN common USING (chunk)),
-       |rebuilt AS (
+       |cd_kept AS (SELECT cd_chunks.* FROM cd_chunks ANTI JOIN cd_common USING (chunk)),
+       |cd_rebuilt AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
        |         string_agg(chunk, ' ' ORDER BY idx) AS clean_text
-       |  FROM kept GROUP BY doc_id)
-       |SELECT d.doc_id, d.n_chunks,
-       |       d.n_chunks - COALESCE(r.n_kept, 0) AS n_removed,
-       |       COALESCE(r.clean_text, '') AS clean_text
-       |FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+       |  FROM cd_kept GROUP BY doc_id),
+       |chunked AS (
+       |  SELECT d.doc_id, d.n_chunks,
+       |         d.n_chunks - COALESCE(r.n_kept, 0) AS n_removed,
+       |         COALESCE(r.clean_text, '') AS clean_text
+       |  FROM cd_docs d LEFT JOIN cd_rebuilt r USING (doc_id))""".stripMargin
+  val corpusChunkDedupSql: String =
+    s"""WITH ${chunkCtes(ExactDupesSql)}
+       |SELECT doc_id, n_chunks, n_removed, clean_text FROM chunked
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------

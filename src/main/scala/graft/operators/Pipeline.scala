@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup.{h60, h60Duck}
+
+/** The composed training-data pipeline — every curation stage chained
+  * into ONE registered query, the way the reference chains its chat
+  * pipeline into one dataflow (scrape → parse → diff → sink:
+  * scrapers/chat.py:124-171 → db/chat.py:13-26 → firestore/chat.py:39-71).
+  * The individual stages are the already-oracle-checked operators; this
+  * query checks their COMPOSITION: stage interfaces, end-to-end
+  * determinism, and the shared-label dedup shape (cluster labels are
+  * computed exactly once and the resolution joins that one relation —
+  * the production shape docs/SCALE.md describes for `dedup_resolve`).
+  *
+  * Stages, over a corpus with synthesized exact re-crawls (every 3rd
+  * doc) and near-dup re-crawls (first word dropped, every 5th doc):
+  *   1. exact dedup       — hash-groupBy, keep min-id representative
+  *   2. near-dup resolve  — MinHash+LSH → CC labels (ONCE) → per-cluster
+  *                          keep the longest member (ties → min doc_id)
+  *   3. chunk dedup       — C4-style cross-doc span removal, text rebuilt
+  *   4. quality + PII     — Gopher repetition keep-filter, then e-mail/
+  *                          phone redaction with audit counts
+  *   5. temperature mix   — τ=0.5 per-language resample (hash coin)
+  *   6. sequence pack     — sharded prefix-sum packing into SeqLen runs
+  *
+  * Scale shape: stage 1's output (the survivor relation every later
+  * stage reads) is persisted — computed once by the CC loop's first
+  * action, reused from cache by stages 2-4 instead of re-running the
+  * scan+dedup per consumer (a production campaign writes it to a table;
+  * see docs/SCALE.md). Everything downstream keeps each stage's audited
+  * shape: no cartesian, no corpus-wide sort, the only window is the
+  * bounded per-shard prefix sum, and the one-row n_min relation is the
+  * only broadcast-cross. PipelineSpec asserts the fused plan.
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** documents ∪ exact re-crawl of every 3rd ∪ near-dup re-crawl of
+    * every 5th — both dedup stages get a provably exercised positive
+    * path (same practice as the standalone dedup operators). */
+  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    d.unionByName(
+        d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("lang"), col("text")))
+      .unionByName(
+        d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("lang"),
+            expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+  private val CorpusSql =
+    """(SELECT doc_id, lang, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, lang, text FROM documents WHERE doc_id % 3 = 0
+      | UNION ALL
+      | SELECT doc_id + 200000 AS doc_id, lang,
+      |        substr(text, strpos(text, ' ') + 1) AS text
+      | FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+
+  val corpusPipeline: Q = (spark, dir) => {
+    // -- 1. exact dedup (min() over the identical texts of a hash group
+    //       is deterministic; grouping by the 128-bit hash keeps the
+    //       shuffle key fixed-width instead of full document text)
+    val docs1 = corpus(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
+        min(col("text")).as("text"))
+      .select("doc_id", "lang", "text")
+      .persist()
+
+    // -- 2. near-dup cluster (labels computed ONCE) + resolution
+    val labels = Dedup.clusterLabelsOf(docs1)
+    val toks1 = docs1.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val resolved = labels.join(toks1, "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        max_by(struct(col("doc_id"), col("n_tokens")),
+          struct(col("n_tokens"), (-col("doc_id")).as("nid"))).as("k"),
+        count(lit(1)).as("n_members"))
+      .select(col("k.doc_id").as("doc_id"), col("cluster_id"), col("n_members"))
+    val docs2 = resolved.join(docs1, "doc_id")
+
+    // -- 3. C4 span removal over the survivors
+    val docs3 = docs2.drop("text")
+      .join(Dedup.chunkDedupOf(docs2.select("doc_id", "text")), "doc_id")
+
+    // -- 4a. Gopher repetition keep-filter on the cleaned text
+    val docs4 = docs3
+      .withColumn("words", split(col("clean_text"), " "))
+      .filter(size(col("words")) >= 2)
+      .withColumn("rep_n_tokens", size(col("words")).cast("long"))
+      .withColumn("top_term_n", expr(
+        """CAST(aggregate(array_sort(words),
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+          |  (acc, w) -> named_struct(
+          |    'prev', w,
+          |    'run',  IF(w <=> acc.prev, acc.run + 1L, 1L),
+          |    'best', GREATEST(acc.best, IF(w <=> acc.prev, acc.run + 1L, 1L))),
+          |  acc -> acc.best) AS BIGINT)""".stripMargin))
+      .withColumn("bigrams", expr(
+        "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i + 1]))"))
+      .filter(
+        col("top_term_n").cast("double") / col("rep_n_tokens") <= Curation.TopTermMax &&
+        (size(col("bigrams")) - size(array_distinct(col("bigrams")))).cast("double") /
+          size(col("bigrams")) <= Curation.DupBigramMax)
+      .drop("words", "rep_n_tokens", "top_term_n", "bigrams")
+
+    // -- 4b. PII redaction (deterministic injected positives, audit counts)
+    val docs5 = docs4
+      .withColumn("ptext",
+        when(col("doc_id") % 10 === 0,
+          concat(col("clean_text"), lit(" reach user"), col("doc_id"),
+            lit("@mail.example or 555-0142 now")))
+          .otherwise(col("clean_text")))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("ptext"), lit(Curation.EmailPat), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("ptext"), lit(Curation.PhonePat), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("ptext"), Curation.EmailPat, "<EMAIL>"),
+          Curation.PhonePat, "<PHONE>"))
+      .drop("clean_text", "ptext")
+
+    // -- 5. temperature resample (counts over the pipeline's OWN
+    //       survivors — the mix balances what actually ships)
+    val counts = docs5.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val nMin = counts.agg(min(col("n_lang")).as("n_min"))
+    val docs6 = docs5.join(counts, "lang").crossJoin(nMin)
+      .withColumn("threshold",
+        floor(lit(1000) * sqrt(col("n_min").cast("double") / col("n_lang"))).cast("long"))
+      .withColumn("bucket",
+        pmod(h60(concat(lit("resample:"), col("doc_id"))), lit(1000)))
+      .filter(col("bucket") < col("threshold"))
+      .drop("n_lang", "n_min", "threshold", "bucket")
+
+    // -- 6. sequence packing of the final mix
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs6
+      .withColumn("n_tokens", size(split(col("redacted"), " ")).cast("long"))
+      .withColumn("shard",
+        pmod(h60(concat(lit("shard:"), col("doc_id"))), lit(TrainingMix.NumShards)).cast("long"))
+      .withColumn("tok_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("cluster_id"), col("n_members"),
+        col("n_removed"), col("n_emails"), col("n_phones"), col("n_tokens"), col("shard"),
+        expr(s"tok_start div ${TrainingMix.SeqLen}").as("seq_in_shard"),
+        pmod(col("tok_start"), lit(TrainingMix.SeqLen)).cast("long").as("tok_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** The CTE-chained oracle: every stage's already-proven DuckDB twin,
+    * composed. The CC stage reuses [[Dedup.ccCtes]] (recursive
+    * transitive closure), the span stage [[Dedup.chunkCtes]]. */
+  val corpusPipelineSql: String =
+    s"""WITH RECURSIVE
+       |corpus AS (SELECT * FROM $CorpusSql),
+       |docs1 AS (
+       |  SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(text) AS text
+       |  FROM corpus GROUP BY md5(text)),
+       |${Dedup.ccCtes("docs1")},
+       |p_toks AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM docs1),
+       |resolved AS (
+       |  SELECT doc_id, cluster_id, n_members FROM (
+       |    SELECT l.doc_id, l.cluster_id,
+       |           count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+       |           row_number() OVER (PARTITION BY l.cluster_id
+       |                              ORDER BY t.n_tokens DESC, l.doc_id) AS rn
+       |    FROM labels l JOIN p_toks t USING (doc_id))
+       |  WHERE rn = 1),
+       |docs2 AS (
+       |  SELECT r.doc_id, r.cluster_id, r.n_members, d.lang, d.text
+       |  FROM resolved r JOIN docs1 d USING (doc_id)),
+       |${Dedup.chunkCtes("(SELECT doc_id, text FROM docs2)")},
+       |docs3 AS (
+       |  SELECT d.doc_id, d.cluster_id, d.n_members, d.lang,
+       |         c.n_removed, c.clean_text
+       |  FROM docs2 d JOIN chunked c USING (doc_id)),
+       |rep AS (
+       |  SELECT doc_id,
+       |         CAST(len(words) AS BIGINT) AS n_tokens,
+       |         CAST(list_max(list_transform(list_distinct(words),
+       |           w -> len(list_filter(words, x -> x = w)))) AS BIGINT) AS top_term_n,
+       |         CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+       |         CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams
+       |  FROM (
+       |    SELECT doc_id, words,
+       |           list_transform(range(1, len(words)),
+       |             i -> words[i] || ' ' || words[i + 1]) AS bigrams
+       |    FROM (SELECT doc_id, string_split(clean_text, ' ') AS words FROM docs3)
+       |    WHERE len(words) >= 2)),
+       |docs4 AS (
+       |  SELECT d.* FROM docs3 d JOIN rep USING (doc_id)
+       |  WHERE CAST(rep.top_term_n AS DOUBLE) / rep.n_tokens <= ${Curation.TopTermMax}
+       |    AND CAST(rep.n_bigrams - rep.n_distinct_bigrams AS DOUBLE) / rep.n_bigrams
+       |        <= ${Curation.DupBigramMax}),
+       |docs5 AS (
+       |  SELECT doc_id, cluster_id, n_members, lang, n_removed,
+       |         CAST(len(regexp_extract_all(ptext, '${Curation.EmailPat}')) AS BIGINT) AS n_emails,
+       |         CAST(len(regexp_extract_all(ptext, '${Curation.PhonePat}')) AS BIGINT) AS n_phones,
+       |         regexp_replace(regexp_replace(ptext, '${Curation.EmailPat}', '<EMAIL>', 'g'),
+       |                        '${Curation.PhonePat}', '<PHONE>', 'g') AS redacted
+       |  FROM (
+       |    SELECT *, CASE WHEN doc_id % 10 = 0
+       |                THEN clean_text || ' reach user' || CAST(doc_id AS VARCHAR)
+       |                     || '@mail.example or 555-0142 now'
+       |                ELSE clean_text END AS ptext
+       |    FROM docs4)),
+       |rc AS (SELECT lang, count(*) AS n_lang FROM docs5 GROUP BY lang),
+       |rm AS (SELECT min(n_lang) AS n_min FROM rc),
+       |rt AS (SELECT lang,
+       |              CAST(floor(1000 * sqrt(CAST(n_min AS DOUBLE) / n_lang)) AS BIGINT) AS threshold
+       |       FROM rc CROSS JOIN rm),
+       |docs6 AS (
+       |  SELECT * FROM (
+       |    SELECT d.*, ${h60Duck("'resample:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket,
+       |           t.threshold
+       |    FROM docs5 d JOIN rt t USING (lang))
+       |  WHERE bucket < threshold),
+       |packed AS (
+       |  SELECT doc_id, lang, cluster_id, n_members, n_removed, n_emails, n_phones,
+       |         n_tokens, shard,
+       |         CAST(tok_start // ${TrainingMix.SeqLen} AS BIGINT) AS seq_in_shard,
+       |         CAST(tok_start % ${TrainingMix.SeqLen} AS BIGINT) AS tok_offset
+       |  FROM (
+       |    SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |                ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start
+       |    FROM (
+       |      SELECT doc_id, lang, cluster_id, n_members, n_removed, n_emails, n_phones,
+       |             CAST(len(string_split(redacted, ' ')) AS BIGINT) AS n_tokens,
+       |             ${h60Duck("'shard:' || CAST(doc_id AS VARCHAR)")} % ${TrainingMix.NumShards} AS shard
+       |      FROM docs6)))
+       |SELECT doc_id, lang, cluster_id, n_members, n_removed, n_emails, n_phones,
+       |       n_tokens, shard, seq_in_shard, tok_offset
+       |FROM packed ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map("corpus_pipeline" -> corpusPipeline)
+  val oracles: Map[String, String] = Map("corpus_pipeline" -> corpusPipelineSql)
+}

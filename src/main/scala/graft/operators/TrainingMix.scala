@@ -65,8 +65,8 @@ object TrainingMix {
   // 2. sequence_pack — concat-and-chunk packing into training sequences
   // ---------------------------------------------------------------------
 
-  private val SeqLen = 256   // tokens per training sequence (testdata-sized)
-  private val NumShards = 8  // independent packing lanes; ∝ corpus/executor at scale
+  private[operators] val SeqLen = 256   // tokens per training sequence (testdata-sized)
+  private[operators] val NumShards = 8  // independent packing lanes; ∝ corpus/executor at scale
 
   /** Pack documents into fixed-[[SeqLen]] training sequences by the
     * concat-then-chunk contract: within a shard, documents concatenate

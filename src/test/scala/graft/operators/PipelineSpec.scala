@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.catalyst.plans.Cross
+import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.columnar.InMemoryRelation
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, TestSpark}
+
+/** The composed corpus_pipeline must stay ONE fused DAG with the
+  * shared-label dedup shape — these assertions are on the optimized
+  * logical plan (collected node types, not explain-string matching,
+  * which under AQE reprints cached subtrees and miscounts). */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val Dir = "/root/testdata/sf0.001"
+
+  private lazy val df = SparkEntry.queries("corpus_pipeline")(spark, Dir)
+  private lazy val plan = df.queryExecution.optimizedPlan
+
+  test("cluster labels are computed exactly once (one checkpointed relation)") {
+    // DataFrame reuse duplicates logical SUBTREES, so the label relation
+    // appears as several LogicalRDD nodes — what must be unique is the
+    // underlying RDD: one checkpointed label computation, every consumer
+    // re-reading its blocks (never re-running the CC loop).
+    val rddIds = plan.collect { case l: LogicalRDD => l.rdd.id }
+    assert(rddIds.nonEmpty, "expected the checkpointed label relation in the plan")
+    assert(rddIds.distinct.size == 1,
+      s"expected exactly 1 distinct label RDD (labels computed once); got ids ${rddIds.distinct}")
+  }
+
+  test("no stage re-scans the source table: downstream reads the stage-1 cache") {
+    val parquetScans = plan.collect { case l: LogicalRelation => l }
+    assert(parquetScans.isEmpty,
+      s"every post-dedup stage must read the persisted survivor relation, " +
+        s"not re-scan parquet; found ${parquetScans.size} scans")
+    val cached = plan.collect { case m: InMemoryRelation => m }
+    assert(cached.nonEmpty, "expected the persisted stage-1 survivor relation in the plan")
+  }
+
+  test("the only window is the bounded per-shard prefix sum") {
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.size == 1, s"expected 1 window (sequence packing); got ${windows.size}")
+    assert(windows.head.partitionSpec.nonEmpty,
+      "the packing window must be sharded, never a global prefix sum")
+  }
+
+  test("no cartesian growth: the only cross join is the one-row n_min broadcast") {
+    val crosses = plan.collect { case j: Join if j.joinType == Cross => j }
+    assert(crosses.size <= 1, s"expected at most the one-row n_min cross; got ${crosses.size}")
+  }
+
+  test("exact re-crawl copies never survive the pipeline") {
+    val ids = df.select("doc_id").collect().map(_.getLong(0))
+    assert(ids.nonEmpty)
+    assert(!ids.exists(id => id >= 100000 && id < 200000),
+      "stage 1 must remove every exact re-crawl (+100000 ids)")
+  }
+
+  test("PII audit trail: injected positives are counted and scrubbed") {
+    val rows = df.filter("doc_id % 10 = 0 and n_emails = 0").count()
+    assert(rows == 0, "every injected contact line must be counted by the redaction stage")
+  }
+}
