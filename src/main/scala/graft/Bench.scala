@@ -36,9 +36,18 @@ object Bench {
     val total = results.map(_._2).sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // stdout gets truncated in long driver logs; keep a durable copy
-    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
+    // stdout gets truncated in long driver logs; echo on stderr (captured
+    // separately) and keep a durable file copy. SPARK_GRAFT_BENCH_OUT
+    // overrides the path so concurrent runs don't clobber each other (and
+    // a fixed world-writable /tmp name is symlink-redirectable); default
+    // is a per-run temp file whose path is announced on stderr.
+    System.err.println(line)
+    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Files.createTempFile("graft-bench-", ".json"))
+    java.nio.file.Files.write(out,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[bench] wrote $out")
     spark.stop()
   }
 }

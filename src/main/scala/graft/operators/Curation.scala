@@ -113,7 +113,7 @@ object Curation {
     s"""SELECT doc_id, lang, bucket, rate FROM (
        |  SELECT doc_id, lang,
        |         ${h60Duck("lang || ':' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket,
-       |         $rateSql AS rate
+       |         CAST($rateSql AS BIGINT) AS rate
        |  FROM documents)
        |WHERE bucket < rate ORDER BY doc_id""".stripMargin
   }

@@ -333,7 +333,7 @@ object Dedup {
        |  SELECT doc_id, ${h60Duck("w")} AS wh FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
        |votes AS (SELECT doc_id, $votesSql FROM words GROUP BY doc_id)
-       |SELECT doc_id, $bitsSql AS simhash FROM votes ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, CAST($bitsSql AS BIGINT) AS simhash FROM votes ORDER BY doc_id""".stripMargin
   }
 
   /** SimHash near-dup pairs, Charikar banding with a REAL recall
@@ -400,7 +400,7 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $HammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
   }

@@ -37,11 +37,16 @@ object Sketches {
     * p = 1%, the law gives ~1.2 GB — still a broadcast, not a shuffle.
     */
   def sizeBits(expectedN: Long, fpRate: Double): Long = {
+    // misuse fails loudly: p ≥ 1 would make ln(1/p) ≤ 0 and silently
+    // return the floor; m ≥ 2^62 would overflow the power-of-two round-up
+    require(expectedN > 0, s"expectedN must be positive, got $expectedN")
+    require(fpRate > 0.0 && fpRate < 1.0, s"fpRate must be in (0, 1), got $fpRate")
     // Long arithmetic throughout: at n = 10⁹, p = 1% the law already
     // gives ~9.6e9 bits, which Int math would silently saturate and
     // fold to the 32-bit floor
     val m = math.ceil(
       expectedN * math.log(1.0 / fpRate) / (math.log(2.0) * math.log(2.0))).toLong
+    require(m < (1L << 62), s"requested filter of $m bits overflows the power-of-two round-up")
     // next power of two ≥ m
     math.max(LaneBits.toLong, java.lang.Long.highestOneBit(math.max(1L, m - 1)) * 2)
   }

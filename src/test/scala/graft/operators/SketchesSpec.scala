@@ -31,4 +31,12 @@ class SketchesSpec extends AnyFunSuite {
       assert(Sketches.sizeBits(n, 0.001) >= Sketches.sizeBits(n, 0.01))
     }
   }
+
+  test("degenerate inputs fail loudly instead of returning the floor") {
+    intercept[IllegalArgumentException](Sketches.sizeBits(0L, 0.01))
+    intercept[IllegalArgumentException](Sketches.sizeBits(-5L, 0.01))
+    intercept[IllegalArgumentException](Sketches.sizeBits(100L, 1.0))
+    intercept[IllegalArgumentException](Sketches.sizeBits(100L, 0.0))
+    intercept[IllegalArgumentException](Sketches.sizeBits(Long.MaxValue / 2, 1e-300))
+  }
 }

@@ -42,7 +42,13 @@ def int_float_mismatch(a: pd.DataFrame, b: pd.DataFrame):
     for c in a.columns:
         ka, kb = a[c].dtype.kind, b[c].dtype.kind
         if (ka in "iu" and kb == "f") or (ka == "f" and kb in "iu"):
-            return c
+            return c, "int vs float dtype — CAST the oracle aggregate (DuckDB sum() widens to HUGEINT)"
+        # same-kind width mismatches (int32 vs int64, float32 vs float64):
+        # the round-4 driver hashed these equal, but the local gate stays
+        # stricter — an explicit CAST in the oracle costs nothing and
+        # removes the bet on the driver's normalization
+        if (ka in "iuf" and kb in "iuf" and a[c].dtype != b[c].dtype):
+            return c, "same-kind width mismatch — CAST the oracle column to the exact Spark type"
     return None
 
 
@@ -78,9 +84,9 @@ def main():
             n_fail += 1; continue
         ifc = int_float_mismatch(spark_df, duck_df)
         if ifc:
-            print(f"FAIL {name}: col {ifc}: int vs float dtype "
-                  f"(spark={spark_df[ifc].dtype} duck={duck_df[ifc].dtype}) — "
-                  f"CAST the oracle aggregate (DuckDB sum() widens to HUGEINT)")
+            c, why = ifc
+            print(f"FAIL {name}: col {c}: "
+                  f"(spark={spark_df[c].dtype} duck={duck_df[c].dtype}) {why}")
             n_fail += 1; continue
         if len(spark_df) != len(duck_df):
             print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
