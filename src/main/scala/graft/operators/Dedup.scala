@@ -213,22 +213,35 @@ object Dedup {
     */
   /** The CC core, shared by `near_dup_cluster`, `dedup_resolve`, and the
     * composed `corpus_pipeline` (each computes labels exactly ONCE):
-    * (doc_id, cluster_id), unordered. Input: (doc_id, text [, ...]). */
+    * (doc_id, cluster_id), unordered. Input: (doc_id, text [, ...]).
+    *
+    * Checkpoint durability: each round's lineage cut defaults to
+    * `localCheckpoint()` — executor-local blocks, right for the
+    * single-JVM harness but fragile on a real cluster, where losing one
+    * executor mid-campaign kills the whole CC run. Setting
+    * `spark.graft.reliableCheckpoints=true` (plus the standard
+    * `sc.setCheckpointDir` to a fault-tolerant FS) swaps in reliable
+    * `checkpoint()`: rounds are then replayable from distributed
+    * storage at the cost of a write per iteration — the right trade for
+    * a 100 TB campaign whose CC loop runs longer than the executor MTBF.
+    */
   private[operators] def clusterLabelsOf(docs: DataFrame): DataFrame = {
+    val reliable = docs.sparkSession.conf
+      .get("spark.graft.reliableCheckpoints", "false").toBoolean
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val pairs = minhashPairsOf(docs)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = docs.select(col("doc_id"))
-      .withColumn("label", col("doc_id")).localCheckpoint()
+    val edges = cut(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = cut(docs.select(col("doc_id"))
+      .withColumn("label", col("doc_id")))
     var iter = 0
     var converged = false
     while (!converged && iter < MaxCcIters) {
       val msgs = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst").as("doc_id"), col("label"))
-      val next = labels.unionByName(msgs)
-        .groupBy("doc_id").agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      val next = cut(labels.unionByName(msgs)
+        .groupBy("doc_id").agg(min(col("label")).as("label")))
       val changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
         .filter(col("label") =!= col("prev")).count()
       labels = next
