@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.Dedup.{h60, h60Duck}
 
 /** Multi-dimensional OLAP surface over the TPC tables: rollup
   * hierarchies, pivoted cross-tabs, exact quantiles — the reporting
@@ -100,6 +101,42 @@ object Olap {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // 3b. quantile_sampled — the 100 TB quantile path, oracle-checkable
+  // ---------------------------------------------------------------------
+
+  private val SamplePerMille = 250
+
+  /** The scale twin of [[quantileStats]]: exact percentile over a
+    * DETERMINISTIC hash-coin sample (the `stratified_sample` coin, keyed
+    * `qsample:<doc_id>`) instead of the full group. `approx_percentile`
+    * (t-digest) is the usual answer but has no cross-engine-exact oracle;
+    * a content-keyed sample is reproducible on any engine/partitioning,
+    * so the sampled percentile IS hash-checkable — and it is the honest
+    * 100 TB shape anyway: per-group sort cost drops by the sample rate
+    * while the rank error is O(1/√(rate·n)) (≈±1.2 centile-ranks at the
+    * p50 for a 10k-doc group at 25%; a 100 TB group at the same rate has
+    * millions of sampled rows and negligible error — rate is the knob,
+    * see docs/SCALE.md). The sample filter is a pushdown-friendly
+    * row-parallel projection: no extra shuffle vs the unsampled query.
+    */
+  val quantileSampled: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .filter(pmod(h60(concat(lit("qsample:"), col("doc_id"))), lit(1000)) < SamplePerMille)
+      .groupBy("lang")
+      .agg(expr("percentile(n_chars, 0.5)").as("p50_sampled"),
+        expr("percentile(n_chars, 0.9)").as("p90_sampled"),
+        count(lit(1)).as("n_sample"))
+      .orderBy("lang")
+  val quantileSampledSql: String =
+    s"""SELECT lang,
+       |       quantile_cont(n_chars, 0.5) AS p50_sampled,
+       |       quantile_cont(n_chars, 0.9) AS p90_sampled,
+       |       count(*) AS n_sample
+       |FROM documents
+       |WHERE ${h60Duck("'qsample:' || CAST(doc_id AS VARCHAR)")} % 1000 < $SamplePerMille
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // 4. profile_table — exact per-column data profiling
   // ---------------------------------------------------------------------
 
@@ -152,12 +189,14 @@ object Olap {
     "rollup_agg" -> rollupAgg,
     "pivot_wide" -> pivotWide,
     "quantile_stats" -> quantileStats,
+    "quantile_sampled" -> quantileSampled,
     "profile_table" -> profileTable,
   )
   val oracles: Map[String, String] = Map(
     "rollup_agg" -> rollupAggSql,
     "pivot_wide" -> pivotWideSql,
     "quantile_stats" -> quantileStatsSql,
+    "quantile_sampled" -> quantileSampledSql,
     "profile_table" -> profileTableSql,
   )
 }
