@@ -237,15 +237,27 @@ object Dedup {
       .withColumn("label", col("doc_id")))
     var iter = 0
     var converged = false
+    // Convergence check: labels are NON-INCREASING (each round takes the
+    // min of the own and neighbor labels), so Σ label strictly decreases
+    // until the fixpoint and is constant exactly at it — one map-side-
+    // combinable sum over the new labels replaces the join+count against
+    // the previous round (r4 shape: an extra shuffle per iteration).
+    // decimal(38,0) keeps the sum exact far past BIGINT range (10¹⁰ docs
+    // with 64-bit ids would overflow a long sum and, under ANSI mode,
+    // abort the campaign); exactness is what makes equality ⟺ fixpoint.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).first()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     while (!converged && iter < MaxCcIters) {
       val msgs = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst").as("doc_id"), col("label"))
       val next = cut(labels.unionByName(msgs)
         .groupBy("doc_id").agg(min(col("label")).as("label")))
-      val changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
-        .filter(col("label") =!= col("prev")).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     require(converged, s"label propagation did not converge in $MaxCcIters iterations")

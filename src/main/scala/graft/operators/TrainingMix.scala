@@ -111,12 +111,82 @@ object TrainingMix {
        |    FROM documents))
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // 3. dataset_split — deterministic train/val/test assignment
+  // ---------------------------------------------------------------------
+
+  private val TrainPerMille = 980
+  private val ValPerMille = 990 // val = [980, 990), test = [990, 1000)
+
+  /** Held-out split assignment: every doc lands in train/val/test by the
+    * same content-keyed hash coin as the samplers (`split:<doc_id>`), so
+    * the split is stable across runs, engines, partitionings, AND corpus
+    * growth — a doc keeps its split when the corpus around it changes,
+    * which is the property that keeps eval sets uncontaminated across
+    * recrawls (a `rand()` or row-number split has none of these). Pure
+    * projection: no shuffle, row-parallel at any scale.
+    */
+  val datasetSplit: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .withColumn("bucket", pmod(h60(concat(lit("split:"), col("doc_id"))), lit(1000)))
+      .withColumn("split",
+        when(col("bucket") < TrainPerMille, "train")
+          .when(col("bucket") < ValPerMille, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("bucket").cast("long").as("bucket"), col("split"))
+      .orderBy("doc_id")
+  val datasetSplitSql: String =
+    s"""SELECT doc_id, bucket,
+       |       CASE WHEN bucket < $TrainPerMille THEN 'train'
+       |            WHEN bucket < $ValPerMille THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id,
+       |         ${h60Duck("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // 4. epoch_upsample — per-source multi-epoch oversampling
+  // ---------------------------------------------------------------------
+
+  /** Per-source epoch oversampling: high-quality sources are repeated
+    * for multiple epochs in the final mix (the standard lever for
+    * weighting curated sources above raw crawl without discarding
+    * anything). Each doc is replicated `epochs(source)` times with an
+    * epoch index, so downstream packing/shuffling sees distinct rows.
+    * The testdata weight rule derives 1–3 epochs from the source id
+    * (`suffix % 3 + 1`); production swaps in a curated weight table.
+    *
+    * Scale shape: a generator explode — output grows only by the mix's
+    * mean epoch factor (a design constant, ~2×), with no shuffle and no
+    * join; the weight lookup is a projection. Replication happens where
+    * the rows already are.
+    */
+  val epochUpsample: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .withColumn("epochs",
+        (expr("CAST(substring(source, 4) AS BIGINT)") % 3 + 1).as("epochs"))
+      .select(col("doc_id"), col("source"), col("epochs"),
+        explode(expr("sequence(1L, epochs)")).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  val epochUpsampleSql: String =
+    s"""SELECT doc_id, source, epochs, unnest(range(1, epochs + 1)) AS epoch
+       |FROM (
+       |  SELECT doc_id, source, CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS epochs
+       |  FROM documents)
+       |ORDER BY doc_id, epoch""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "temperature_resample" -> temperatureResample,
     "sequence_pack" -> sequencePack,
+    "dataset_split" -> datasetSplit,
+    "epoch_upsample" -> epochUpsample,
   )
   val oracles: Map[String, String] = Map(
     "temperature_resample" -> temperatureResampleSql,
     "sequence_pack" -> sequencePackSql,
+    "dataset_split" -> datasetSplitSql,
+    "epoch_upsample" -> epochUpsampleSql,
   )
 }

@@ -101,6 +101,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("split assignment and epoch replication happen where the rows live") {
+    Seq("dataset_split", "epoch_upsample").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"),
+        s"$q must not shuffle or join:\n$p")
+    }
+    assert(plan("epoch_upsample").contains("Generate"),
+      "epoch replication must be a generator explode, not a join against a weights table")
+  }
+
+  test("quantile_sampled keeps the unsampled plan shape: sample filter is a projection") {
+    val p = plan("quantile_sampled")
+    assert(!p.contains("Join"), s"the hash-coin sample must not join:\n$p")
+    assert(p.contains("partial_percentile"),
+      s"percentile must stay map-side combinable over the sample:\n$p")
+  }
+
   test("sequence_pack is a sharded prefix sum: one window, no joins") {
     val p = plan("sequence_pack")
     assert(!p.contains("Join"), s"packing must not join:\n$p")
