@@ -83,7 +83,10 @@ object Pipeline {
           struct(col("n_tokens"), (-col("doc_id")).as("nid"))).as("k"),
         count(lit(1)).as("n_members"))
       .select(col("k.doc_id").as("doc_id"), col("cluster_id"), col("n_members"))
-    val docs2 = resolved.join(docs1, "doc_id")
+    // persisted: the chunk stage reads its input 4× (segmentation, df
+    // count, removal, rebuild) — without the cache each read re-runs
+    // the resolve join+agg
+    val docs2 = resolved.join(docs1, "doc_id").persist()
 
     // -- 3. C4 span removal over the survivors
     val docs3 = docs2.drop("text")
@@ -125,6 +128,9 @@ object Pipeline {
         regexp_replace(regexp_replace(col("ptext"), Curation.EmailPat, "<EMAIL>"),
           Curation.PhonePat, "<PHONE>"))
       .drop("clean_text", "ptext")
+      // persisted: read twice (per-lang count agg + the resample join) —
+      // without the cache the chunk/repetition/regex stages run twice
+      .persist()
 
     // -- 5. temperature resample (counts over the pipeline's OWN
     //       survivors — the mix balances what actually ships)

@@ -2,8 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.catalyst.plans.Cross
 import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
-import org.apache.spark.sql.execution.LogicalRDD
-import org.apache.spark.sql.execution.columnar.InMemoryRelation
+import org.apache.spark.sql.execution.{LogicalRDD, RDDScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.scalatest.funsuite.AnyFunSuite
 import graft.{SparkEntry, TestSpark}
@@ -19,24 +20,47 @@ class PipelineSpec extends AnyFunSuite {
   private lazy val df = SparkEntry.queries("corpus_pipeline")(spark, Dir)
   private lazy val plan = df.queryExecution.optimizedPlan
 
+  // The persisted stage outputs bury upstream subtrees inside
+  // InMemoryRelation cached PHYSICAL plans, which plan.collect does not
+  // enter — recurse through cache and AQE boundaries to see everything.
+  private def physNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val here = p.collect { case n => n }
+    here ++ here.flatMap {
+      case a: AdaptiveSparkPlanExec  => physNodes(a.inputPlan)
+      case s: InMemoryTableScanExec  => physNodes(s.relation.cachedPlan)
+      case _                         => Nil
+    }
+  }
+  private lazy val nested: Seq[SparkPlan] =
+    plan.collect { case m: InMemoryRelation => m }.flatMap(m => physNodes(m.cachedPlan))
+
   test("cluster labels are computed exactly once (one checkpointed relation)") {
     // DataFrame reuse duplicates logical SUBTREES, so the label relation
-    // appears as several LogicalRDD nodes — what must be unique is the
-    // underlying RDD: one checkpointed label computation, every consumer
-    // re-reading its blocks (never re-running the CC loop).
-    val rddIds = plan.collect { case l: LogicalRDD => l.rdd.id }
+    // appears many times — what must be unique is the underlying RDD:
+    // one checkpointed label computation, every consumer re-reading its
+    // blocks (never re-running the CC loop).
+    val rddIds = plan.collect { case l: LogicalRDD => l.rdd.id } ++
+      nested.collect { case r: RDDScanExec => r.rdd.id }
     assert(rddIds.nonEmpty, "expected the checkpointed label relation in the plan")
     assert(rddIds.distinct.size == 1,
       s"expected exactly 1 distinct label RDD (labels computed once); got ids ${rddIds.distinct}")
   }
 
-  test("no stage re-scans the source table: downstream reads the stage-1 cache") {
+  test("no stage re-scans the source table: downstream reads the stage caches") {
     val parquetScans = plan.collect { case l: LogicalRelation => l }
     assert(parquetScans.isEmpty,
       s"every post-dedup stage must read the persisted survivor relation, " +
         s"not re-scan parquet; found ${parquetScans.size} scans")
-    val cached = plan.collect { case m: InMemoryRelation => m }
-    assert(cached.nonEmpty, "expected the persisted stage-1 survivor relation in the plan")
+    // Exactly the three multi-consumer stage outputs are cached: the
+    // stage-1 survivors, the resolve output (read 4× by chunk dedup),
+    // and the quality/PII output (read by the resample count + join).
+    // Only the outermost cache shows in the logical plan; the upstream
+    // two sit nested inside its cached physical plan.
+    val cacheIds =
+      plan.collect { case m: InMemoryRelation => m.cacheBuilder.cachedPlan.id } ++
+      nested.collect { case s: InMemoryTableScanExec => s.relation.cacheBuilder.cachedPlan.id }
+    assert(cacheIds.distinct.size == 3,
+      s"expected the 3 persisted stage outputs; got ${cacheIds.distinct.size}")
   }
 
   test("the only window is the bounded per-shard prefix sum") {
