@@ -27,11 +27,15 @@ import graft.operators.Dedup.{h60, h60Duck}
   *   5. temperature mix   — τ=0.5 per-language resample (hash coin)
   *   6. sequence pack     — sharded prefix-sum packing into SeqLen runs
   *
-  * Scale shape: stage 1's output (the survivor relation every later
-  * stage reads) is persisted — computed once by the CC loop's first
-  * action, reused from cache by stages 2-4 instead of re-running the
-  * scan+dedup per consumer (a production campaign writes it to a table;
-  * see docs/SCALE.md). Everything downstream keeps each stage's audited
+  * Scale shape: the three multi-consumer stage outputs are persisted —
+  * the stage-1 survivors (read by the CC loop, the token counts, and
+  * the resolve join), the resolve output (read 4× by chunk dedup's
+  * segmentation / df count / removal / rebuild), and the quality+PII
+  * output (read by the resample count and join). Each is computed once
+  * and re-read from cache instead of re-running its upstream per
+  * consumer — 14.8 s → 11.7 s at sf0.1 (a production campaign writes
+  * these to stage tables; see docs/SCALE.md). Everything downstream
+  * keeps each stage's audited
   * shape: no cartesian, no corpus-wide sort, the only window is the
   * bounded per-shard prefix sum, and the one-row n_min relation is the
   * only broadcast-cross. PipelineSpec asserts the fused plan.
