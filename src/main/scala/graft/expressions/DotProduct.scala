@@ -86,5 +86,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashVotes].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHashVotes(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKByCount].getName, "graft_topk"),
+      (children: Seq[Expression]) => TopKByCount(children.head, children(1), children(2))))
   }
 }

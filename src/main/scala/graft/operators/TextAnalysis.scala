@@ -227,8 +227,37 @@ object TextAnalysis {
       |    GROUP BY 1, 2))
       |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
 
+  /** The same ranking as [[topTermsPerLang]] (k = 8) through the
+    * bounded-heap aggregate `graft_topk`
+    * ([[graft.expressions.TopKByCount]]) instead of a window: the
+    * per-lang vocabulary never gets window-sorted — each map task
+    * combines its share down to ≤ k pairs per language before the
+    * exchange, so the final shuffle carries O(partitions × langs × k)
+    * rows however large the vocabulary grows. Registered alongside the
+    * window variant so both shapes stay oracle-checked: same DuckDB
+    * ranking query verifies both. */
+  val topTermsAgg: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("n"))
+      .groupBy("lang").agg(expr("graft_topk(n, term, 8)").as("tops"))
+      .select(col("lang"), posexplode(col("tops")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.term").as("term"), col("col.n").as("n"))
+      .orderBy("lang", "rank")
+  val topTermsAggSql: String =
+    """SELECT lang, rank, term, n FROM (
+      |  SELECT lang, term, n,
+      |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rank
+      |  FROM (
+      |    SELECT lang, term, count(*) AS n FROM (
+      |      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+      |    GROUP BY 1, 2))
+      |WHERE rank <= 8 ORDER BY lang, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "top_terms_per_lang" -> topTermsPerLang,
+    "top_terms_agg" -> topTermsAgg,
     "lang_id_ngram" -> langIdNgram,
     "text_quality_score" -> textQualityScore,
     "token_count" -> tokenCount,
@@ -237,6 +266,7 @@ object TextAnalysis {
   )
   val oracles: Map[String, String] = Map(
     "top_terms_per_lang" -> topTermsPerLangSql,
+    "top_terms_agg" -> topTermsAggSql,
     "lang_id_ngram" -> langIdNgramSql,
     "text_quality_score" -> textQualityScoreSql,
     "token_count" -> tokenCountSql,

@@ -177,16 +177,74 @@ object TrainingMix {
        |  FROM documents)
        |ORDER BY doc_id, epoch""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // 5. global_row_index — contiguous global ids without a global sort
+  // ---------------------------------------------------------------------
+
+  /** Number of index buckets. At scale this is O(cluster parallelism);
+    * 64 > the 32 shuffle partitions so the harness exercises real
+    * multi-bucket offsets. */
+  val IndexBuckets = 64L
+
+  /** Assign every doc a contiguous 0-based global index in doc_id
+    * order — the "training example id" pass that runs after the mix is
+    * frozen (shard manifests, resumable data loaders, and eval-set
+    * bookkeeping all want dense stable ids).
+    *
+    * The naive spelling — `row_number() OVER (ORDER BY doc_id)` — is a
+    * single-partition window: the entire corpus serializes through one
+    * task, the textbook scale-killer. This is the two-phase formulation
+    * instead:
+    *   1. bucket each row by id range (pure projection off a one-row
+    *      min/max broadcast — deterministic, unlike sampling-based
+    *      `repartitionByRange` boundaries);
+    *   2. rank WITHIN each bucket (windows bounded at ~N/IndexBuckets
+    *      rows, all buckets in parallel);
+    *   3. prefix-sum bucket counts into offsets — the only global
+    *      window in the plan runs over the IndexBuckets-row count
+    *      relation, not the corpus — and broadcast-join them back:
+    *      global_index = bucket_offset + within_bucket_rank - 1.
+    * The result is bit-identical to the naive spelling (the oracle IS
+    * the naive spelling) for any bucket count ≥ 1; only the parallelism
+    * changes. Long math throughout: ids up to ~2^57 stay exact in the
+    * bucket formula at IndexBuckets = 64.
+    */
+  val globalRowIndex: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang")
+    val bounds = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val bucketed = docs.crossJoin(bounds)
+      .withColumn("bucket",
+        (col("doc_id") - col("lo")) * IndexBuckets / (col("hi") - col("lo") + 1))
+      .drop("lo", "hi")
+    val ranked = bucketed.withColumn("rn",
+      row_number().over(Window.partitionBy("bucket").orderBy("doc_id")))
+    val offsets = bucketed.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(
+        sum(col("bn")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "off")
+    ranked.join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), col("lang"),
+        (col("off") + col("rn") - 1).cast("long").as("global_index"))
+      .orderBy("doc_id")
+  }
+  val globalRowIndexSql: String =
+    """SELECT doc_id, lang,
+      |       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_index
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "temperature_resample" -> temperatureResample,
     "sequence_pack" -> sequencePack,
     "dataset_split" -> datasetSplit,
     "epoch_upsample" -> epochUpsample,
+    "global_row_index" -> globalRowIndex,
   )
   val oracles: Map[String, String] = Map(
     "temperature_resample" -> temperatureResampleSql,
     "sequence_pack" -> sequencePackSql,
     "dataset_split" -> datasetSplitSql,
     "epoch_upsample" -> epochUpsampleSql,
+    "global_row_index" -> globalRowIndexSql,
   )
 }

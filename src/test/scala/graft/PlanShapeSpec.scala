@@ -139,6 +139,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected partial hash agg:\n$p")
   }
 
+  test("top_terms_agg ranks through a partial-combinable bounded heap, never a window") {
+    val p = plan("top_terms_agg")
+    assert(!p.contains("Window"),
+      s"the vocabulary must never be window-sorted per language:\n$p")
+    assert(p.contains("partial_graft_topk"),
+      s"expected map-side partial top-k combine before the exchange:\n$p")
+  }
+
+  test("global_row_index: the only corpus window is per-bucket; the global one is bounded") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = SparkEntry.queries("global_row_index")(spark, Dir)
+      .queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.size == 2, s"expected the rank + offset windows; got ${windows.size}")
+    val (global, perBucket) = windows.partition(_.partitionSpec.isEmpty)
+    assert(perBucket.size == 1,
+      "the corpus-sized rank window must be partitioned by bucket")
+    // the unpartitioned prefix-sum window may only run over the
+    // IndexBuckets-row count aggregate, never the corpus
+    assert(global.size == 1 &&
+      global.head.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+      "the global offset window must read the bucket-count aggregate")
+  }
+
   test("no UDFs anywhere: every registered query plan is built-in/codegen expressions") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
