@@ -16,6 +16,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Same hygiene as Bench: queries that persist intermediates
+      // (corpus_pipeline's three stage caches, signature relations) must
+      // not accumulate block-manager storage across an 88-query run.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

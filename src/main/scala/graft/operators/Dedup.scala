@@ -245,9 +245,13 @@ object Dedup {
     // decimal(38,0) keeps the sum exact far past BIGINT range (10¹⁰ docs
     // with 64-bit ids would overflow a long sum and, under ANSI mode,
     // abort the campaign); exactness is what makes equality ⟺ fixpoint.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).first()
+    // sum() over zero rows is NULL — coalesce to 0 so an empty relation
+    // converges on the first check instead of NPEing in compareTo
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).first()
         .getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     while (!converged && iter < MaxCcIters) {
       val msgs = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")

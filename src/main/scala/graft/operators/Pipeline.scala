@@ -34,7 +34,11 @@ import graft.operators.Dedup.{h60, h60Duck}
   * output (read by the resample count and join). Each is computed once
   * and re-read from cache instead of re-running its upstream per
   * consumer — 14.8 s → 11.7 s at sf0.1 (a production campaign writes
-  * these to stage tables; see docs/SCALE.md). Everything downstream
+  * these to stage tables; see docs/SCALE.md). The caches are scoped to
+  * the consuming action, not this function: both harnesses (Bench,
+  * Verify) run `spark.catalog.clearCache()` after each query's action
+  * completes, so repeated invocations don't accumulate block-manager
+  * storage. Everything downstream
   * keeps each stage's audited
   * shape: no cartesian, no corpus-wide sort, the only window is the
   * bounded per-shard prefix sum, and the one-row n_min relation is the

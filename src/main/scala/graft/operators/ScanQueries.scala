@@ -36,11 +36,16 @@ object ScanQueries {
     java.nio.file.Files.createTempDirectory("graft-fixtures")
   private def page(spark: SparkSession, key: String, fixture: String) = {
     val f = stagedFixtures.resolve(s"${key}__$fixture.html")
-    // REPLACE_EXISTING keeps staging idempotent under concurrent callers
-    // (exists-then-copy was a TOCTOU race: two queries staging the same
-    // fixture in parallel hit FileAlreadyExistsException)
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$FixtureDir/$fixture.html"), f,
+    // Stage via a dot-prefixed temp (hidden to Spark's file listing) and
+    // rename into place: rename(2) is atomic on POSIX, so a concurrent
+    // caller — or a lazy re-read of an earlier query's DataFrame — only
+    // ever sees a complete file. Copy+REPLACE_EXISTING truncated the
+    // destination in place and could expose a partial write.
+    val tmp = java.nio.file.Files.createTempFile(stagedFixtures, ".stage-", ".tmp")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$FixtureDir/$fixture.html"), tmp,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     Scans.readArchive(spark, f.toString)
   }
 

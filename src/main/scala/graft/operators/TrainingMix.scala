@@ -209,13 +209,23 @@ object TrainingMix {
     * changes. Long math throughout: ids up to ~2^57 stay exact in the
     * bucket formula at IndexBuckets = 64.
     */
+  /** Range-bucket assignment off a one-row min/max broadcast. `div`,
+    * not `/`: Column `/` is true division (long/long → DOUBLE), which
+    * would give ~one fractional bucket value per doc and grow the
+    * offsets relation to corpus size. Integer division keeps the bucket
+    * a LONG in [0, IndexBuckets) and the math exact (ids up to ~2^57
+    * before the *IndexBuckets product can overflow). */
+  private[graft] def rangeBucketed(docs: DataFrame): DataFrame = {
+    val bounds = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    docs.crossJoin(bounds)
+      .withColumn("bucket",
+        expr(s"(doc_id - lo) * $IndexBuckets div (hi - lo + 1)"))
+      .drop("lo", "hi")
+  }
+
   val globalRowIndex: Q = (spark, dir) => {
     val docs = Tables.documents(spark, dir).select("doc_id", "lang")
-    val bounds = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
-    val bucketed = docs.crossJoin(bounds)
-      .withColumn("bucket",
-        (col("doc_id") - col("lo")) * IndexBuckets / (col("hi") - col("lo") + 1))
-      .drop("lo", "hi")
+    val bucketed = rangeBucketed(docs)
     val ranked = bucketed.withColumn("rn",
       row_number().over(Window.partitionBy("bucket").orderBy("doc_id")))
     val offsets = bucketed.groupBy("bucket").agg(count(lit(1)).as("bn"))

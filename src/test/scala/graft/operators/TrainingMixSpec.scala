@@ -32,6 +32,23 @@ class TrainingMixSpec extends AnyFunSuite {
     }
   }
 
+  test("global_row_index: bucket is an integer LONG bounded by IndexBuckets") {
+    val docs = graft.Tables.documents(spark, Dir).select("doc_id", "lang")
+    val bucketed = TrainingMix.rangeBucketed(docs)
+    // true division would make this a DOUBLE with ~one distinct value
+    // per doc — the offsets relation (and its global prefix-sum window)
+    // must stay IndexBuckets-sized, not corpus-sized
+    assert(bucketed.schema("bucket").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val distinctBuckets = bucketed.select("bucket").distinct().count()
+    assert(distinctBuckets <= TrainingMix.IndexBuckets,
+      s"$distinctBuckets buckets > IndexBuckets=${TrainingMix.IndexBuckets}")
+    assert(distinctBuckets > 1, "harness data must exercise multi-bucket offsets")
+    val Seq(lo, hi) = bucketed.agg(min(col("bucket")), max(col("bucket")))
+      .collect().head.toSeq.map(_.asInstanceOf[Long])
+    assert(lo >= 0 && hi < TrainingMix.IndexBuckets)
+  }
+
   test("temperature_resample: rarest language keeps everything, head is downsampled") {
     val docs = graft.Tables.documents(spark, Dir)
     val counts = docs.groupBy("lang").count().collect()
