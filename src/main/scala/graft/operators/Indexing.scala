@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Retrieval-side indexing over `documents`: TF-IDF term ranking,
+  * a capped inverted index, and frequency-ranked vocabulary ids — the
+  * passes a training-data pipeline runs to build dedup/search/filter
+  * infrastructure next to the corpus (reference anchor: the engine's
+  * profiling/export term tables, generalized to corpus scale).
+  *
+  * Numeric policy: all scores are INTEGER. IDF is the integer-scaled
+  * reciprocal `(N * IdfScale) div df` rather than `ln(N/df)` — `ln` is
+  * not in IEEE-754's correctly-rounded set, so a log-based score could
+  * differ in the last ulp between the JVM and the oracle engine and
+  * flip a rank tie. Integer div is exact everywhere; the ranking it
+  * induces is the same monotone-in-`N/df` family, and the machinery
+  * (explode → hash agg → vocab join → bounded per-doc ranking) is
+  * identical to the log version a user would deploy.
+  */
+object Indexing {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** IDF fixed-point scale. With it, score = tf · ((N·10⁶) div df) stays
+    * exact in a LONG up to N ≈ 10¹⁰ docs × doc-length tf — headroom far
+    * past the 100 TB design point. */
+  val IdfScale = 1000000L
+
+  /** Top terms kept per document. */
+  val TopK = 5
+
+  /** Postings-list cap: terms in more than this many documents get
+    * `postings = NULL` (df is still emitted). An ABSOLUTE cap, not a
+    * corpus fraction: a materialized per-term list must stay O(1) per
+    * row at any corpus size, and a term in >256 docs is stop-list
+    * territory for the dedup/contamination probes this index serves. */
+  val MaxPostings = 256L
+
+  /** Vocabulary floor: terms with fewer total occurrences are noise
+    * (OCR junk, typos) and get no id. */
+  val MinCount = 30L
+
+  // ---------------------------------------------------------------------
+  // X26 tfidf_topk — per-document top-k terms by tf·idf
+  // ---------------------------------------------------------------------
+
+  /** (doc_id, term, tf) — one row per distinct term per doc. */
+  private def tfRel(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Per-doc top-[[TopK]] terms by integer tf·idf (ties → term asc).
+    *
+    * Shape: explode → map-side-combinable hash agg to (doc, term, tf);
+    * df is a second hash agg over that (vocab-sized); the score join is
+    * on `term` against the vocab relation — AQE picks broadcast when the
+    * vocabulary fits, shuffle-hash when it doesn't (vocab ~10⁷ rows at
+    * 100 TB; neither side is the corpus). The only window partitions by
+    * doc_id over per-doc AGGREGATES — partition size is bounded by
+    * per-doc distinct terms (≤ doc length), never corpus-sized, and all
+    * docs rank in parallel. */
+  val tfidfTopk: Q = (spark, dir) => {
+    val tf = tfRel(spark, dir)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "term").crossJoin(n)
+      .withColumn("score", expr(s"tf * ((n * $IdfScale) div df)"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= TopK)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+  val tfidfTopkSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents)
+       |SELECT doc_id, rank, term, tf, df, score FROM (
+       |  SELECT doc_id, term, tf, df, score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY score DESC, term) AS rank
+       |  FROM (
+       |    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |           tf.tf * ((n.n * $IdfScale) // df.df) AS score
+       |    FROM tf JOIN df USING (term) CROSS JOIN n))
+       |WHERE rank <= $TopK
+       |ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X27 inverted_index — capped postings lists
+  // ---------------------------------------------------------------------
+
+  /** term → (df, postings) where postings = "doc:tf doc:tf …" in doc_id
+    * order for terms within [[MaxPostings]] docs, NULL for stop-list
+    * terms. The df filter runs BEFORE the collect_list — the skew
+    * killer: a stopword's billions of postings are never grouped, its
+    * row carries only the count. The collect groups ≤ MaxPostings
+    * structs per term by construction, so per-group state is O(1) and
+    * the agg stays map-side combinable. */
+  val invertedIndex: Q = (spark, dir) => {
+    val tf = tfRel(spark, dir)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val kept = tf.join(df.filter(col("df") <= MaxPostings), "term")
+      .groupBy("term", "df")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+        p => concat(p.getField("doc_id").cast("string"), lit(":"),
+          p.getField("tf").cast("string"))), " ").as("postings"))
+    df.filter(col("df") > MaxPostings)
+      .withColumn("postings", lit(null).cast("string"))
+      .unionByName(kept.select("term", "df", "postings"))
+      .orderBy("term")
+  }
+  val invertedIndexSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+       |SELECT term, df,
+       |       CASE WHEN df <= $MaxPostings THEN (
+       |         SELECT string_agg(tf.doc_id || ':' || tf.tf, ' ' ORDER BY tf.doc_id)
+       |         FROM tf WHERE tf.term = df.term)
+       |       END AS postings
+       |FROM df
+       |ORDER BY term""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X28 vocab_build — frequency-ranked vocabulary ids
+  // ---------------------------------------------------------------------
+
+  /** Dense vocabulary ids by (count desc, term asc), floor-filtered at
+    * [[MinCount]] — the id-assignment pass behind tokenizer vocabularies
+    * and hashing-free feature maps.
+    *
+    * The naive `row_number() OVER (ORDER BY n DESC, term)` serializes
+    * the vocabulary through one task. Two-phase instead, keyed by the
+    * count value itself (the global sort key's first component): rank
+    * within each count (windows partitioned by `n` — parallel), then
+    * prefix-sum the per-count group sizes into offsets. The offsets
+    * window runs over the distinct-count relation — O(√tokens) rows by
+    * Zipf, broadcast back. Bit-identical to the naive spelling, which
+    * is the oracle. */
+  val vocabBuild: Q = (spark, dir) => {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= MinCount)
+    val ranked = counts.withColumn("rn",
+      row_number().over(Window.partitionBy("n").orderBy("term")))
+    val offsets = counts.groupBy("n").agg(count(lit(1)).as("gn"))
+      .withColumn("off", coalesce(
+        sum(col("gn")).over(Window.orderBy(col("n").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("n", "off")
+    ranked.join(broadcast(offsets), "n")
+      .select(col("term"), col("n"),
+        (col("off") + col("rn") - 1).cast("long").as("vocab_id"))
+      .orderBy("vocab_id")
+  }
+  val vocabBuildSql: String =
+    s"""SELECT term, n,
+       |       CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT) AS vocab_id
+       |FROM (
+       |  SELECT term, count(*) AS n FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY 1 HAVING count(*) >= $MinCount)
+       |ORDER BY vocab_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "tfidf_topk" -> tfidfTopk,
+    "inverted_index" -> invertedIndex,
+    "vocab_build" -> vocabBuild,
+  )
+  val oracles: Map[String, String] = Map(
+    "tfidf_topk" -> tfidfTopkSql,
+    "inverted_index" -> invertedIndexSql,
+    "vocab_build" -> vocabBuildSql,
+  )
+}
