@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Semantic (embedding-space) curation: k-means cluster assignment and
+  * SemDeDup-style within-cluster near-duplicate pruning — the
+  * embedding-side complement to the token-side dedup family in
+  * [[Dedup]]. (SemDeDup: Abbas et al. 2023, arXiv:2303.09540 — cluster
+  * the corpus, then search for duplicates only inside clusters, which
+  * bounds the quadratic candidate set.)
+  *
+  * Numeric policy — everything is EXACT integer arithmetic:
+  *  - embeddings are quantized once: `floor(x * 10^6)` (float→double
+  *    cast and the multiply are correctly-rounded IEEE ops, floor is
+  *    exact → both engines quantize identically);
+  *  - k-means uses a SHIFTED copy (`+ 10^6`, non-negative): squared
+  *    L2 distances are translation-invariant, and keeping division
+  *    operands non-negative makes Spark's `div` (truncate) and the
+  *    oracle's `//` agree by construction;
+  *  - centroid updates are floor-divided integer means;
+  *  - cosine thresholds compare `dot² · 100 ≥ 81 · |a|² · |b|²`
+  *    (τ = 0.9) in decimal/int128 — no sqrt, no doubles, no ulp risk.
+  * Lloyd iterations are FIXED at [[Iters]] assignment rounds and the
+  * oracle unrolls the same rounds, so the fixpoint question never
+  * arises: both engines run the identical finite computation.
+  */
+object Semantic {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Cluster count. At 100 TB this scales with N (SemDeDup used ~50k
+    * clusters for LAION): the point of K is to bound per-cluster
+    * pairwise work at N²/K, so K grows linearly with the corpus. */
+  val K = 8
+
+  /** Assignment rounds (assign → update → assign = 2). */
+  val Iters = 2
+
+  /** Quantization scale and non-negativity shift (|x| < 1 in unit-ish
+    * embeddings → shifted values in [0, 2·10^6)). */
+  val QScale = 1000000L
+  val QShift = 1000000L
+
+  /** Cosine threshold τ = 0.9 as the exact rational test
+    * dot² · SimDen ≥ SimNum · |a|² · |b|² (with dot > 0). */
+  val SimNum = 81L
+  val SimDen = 100L
+
+  private val Dim = 64
+
+  // ---------------------------------------------------------------------
+  // shared k-means core
+  // ---------------------------------------------------------------------
+
+  /** (vec_id, q) with q = shifted quantized embedding. */
+  private def quantShifted(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), expr(
+      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT) + $QShift)")
+      .as("q"))
+
+  /** K seed centroids: the K vectors with the smallest
+    * `md5(vec_id)` — a deterministic pseudo-random draw (same trick as
+    * the hash-coin samplers), ids 0..K-1 in md5 order. */
+  private def initCents(vecs: DataFrame): DataFrame =
+    vecs.withColumn("mh", md5(col("vec_id").cast("string")))
+      .orderBy("mh").limit(K)
+      .withColumn("cid", (row_number().over(Window.orderBy("mh")) - 1).cast("long"))
+      .select(col("cid"), col("q").as("c"))
+
+  /** Nearest-centroid assignment as a PURE PROJECTION: the K centroids
+    * ride along as a one-row broadcast array and each row folds over
+    * them — no shuffle, no join on the corpus. Ties break to the lowest
+    * cid (the array is cid-sorted and `array_min` compares (d, cid)). */
+  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val arr = cents.agg(sort_array(collect_list(struct(col("cid"), col("c")))).as("cents"))
+    vecs.crossJoin(broadcast(arr))
+      .withColumn("best", expr(
+        """array_min(transform(cents, cc -> named_struct(
+          |  'd', aggregate(zip_with(q, cc.c, (a, b) -> (a - b) * (a - b)),
+          |                 0L, (acc, x) -> acc + x),
+          |  'cid', cc.cid)))""".stripMargin))
+      .select(col("vec_id"), col("q"),
+        col("best.cid").as("cid"), col("best.d").as("d"))
+  }
+
+  /** Integer-mean centroid update: posexplode to (cid, pos, v), one
+    * map-side-combinable sum/count agg, floor-divide, re-pack. The
+    * shuffle carries K·Dim groups' partial sums per map task — O(1) per
+    * partition however large the corpus. */
+  private def updateCents(asg: DataFrame): DataFrame =
+    asg.select(col("cid"), posexplode(col("q")))
+      .groupBy("cid", "pos").agg(expr("sum(col) div count(1)").as("cv"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("c"))
+
+  /** [[Iters]] assignment rounds over (vec_id, q). */
+  private def kmeans(vecs: DataFrame): DataFrame =
+    (2 to Iters).foldLeft(assign(vecs, initCents(vecs))) { (a, _) =>
+      assign(a.select("vec_id", "q"), updateCents(a))
+    }
+
+  /** The same rounds as DuckDB CTEs over `rel(vec_id, embedding)`
+    * (caller opens the WITH). */
+  private[operators] def kmeansCtes(rel: String): String = {
+    def assignCte(dRel: String, cRel: String, d: String, a: String) =
+      s"""$d AS (
+         |  SELECT v.vec_id, c.cid,
+         |         list_sum(list_transform(range(1, ${Dim + 1}),
+         |                  i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS d
+         |  FROM $dRel v CROSS JOIN $cRel c),
+         |$a AS (
+         |  SELECT vec_id, cid, d FROM (
+         |    SELECT vec_id, cid, d,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM $d)
+         |  WHERE rn = 1)""".stripMargin
+    s"""quant AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT) + $QShift) AS q
+       |  FROM $rel),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+       |              AS BIGINT) AS cid, q AS c
+       |  FROM quant ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $K),
+       |${assignCte("quant", "c0", "d1", "a1")},
+       |c1 AS (
+       |  SELECT cid, list(cv ORDER BY pos) AS c FROM (
+       |    SELECT a.cid, r.i AS pos, sum(v.q[r.i]) // count(*) AS cv
+       |    FROM a1 a JOIN quant v USING (vec_id) CROSS JOIN range(1, ${Dim + 1}) r(i)
+       |    GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |${assignCte("quant", "c1", "d2", "a2")}""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // X29 kmeans_assign
+  // ---------------------------------------------------------------------
+
+  /** Final cluster assignment over `embeddings` after [[Iters]] Lloyd
+    * rounds: (vec_id, cluster, dist). */
+  val kmeansAssign: Q = (spark, dir) => {
+    val a = kmeans(quantShifted(Tables.embeddings(spark, dir)))
+    a.select(col("vec_id"), col("cid").as("cluster"),
+        col("d").cast("long").as("dist"))
+      .orderBy("vec_id")
+  }
+  val kmeansAssignSql: String =
+    s"""WITH ${kmeansCtes("embeddings")}
+       |SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS dist
+       |FROM a2 ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X30 semdedup_prune
+  // ---------------------------------------------------------------------
+
+  /** Exact-copy re-ingestions of every 7th vector — the provably
+    * exercised positive path, same practice as the dedup corpora. */
+  private def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    e.unionByName(e.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+  }
+  private val DupCorpusSql =
+    """(SELECT vec_id, embedding FROM embeddings
+      | UNION ALL
+      | SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+      | WHERE vec_id % 7 = 0)""".stripMargin
+
+  /** SemDeDup: cluster, then drop every vector that has an
+    * earlier-id near-duplicate (cos ≥ τ) in its own cluster. The
+    * pairwise search is CLUSTER-BOUNDED — the self-join key is the
+    * cluster id, so candidate pairs are N²/K, never N²; K scales with
+    * the corpus to hold cluster sizes constant. Cosine is the exact
+    * integer test on UNSHIFTED quantized vectors (dot and norms fit a
+    * LONG at 64 dims; the cross-multiplied comparison runs in
+    * decimal(38,0) / int128). */
+  val semdedupPrune: Q = (spark, dir) => {
+    val asg = kmeans(quantShifted(dupCorpus(spark, dir)))
+      .withColumn("qu", expr(s"transform(q, x -> x - $QShift)"))
+      .withColumn("nrm", expr(
+        s"aggregate(transform(qu, x -> x * x), 0L, (acc, x) -> acc + x)"))
+      .select("vec_id", "cid", "qu", "nrm")
+    val a = asg.select(col("cid"), col("vec_id").as("a_id"),
+      col("qu").as("a_qu"), col("nrm").as("a_nrm"))
+    val b = asg.select(col("cid"), col("vec_id").as("b_id"),
+      col("qu").as("b_qu"), col("nrm").as("b_nrm"))
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    val dropped = a.join(b, "cid")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(a_qu, b_qu, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+      .filter(col("dot") > 0 &&
+        dec(col("dot")) * col("dot") * SimDen >= dec(lit(SimNum)) * col("a_nrm") * col("b_nrm"))
+      .select(col("b_id").as("vec_id")).distinct()
+    asg.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cid").as("cluster"))
+      .orderBy("vec_id")
+  }
+  val semdedupPruneSql: String =
+    s"""WITH corpus AS (SELECT * FROM $DupCorpusSql),
+       |${kmeansCtes("corpus")},
+       |pr AS (
+       |  SELECT a2.vec_id, a2.cid,
+       |         list_transform(q, x -> x - $QShift) AS qu,
+       |         list_sum(list_transform(q, x -> (x - $QShift) * (x - $QShift))) AS nrm
+       |  FROM a2 JOIN quant USING (vec_id)),
+       |pairs AS (
+       |  SELECT b.vec_id AS bid,
+       |         list_sum(list_transform(range(1, ${Dim + 1}),
+       |                  i -> a.qu[i] * b.qu[i])) AS dot,
+       |         a.nrm AS na, b.nrm AS nb
+       |  FROM pr a JOIN pr b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       |drops AS (
+       |  SELECT DISTINCT bid FROM pairs
+       |  WHERE dot > 0
+       |    AND CAST(dot AS HUGEINT) * dot * $SimDen
+       |        >= $SimNum * CAST(na AS HUGEINT) * nb)
+       |SELECT vec_id, cid AS cluster FROM pr
+       |WHERE vec_id NOT IN (SELECT bid FROM drops)
+       |ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "kmeans_assign" -> kmeansAssign,
+    "semdedup_prune" -> semdedupPrune,
+  )
+  val oracles: Map[String, String] = Map(
+    "kmeans_assign" -> kmeansAssignSql,
+    "semdedup_prune" -> semdedupPruneSql,
+  )
+}

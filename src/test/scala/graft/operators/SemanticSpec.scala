@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, TestSpark}
+
+/** Invariants of the embedding-space curation ops that the oracle hash
+  * can't state directly: assignment bounds, the positive dedup path,
+  * and the scale-critical plan shapes (cluster-keyed pair join, no
+  * cartesian anywhere).
+  */
+class SemanticSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val Dir = "/root/testdata/sf0.001"
+
+  test("kmeans_assign: every vector lands in a cluster in [0, K)") {
+    val rows = SparkEntry.queries("kmeans_assign")(spark, Dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = graft.Tables.embeddings(spark, Dir).count()
+    assert(rows.length == n, "one assignment per input vector")
+    assert(rows.forall { case (_, c, d) => c >= 0 && c < Semantic.K && d >= 0 })
+    assert(rows.map(_._2).distinct.length > 1,
+      "harness data must exercise more than one cluster")
+  }
+
+  test("semdedup_prune: every injected exact copy is pruned, originals survive") {
+    val kept = SparkEntry.queries("semdedup_prune")(spark, Dir)
+      .collect().map(_.getLong(0)).toSet
+    val n = graft.Tables.embeddings(spark, Dir).count()
+    // the corpus unions a +100000-id exact copy of every 7th vector; an
+    // exact copy has cos = 1 >= tau against its earlier-id original in
+    // the same cluster, so none may survive
+    assert(!kept.exists(_ >= 100000), "all exact copies must be pruned")
+    assert(kept.nonEmpty && kept.size <= n)
+  }
+
+  test("semdedup pair search is cluster-keyed, never a cartesian") {
+    val p = SparkEntry.queries("semdedup_prune")(spark, Dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("CartesianProduct"),
+      s"no unconditioned all-pairs join anywhere in the plan:\n$p")
+    val equiOnCid = p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("cid#"))
+    assert(equiOnCid, s"the pairwise search must equi-join on the cluster id:\n$p")
+  }
+}
