@@ -21,6 +21,10 @@ object SparkEntry {
       ch => graft.expressions.DotProduct(ch.head, ch(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_doti",
+      ch => graft.expressions.DotProductLong(ch.head, ch(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash",
       ch => graft.expressions.SimHashVotes(ch.head, ch(1)),
       "built-in")

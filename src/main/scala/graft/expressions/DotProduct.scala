@@ -83,6 +83,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_doti"),
+      new ExpressionInfo(classOf[DotProductLong].getName, "graft_doti"),
+      (children: Seq[Expression]) => DotProductLong(children.head, children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashVotes].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHashVotes(children.head, children(1))))

@@ -43,7 +43,7 @@ object Indexing {
   val MinCount = 30L
 
   // ---------------------------------------------------------------------
-  // X26 tfidf_topk — per-document top-k terms by tf·idf
+  // X29 tfidf_topk — per-document top-k terms by tf·idf
   // ---------------------------------------------------------------------
 
   /** (doc_id, term, tf) — one row per distinct term per doc. */
@@ -95,7 +95,7 @@ object Indexing {
        |ORDER BY doc_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
-  // X27 inverted_index — capped postings lists
+  // X30 inverted_index — capped postings lists
   // ---------------------------------------------------------------------
 
   /** term → (df, postings) where postings = "doc:tf doc:tf …" in doc_id
@@ -133,7 +133,7 @@ object Indexing {
        |ORDER BY term""".stripMargin
 
   // ---------------------------------------------------------------------
-  // X28 vocab_build — frequency-ranked vocabulary ids
+  // X31 vocab_build — frequency-ranked vocabulary ids
   // ---------------------------------------------------------------------
 
   /** Dense vocabulary ids by (count desc, term asc), floor-filtered at

@@ -54,11 +54,16 @@ object Semantic {
   // shared k-means core
   // ---------------------------------------------------------------------
 
-  /** (vec_id, q) with q = shifted quantized embedding. */
+  /** (vec_id, q, na) with q = shifted quantized embedding and
+    * na = ‖q‖² via the codegen'd [[graft.expressions.DotProductLong]]
+    * kernel — precomputed once so every distance below is
+    * na − 2·(q·c) + ‖c‖², one fused-loop dot per centroid instead of a
+    * per-element interpreted fold. */
   private def quantShifted(vecs: DataFrame): DataFrame =
     vecs.select(col("vec_id"), expr(
       s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT) + $QShift)")
       .as("q"))
+      .withColumn("na", expr("graft_doti(q, q)"))
 
   /** K seed centroids: the K vectors with the smallest
     * `md5(vec_id)` — a deterministic pseudo-random draw (same trick as
@@ -67,21 +72,24 @@ object Semantic {
     vecs.withColumn("mh", md5(col("vec_id").cast("string")))
       .orderBy("mh").limit(K)
       .withColumn("cid", (row_number().over(Window.orderBy("mh")) - 1).cast("long"))
-      .select(col("cid"), col("q").as("c"))
+      .select(col("cid"), col("q").as("c"), col("na").as("nc"))
 
   /** Nearest-centroid assignment as a PURE PROJECTION: the K centroids
     * ride along as a one-row broadcast array and each row folds over
     * them — no shuffle, no join on the corpus. Ties break to the lowest
     * cid (the array is cid-sorted and `array_min` compares (d, cid)). */
   private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val arr = cents.agg(sort_array(collect_list(struct(col("cid"), col("c")))).as("cents"))
+    val arr = cents.agg(
+      sort_array(collect_list(struct(col("cid"), col("c"), col("nc")))).as("cents"))
     vecs.crossJoin(broadcast(arr))
+      // Σ(q−c)² expanded to na − 2·q·c + nc: all three terms exact longs,
+      // identical to the folded form, but the per-centroid cost is one
+      // codegen'd graft_doti loop instead of an interpreted element fold
       .withColumn("best", expr(
         """array_min(transform(cents, cc -> named_struct(
-          |  'd', aggregate(zip_with(q, cc.c, (a, b) -> (a - b) * (a - b)),
-          |                 0L, (acc, x) -> acc + x),
+          |  'd', na - 2L * graft_doti(q, cc.c) + cc.nc,
           |  'cid', cc.cid)))""".stripMargin))
-      .select(col("vec_id"), col("q"),
+      .select(col("vec_id"), col("q"), col("na"),
         col("best.cid").as("cid"), col("best.d").as("d"))
   }
 
@@ -94,12 +102,20 @@ object Semantic {
       .groupBy("cid", "pos").agg(expr("sum(col) div count(1)").as("cv"))
       .groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("c"))
+      .withColumn("nc", expr("graft_doti(c, c)"))
 
-  /** [[Iters]] assignment rounds over (vec_id, q). */
-  private def kmeans(vecs: DataFrame): DataFrame =
-    (2 to Iters).foldLeft(assign(vecs, initCents(vecs))) { (a, _) =>
-      assign(a.select("vec_id", "q"), updateCents(a))
+  /** [[Iters]] assignment rounds over (vec_id, q, na). Multi-consumer
+    * intermediates are persisted (the quantized corpus feeds seeding +
+    * round 1; each round's assignment feeds the centroid update AND the
+    * next round) — computed once, re-read from cache; both harnesses
+    * clearCache after the consuming action. */
+  private def kmeans(vecs: DataFrame): DataFrame = {
+    val v = vecs.persist()
+    (2 to Iters).foldLeft(assign(v, initCents(v))) { (a, _) =>
+      val r = a.persist()
+      assign(r.select("vec_id", "q", "na"), updateCents(r))
     }
+  }
 
   /** The same rounds as DuckDB CTEs over `rel(vec_id, embedding)`
     * (caller opens the WITH). */
@@ -136,7 +152,7 @@ object Semantic {
   }
 
   // ---------------------------------------------------------------------
-  // X29 kmeans_assign
+  // X32 kmeans_assign
   // ---------------------------------------------------------------------
 
   /** Final cluster assignment over `embeddings` after [[Iters]] Lloyd
@@ -153,7 +169,7 @@ object Semantic {
        |FROM a2 ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
-  // X30 semdedup_prune
+  // X33 semdedup_prune
   // ---------------------------------------------------------------------
 
   /** Exact-copy re-ingestions of every 7th vector — the provably
@@ -178,11 +194,13 @@ object Semantic {
     * LONG at 64 dims; the cross-multiplied comparison runs in
     * decimal(38,0) / int128). */
   val semdedupPrune: Q = (spark, dir) => {
+    // persisted: feeds both sides of the pair join and the final
+    // anti-join base — three consumers of one kmeans run
     val asg = kmeans(quantShifted(dupCorpus(spark, dir)))
       .withColumn("qu", expr(s"transform(q, x -> x - $QShift)"))
-      .withColumn("nrm", expr(
-        s"aggregate(transform(qu, x -> x * x), 0L, (acc, x) -> acc + x)"))
+      .withColumn("nrm", expr("graft_doti(qu, qu)"))
       .select("vec_id", "cid", "qu", "nrm")
+      .persist()
     val a = asg.select(col("cid"), col("vec_id").as("a_id"),
       col("qu").as("a_qu"), col("nrm").as("a_nrm"))
     val b = asg.select(col("cid"), col("vec_id").as("b_id"),
@@ -190,8 +208,7 @@ object Semantic {
     val dec: Column => Column = _.cast("decimal(38,0)")
     val dropped = a.join(b, "cid")
       .filter(col("a_id") < col("b_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(a_qu, b_qu, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("graft_doti(a_qu, b_qu)"))
       .filter(col("dot") > 0 &&
         dec(col("dot")) * col("dot") * SimDen >= dec(lit(SimNum)) * col("a_nrm") * col("b_nrm"))
       .select(col("b_id").as("vec_id")).distinct()
