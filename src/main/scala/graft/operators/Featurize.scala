@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup.{h60Duck, h60Sql}
+
+/** Feature hashing and linear-model inference over `documents` — the
+  * "model-based quality filter" stage of a curation pipeline, reduced
+  * to its distributed essentials: hash tokens into a fixed-D count
+  * vector (Weinberger et al. 2009 feature hashing; the fastText input
+  * layer), then score with a fixed integer weight vector. Real
+  * campaigns load trained weights; the harness derives deterministic
+  * pseudo-weights so the INFERENCE machinery (vectorize → dot → keep
+  * verdict) is what's exercised and oracle-checked.
+  *
+  * All integer arithmetic: counts are longs, weights are small ints,
+  * scores are exact — the cross-engine determinism contract of the
+  * Dedup/Semantic families.
+  */
+object Featurize {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Hashed-feature dimensionality. Tiny here; production uses 2^18+ —
+    * the plan shape (pure projection) is D-independent. */
+  val Dim = 16
+
+  /** Deterministic pseudo-weights: w(i) = (i·2654435761) mod 1009 − 504
+    * (Knuth multiplicative constant; zero-centered). */
+  private[operators] def weight(i: Int): Long =
+    (i.toLong * 2654435761L) % 1009L - 504L
+
+  /** Per-row hashed count vector as a SQL expr: tokens → h60 mod D once
+    * per token, then D filtered counts. Pure array algebra — no
+    * explode, no shuffle. */
+  private def countsExpr = {
+    val h = h60Sql("w")
+    s"""transform(sequence(0, ${Dim - 1}),
+       |  i -> CAST(size(filter(hs, h -> h = i)) AS BIGINT))""".stripMargin ->
+      s"transform(split(text, ' '), w -> pmod($h, $Dim))"
+  }
+
+  // ---------------------------------------------------------------------
+  // X34 hash_embed — feature-hashed bag-of-words vectors
+  // ---------------------------------------------------------------------
+
+  /** (doc_id, emb, nnz): the D-dim hashed count vector (comma-joined —
+    * exact string compare beats array-column hashing in the driver) and
+    * its nonzero count. */
+  val hashEmbed: Q = (spark, dir) => {
+    val (counts, hs) = countsExpr
+    Tables.documents(spark, dir)
+      .withColumn("hs", expr(hs))
+      .withColumn("cnts", expr(counts))
+      .select(col("doc_id"),
+        array_join(col("cnts"), ",").as("emb"),
+        expr("CAST(size(filter(cnts, c -> c > 0L)) AS BIGINT)").as("nnz"))
+      .orderBy("doc_id")
+  }
+  val hashEmbedSql: String = {
+    val h = h60Duck("w")
+    s"""SELECT doc_id,
+       |       array_to_string(cnts, ',') AS emb,
+       |       CAST(len(list_filter(cnts, c -> c > 0)) AS BIGINT) AS nnz
+       |FROM (
+       |  SELECT doc_id,
+       |         list_transform(range(0, $Dim),
+       |           i -> CAST(len(list_filter(hs, h -> h = i)) AS BIGINT)) AS cnts
+       |  FROM (
+       |    SELECT doc_id,
+       |           list_transform(string_split(text, ' '),
+       |             w -> ($h % $Dim + $Dim) % $Dim) AS hs
+       |    FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // X35 linear_quality_score — integer linear inference + keep verdict
+  // ---------------------------------------------------------------------
+
+  /** score = Σᵢ cnt[i]·w[i]; keep ⟺ score ≥ 0. The weights ride along
+    * as an array literal (a loaded model broadcast in production);
+    * the dot runs through the codegen'd graft_doti kernel. */
+  val linearQualityScore: Q = (spark, dir) => {
+    val (counts, hs) = countsExpr
+    val w = (0 until Dim).map(weight).mkString("array(", "L, ", "L)")
+    Tables.documents(spark, dir)
+      .withColumn("hs", expr(hs))
+      .withColumn("cnts", expr(counts))
+      .withColumn("score", expr(s"graft_doti(cnts, $w)"))
+      .select(col("doc_id"), col("score"), (col("score") >= 0).as("keep"))
+      .orderBy("doc_id")
+  }
+  val linearQualityScoreSql: String = {
+    val h = h60Duck("w")
+    val w = (0 until Dim).map(weight).mkString("[", ", ", "]")
+    s"""SELECT doc_id, score, score >= 0 AS keep FROM (
+       |  SELECT doc_id,
+       |         CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |           i -> cnts[i] * ($w)[i])) AS BIGINT) AS score
+       |  FROM (
+       |    SELECT doc_id,
+       |           list_transform(range(0, $Dim),
+       |             i -> CAST(len(list_filter(hs, h -> h = i)) AS BIGINT)) AS cnts
+       |    FROM (
+       |      SELECT doc_id,
+       |             list_transform(string_split(text, ' '),
+       |               w -> ($h % $Dim + $Dim) % $Dim) AS hs
+       |      FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "hash_embed" -> hashEmbed,
+    "linear_quality_score" -> linearQualityScore,
+  )
+  val oracles: Map[String, String] = Map(
+    "hash_embed" -> hashEmbedSql,
+    "linear_quality_score" -> linearQualityScoreSql,
+  )
+}
