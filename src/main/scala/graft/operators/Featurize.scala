@@ -16,7 +16,9 @@ import graft.operators.Dedup.{h60Duck, h60Sql}
   *
   * All integer arithmetic: counts are longs, weights are small ints,
   * scores are exact — the cross-engine determinism contract of the
-  * Dedup/Semantic families.
+  * Dedup/Semantic families. Shape: explode → codegen'd hash projection
+  * → map-side-combinable (doc, bucket) agg; the shuffle carries ≤ D
+  * rows per doc (hash_embed) or one partial sum per doc (scoring).
   */
 object Featurize {
   type Q = (SparkSession, String) => DataFrame
@@ -30,15 +32,14 @@ object Featurize {
   private[operators] def weight(i: Int): Long =
     (i.toLong * 2654435761L) % 1009L - 504L
 
-  /** Per-row hashed count vector as a SQL expr: tokens → h60 mod D once
-    * per token, then D filtered counts. Pure array algebra — no
-    * explode, no shuffle. */
-  private def countsExpr = {
-    val h = h60Sql("w")
-    s"""transform(sequence(0, ${Dim - 1}),
-       |  i -> CAST(size(filter(hs, h -> h = i)) AS BIGINT))""".stripMargin ->
-      s"transform(split(text, ' '), w -> pmod($h, $Dim))"
-  }
+  /** (doc_id, h) one row per token, h = h60(token) mod D. The hash
+    * runs as a CODEGEN'D column expression after the explode — an
+    * array-lambda spelling (`transform(words, w -> md5...)`) evaluates
+    * the hash interpreted per element and was ~10× slower at sf0.1. */
+  private def tokenHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), expr(s"pmod(${h60Sql("w")}, $Dim)").as("h"))
 
   // ---------------------------------------------------------------------
   // X34 hash_embed — feature-hashed bag-of-words vectors
@@ -47,16 +48,17 @@ object Featurize {
   /** (doc_id, emb, nnz): the D-dim hashed count vector (comma-joined —
     * exact string compare beats array-column hashing in the driver) and
     * its nonzero count. */
-  val hashEmbed: Q = (spark, dir) => {
-    val (counts, hs) = countsExpr
-    Tables.documents(spark, dir)
-      .withColumn("hs", expr(hs))
-      .withColumn("cnts", expr(counts))
+  val hashEmbed: Q = (spark, dir) =>
+    tokenHashes(spark, dir)
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("h"), col("cnt")))).as("m"))
+      .withColumn("cnts", expr(
+        s"transform(sequence(0, ${Dim - 1}), i -> coalesce(m[CAST(i AS BIGINT)], 0L))"))
       .select(col("doc_id"),
         array_join(col("cnts"), ",").as("emb"),
         expr("CAST(size(filter(cnts, c -> c > 0L)) AS BIGINT)").as("nnz"))
       .orderBy("doc_id")
-  }
   val hashEmbedSql: String = {
     val h = h60Duck("w")
     s"""SELECT doc_id,
@@ -78,16 +80,15 @@ object Featurize {
   // X35 linear_quality_score — integer linear inference + keep verdict
   // ---------------------------------------------------------------------
 
-  /** score = Σᵢ cnt[i]·w[i]; keep ⟺ score ≥ 0. The weights ride along
-    * as an array literal (a loaded model broadcast in production);
-    * the dot runs through the codegen'd graft_doti kernel. */
+  /** score = Σᵢ cnt[i]·w[i] = Σ_tokens w[h(token)]: each token row
+    * contributes its bucket weight straight into one map-side-combinable
+    * sum — the dense vector never materializes. The weights ride along
+    * as an array literal (a loaded model broadcast in production). */
   val linearQualityScore: Q = (spark, dir) => {
-    val (counts, hs) = countsExpr
     val w = (0 until Dim).map(weight).mkString("array(", "L, ", "L)")
-    Tables.documents(spark, dir)
-      .withColumn("hs", expr(hs))
-      .withColumn("cnts", expr(counts))
-      .withColumn("score", expr(s"graft_doti(cnts, $w)"))
+    tokenHashes(spark, dir)
+      .groupBy("doc_id")
+      .agg(sum(expr(s"element_at($w, CAST(h + 1 AS INT))")).as("score"))
       .select(col("doc_id"), col("score"), (col("score") >= 0).as("keep"))
       .orderBy("doc_id")
   }
