@@ -174,14 +174,83 @@ object Indexing {
        |  GROUP BY 1 HAVING count(*) >= $MinCount)
        |ORDER BY vocab_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X40 bm25_topk — per-document top-k terms by exact-rational BM25
+  // ---------------------------------------------------------------------
+
+  /** Per-doc top-[[TopK]] terms under BM25 (k1 = 3/2, b = 3/4), kept
+    * EXACT by clearing denominators instead of evaluating floats:
+    *
+    *   score = idf · tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl·N/tdl)
+    *         = (idfs·tf·20·tdl) div (8·tf·tdl + 3·tdl + 9·dl·N)
+    *
+    * with idfs the same integer-scaled reciprocal IDF as [[tfidfTopk]],
+    * dl the doc token count, tdl the corpus token count, N the doc
+    * count — multiply numerator and denominator by 8·tdl and every term
+    * is an integer. The products run in DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB): idfs·tf·20·tdl reaches ~10²⁸ at a 10¹²-token
+    * corpus, past BIGINT, and ANSI mode would abort on the overflow a
+    * silent engine would corrupt. The quotient is back under 2^63
+    * (≤ idfs·5/2) before the BIGINT cast. Ranking semantics match the
+    * float spelling wherever the float spelling is stable — and unlike
+    * it, integer division can't flip a rank tie in the last ulp between
+    * engines.
+    *
+    * Plan shape is [[tfidfTopk]]'s (explode → two hash aggs → vocab
+    * join → bounded per-doc window) plus one broadcast-joined per-doc
+    * length relation — same scale story, no new shuffle class.
+    */
+  val bm25Topk: Q = (spark, dir) => {
+    val tf = tfRel(spark, dir)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val g = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n"), sum(size(split(col("text"), " ")).cast("long")).as("tdl"))
+    val scored = tf.join(df, "term").join(dl, "doc_id").crossJoin(g)
+      .withColumn("score", expr(
+        s"""CAST((CAST((n * $IdfScale) div df AS DECIMAL(38,0)) * tf * 20 * tdl)
+           | div (CAST(8 AS DECIMAL(38,0)) * tf * tdl + CAST(3 AS DECIMAL(38,0)) * tdl
+           |      + CAST(9 AS DECIMAL(38,0)) * dl * n) AS BIGINT)""".stripMargin))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= TopK)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+  val bm25TopkSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       |g AS (SELECT count(*) AS n, (SELECT sum(dl) FROM dl) AS tdl FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf,
+       |         CAST((CAST((g.n * $IdfScale) // df.df AS HUGEINT) * tf.tf * 20 * g.tdl)
+       |              // (8 * CAST(tf.tf AS HUGEINT) * g.tdl + 3 * CAST(g.tdl AS HUGEINT)
+       |                  + 9 * CAST(dl.dl AS HUGEINT) * g.n)
+       |              AS BIGINT) AS score
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g)
+       |SELECT doc_id, rank, term, tf, score FROM (
+       |  SELECT doc_id, term, tf, score,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+       |  FROM scored)
+       |WHERE rank <= $TopK ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tfidf_topk" -> tfidfTopk,
     "inverted_index" -> invertedIndex,
     "vocab_build" -> vocabBuild,
+    "bm25_topk" -> bm25Topk,
   )
   val oracles: Map[String, String] = Map(
     "tfidf_topk" -> tfidfTopkSql,
     "inverted_index" -> invertedIndexSql,
     "vocab_build" -> vocabBuildSql,
+    "bm25_topk" -> bm25TopkSql,
   )
 }

@@ -342,16 +342,54 @@ object Similarity {
        |  FROM cands)
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // 5. random_projection — Johnson–Lindenstrauss dimensionality reduction
+  // ---------------------------------------------------------------------
+
+  private val ProjDims = 8
+
+  /** Project the 64-dim embeddings onto the first [[ProjDims]] of the
+    * shared pseudo-random hyperplanes — the dense-JL companion to the
+    * sign-only LSH above (same planes, kept real-valued instead of
+    * thresholded to a bit). This is the standard pre-ANN compression
+    * pass: distances are approximately preserved at 8/64 the storage
+    * and dot-product cost, and downstream consumers (IVF training,
+    * cosine filters) run on the short vectors.
+    *
+    * Purely row-local: a projection off broadcast-constant planes —
+    * no shuffle, no join; the plan is one codegen'd map over the scan.
+    * Components surface as floor(1000·proj) integers: the dots
+    * themselves are bit-identical across engines (left-fold, see
+    * object Scaladoc), the scaling makes the driver's hash compare
+    * integer-only.
+    */
+  val randomProjection: Q = (spark, dir) => {
+    val e = Tables.embeddingsD(spark, dir)
+    val comps = (0 until ProjDims).map(q =>
+      floor(expr(dotSql("embedding", planeLit(q))) * 1000).as(s"proj$q"))
+    e.select(col("vec_id") +: comps: _*).orderBy("vec_id")
+  }
+  val randomProjectionSql: String = {
+    val comps = (0 until ProjDims).map(q =>
+      s"CAST(floor(${dotDuck("embedding", planeDuck(q))} * 1000) AS BIGINT) AS proj$q")
+      .mkString(",\n       ")
+    s"""SELECT vec_id,
+       |       $comps
+       |FROM $EmbD ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "cosine_topk_bruteforce" -> cosineTopkBruteforce,
     "embedding_cosine_near_dup" -> embeddingCosineNearDup,
     "ann_lsh_bucket_top1" -> annLshBucketTop1,
     "ann_ivf_topk" -> annIvfTopk,
+    "random_projection" -> randomProjection,
   )
   val oracles: Map[String, String] = Map(
     "cosine_topk_bruteforce" -> cosineTopkBruteforceSql,
     "embedding_cosine_near_dup" -> embeddingCosineNearDupSql,
     "ann_lsh_bucket_top1" -> annLshBucketTop1Sql,
     "ann_ivf_topk" -> annIvfTopkSql,
+    "random_projection" -> randomProjectionSql,
   )
 }

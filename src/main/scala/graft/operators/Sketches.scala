@@ -121,6 +121,177 @@ object Sketches {
        |ORDER BY user_id""".stripMargin
   }
 
-  val queries: Map[String, Q] = Map("bloom_prefilter" -> bloomPrefilter)
-  val oracles: Map[String, String] = Map("bloom_prefilter" -> bloomPrefilterSql)
+  // ---------------------------------------------------------------------
+  // X38 hll_distinct — HyperLogLog cardinality per group
+  // ---------------------------------------------------------------------
+
+  /** HLL register count m = 2^P. P = 4 keeps the harness corpora
+    * (25–250 distinct per group) in the RAW-estimate regime at the gate
+    * scale factors; a production campaign estimating 10⁹+ keys runs
+    * P = 12–16 — only these two constants change. */
+  private[operators] val HllP = 4
+  private[operators] val HllM = 1 << HllP // 16 registers
+  /** Rank field width: h60 is 60 bits, bucket takes P of them. */
+  private val HllRankBits = 60 - HllP // 56 → rank ∈ [1, 57]
+  /** α_m·m²·2^RankBits, precomputed HERE and embedded as ONE full-
+    * precision literal in both engines: a decimal literal parses to the
+    * same correctly-rounded double everywhere, whereas re-deriving it
+    * risks each engine's literal typing rules (DuckDB reads bare
+    * decimals as DECIMAL, not DOUBLE). α_16 = 0.673 per Flajolet '07. */
+  private val HllNumerator: Double = 0.673 * HllM * HllM * math.pow(2.0, HllRankBits + 1)
+  private val HllNumLit: String = java.lang.Double.toString(HllNumerator)
+
+  /** `hll_distinct` — distinct-content cardinality per source, estimated
+    * from a 16-register HyperLogLog over the exact-dupe corpus (the
+    * dedup-planning probe: "how many unique docs per source" WITHOUT a
+    * corpus-wide distinct — the sketch is m integers per group, merged
+    * with a `max` aggregate that is map-side combinable and
+    * associative, i.e. cluster-mergeable by construction).
+    *
+    * Portable determinism: rank = leading-zero run of the 56-bit hash
+    * suffix computed as 57 - bit_length(rest) with `length(bin(x))` —
+    * exact integer ops in both engines (no log2 float). The register
+    * sum Σ 2^(57-M_j) is EXACT in a BIGINT (≤ 16·2^57 = 2^61), so the
+    * only float op is the final constant/sum division — one correctly-
+    * rounded IEEE op on identical inputs → identical doubles → identical
+    * floors. The small-range linear-counting correction (m·ln(m/V)) is
+    * deliberately OMITTED: `ln` is not in IEEE's correctly-rounded set,
+    * so it could flip a floor between engines; the raw estimate is the
+    * cross-engine-checkable core, and `n_exact` sits beside it in the
+    * output precisely to expose the resulting small-n bias.
+    *
+    * Output: (source, n_exact, n_hll) — n_exact from an exact distinct
+    * (the verifiable error bar; a real campaign would drop it).
+    */
+  val hllDistinct: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir).select("doc_id", "source", "text")
+    val corpus = d.unionByName(
+      d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("source"), col("text")))
+    val parts = corpus
+      .withColumn("h", Dedup.h60(col("text")))
+      .select(col("source"), pmod(col("h"), lit(HllM.toLong)).as("bucket"),
+        expr(s"h div $HllM").as("rest"))
+    val regs = parts.groupBy("source", "bucket")
+      .agg(max(when(col("rest") === 0, lit(HllRankBits + 1))
+        .otherwise(lit(HllRankBits + 1) - length(bin(col("rest"))))).as("m"))
+    val grid = Tables.documents(spark, dir).select("source").distinct()
+      .select(col("source"), explode(expr(s"sequence(0L, ${HllM - 1}L)")).as("bucket"))
+    val s = grid.join(regs, Seq("source", "bucket"), "left")
+      .withColumn("m", coalesce(col("m"), lit(0)))
+      .groupBy("source")
+      .agg(sum(expr(s"shiftleft(1L, CAST(${HllRankBits + 1} - m AS INT))")).as("s"))
+    val exact = corpus.groupBy("source").agg(count_distinct(md5(col("text"))).as("n_exact"))
+    exact.join(s, "source")
+      .select(col("source"), col("n_exact"),
+        floor(lit(HllNumerator) / col("s").cast("double")).as("n_hll"))
+      .orderBy("source")
+  }
+  val hllDistinctSql: String = {
+    val rb = HllRankBits + 1
+    s"""WITH corpus AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, source, text FROM documents WHERE doc_id % 3 = 0),
+       |parts AS (SELECT source, h % $HllM AS bucket, h // $HllM AS rest
+       |  FROM (SELECT source, ${h60Duck("text")} AS h FROM corpus)),
+       |regs AS (SELECT source, bucket,
+       |    max(CASE WHEN rest = 0 THEN $rb ELSE $rb - length(bin(rest)) END) AS m
+       |  FROM parts GROUP BY 1, 2),
+       |grid AS (SELECT l.source AS gsource, g.range AS bucket
+       |         FROM (SELECT DISTINCT source FROM documents) l CROSS JOIN range(0, $HllM) g),
+       |s AS (SELECT gsource, sum(CAST(1 AS BIGINT) << ($rb - coalesce(regs.m, 0))) AS s
+       |  FROM grid LEFT JOIN regs ON gsource = regs.source AND grid.bucket = regs.bucket
+       |  GROUP BY 1),
+       |ex AS (SELECT source, count(DISTINCT md5(text)) AS n_exact FROM corpus GROUP BY 1)
+       |SELECT ex.source, ex.n_exact,
+       |       CAST(floor($HllNumLit / CAST(s.s AS DOUBLE)) AS BIGINT) AS n_hll
+       |FROM ex JOIN s ON ex.source = s.gsource
+       |ORDER BY ex.source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // X39 cms_heavy_hitters — count-min sketch frequency estimation
+  // ---------------------------------------------------------------------
+
+  private val CmsDepth = 3    // independent hash rows
+  private val CmsWidth = 1024 // counters per row
+  /** φ heavy-hitter threshold: report terms whose CMS estimate is at
+    * least 1/φ⁻¹ = 1/200 of the token stream. */
+  private val CmsPhiInv = 200L
+
+  /** `cms_heavy_hitters` — token-frequency heavy hitters from a
+    * count-min sketch (Cormode–Muthukrishnan '05): the sketch is
+    * [[CmsDepth]]×[[CmsWidth]] integer counters — a FIXED-size state
+    * (24 KB here) that replaces the vocabulary-sized exact count at
+    * query time, merges across partitions/clusters by addition (the
+    * groupBy is map-side combinable), and only ever OVER-estimates.
+    * Estimates are min-over-rows; the φ-threshold then yields every
+    * true heavy hitter (no false negatives, CMS guarantee) plus any
+    * deterministic collision-inflated extras — both engines build the
+    * identical sketch from the identical h60 family, so even those
+    * extras match bit-for-bit.
+    *
+    * Output: (term, est_count, exact_count) for terms with
+    * est ≥ stream/200 — exact_count (one extra hash agg, vocabulary-
+    * sized) sits beside the estimate to expose any overestimate, same
+    * verifiability contract as [[hllDistinct]].
+    */
+  val cmsHeavyHitters: Q = (spark, dir) => {
+    val tok = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val rows = (0 until CmsDepth).map(i =>
+      struct(lit(i).as("i"),
+        expr(s"pmod(${h60Sql(s"concat('$i:', term)")}, $CmsWidth)").as("pos")))
+    val sketch = tok.select(explode(array(rows: _*)).as("r"))
+      .groupBy(col("r.i").as("i"), col("r.pos").as("pos"))
+      .agg(count(lit(1)).as("cnt"))
+    val terms = tok.groupBy("term").agg(count(lit(1)).as("exact_count"))
+    val tpos = terms.select((col("term") +: col("exact_count") +:
+      (0 until CmsDepth).map(i =>
+        expr(s"pmod(${h60Sql(s"concat('$i:', term)")}, $CmsWidth)").as(s"pos$i"))): _*)
+      .select(col("term"), col("exact_count"),
+        explode(array((0 until CmsDepth).map(i =>
+          struct(lit(i).as("i"), col(s"pos$i").as("pos"))): _*)).as("r"))
+      .select(col("term"), col("exact_count"), col("r.i").as("i"), col("r.pos").as("pos"))
+    val est = tpos.join(sketch, Seq("i", "pos"))
+      .groupBy("term")
+      .agg(min(col("exact_count")).as("exact_count"), min(col("cnt")).as("est_count"))
+    val total = tok.agg(count(lit(1)).as("n"))
+    est.crossJoin(total)
+      .filter(col("est_count") >= expr(s"n div $CmsPhiInv"))
+      .select(col("term"), col("est_count"), col("exact_count"))
+      .orderBy("term")
+  }
+  val cmsHeavyHittersSql: String = {
+    def posDuck(rel: String): String =
+      s"CAST('0x' || substr(md5(i.range || ':' || $rel.term),1,15) AS BIGINT) % $CmsWidth"
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+       |pos AS (
+       |  SELECT i.range AS i, ${posDuck("tok")} AS pos
+       |  FROM tok CROSS JOIN range(0, $CmsDepth) i),
+       |sketch AS (SELECT i, pos, count(*) AS cnt FROM pos GROUP BY 1, 2),
+       |terms AS (SELECT term, count(*) AS exact_count FROM tok GROUP BY 1),
+       |tpos AS (
+       |  SELECT term, exact_count, i.range AS i, ${posDuck("terms")} AS pos
+       |  FROM terms CROSS JOIN range(0, $CmsDepth) i),
+       |est AS (
+       |  SELECT term, min(exact_count) AS exact_count, min(cnt) AS est_count
+       |  FROM tpos JOIN sketch USING (i, pos) GROUP BY term),
+       |total AS (SELECT count(*) AS n FROM tok)
+       |SELECT term, est_count, exact_count
+       |FROM est CROSS JOIN total WHERE est_count >= n // $CmsPhiInv
+       |ORDER BY term""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "bloom_prefilter" -> bloomPrefilter,
+    "hll_distinct" -> hllDistinct,
+    "cms_heavy_hitters" -> cmsHeavyHitters,
+  )
+  val oracles: Map[String, String] = Map(
+    "bloom_prefilter" -> bloomPrefilterSql,
+    "hll_distinct" -> hllDistinctSql,
+    "cms_heavy_hitters" -> cmsHeavyHittersSql,
+  )
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Laws for the retrieval scorers that the DuckDB oracle alone can't
+  * state: BM25's structural properties on a controlled corpus.
+  */
+class IndexingSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bm25_topk emits exactly ranks 1..k per doc, scores weakly decreasing") {
+    val rows = Indexing.bm25Topk(spark, dir)
+      .select("doc_id", "rank", "score").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq === (1L to byRank.length).toSeq, s"doc=$doc")
+      val scores = byRank.map(_.getLong(2)).toSeq
+      assert(scores === scores.sorted.reverse, s"doc=$doc scores not monotone: $scores")
+      assert(scores.forall(_ >= 0), s"doc=$doc negative score")
+    }
+  }
+
+  test("bm25 length normalization: same tf scores lower in a longer doc") {
+    import spark.implicits._
+    // two docs, both containing 'rare' once; doc 2 is 4x longer. The
+    // registered query reads from parquet, so exercise the scoring
+    // formula through a temp view with the same SQL shape.
+    val docs = Seq(
+      (1L, "rare alpha beta gamma"),
+      (2L, "rare " + Seq.fill(15)("filler").mkString(" "))).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("bm25_docs")
+    val out = spark.sql(
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, explode(split(text, ' ')) AS term FROM bm25_docs)
+         |  GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, size(split(text, ' ')) AS dl FROM bm25_docs),
+         |g AS (SELECT count(*) AS n,
+         |             (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS tdl FROM bm25_docs)
+         |SELECT tf.doc_id,
+         |       CAST((CAST((n * ${Indexing.IdfScale}) div df AS DECIMAL(38,0)) * tf * 20 * tdl)
+         |        div (CAST(8 AS DECIMAL(38,0)) * tf * tdl + CAST(3 AS DECIMAL(38,0)) * tdl
+         |             + CAST(9 AS DECIMAL(38,0)) * dl * n) AS BIGINT) AS score
+         |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+         |WHERE term = 'rare'""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) > out(2L),
+      s"short doc should outscore long doc at equal tf: $out")
+  }
+}
