@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Relational, Scalars, TimeRepair, Dedup, TextAnalysis, Similarity, Multimodal, ScanQueries, Windows, Curation, TemporalJoins, Sketches, Olap, TrainingMix, Pipeline, Indexing, Semantic, Featurize, Chunking}
+import graft.operators.{Relational, Scalars, TimeRepair, Dedup, TextAnalysis, Similarity, Multimodal, ScanQueries, Windows, Curation, TemporalJoins, Sketches, Olap, TrainingMix, Pipeline, Indexing, Semantic, Featurize, Chunking, Layout}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,7 +44,7 @@ object SparkEntry {
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
       Multimodal.queries ++ ScanQueries.queries ++ Windows.queries ++
       Curation.queries ++ TemporalJoins.queries ++ Sketches.queries ++ Olap.queries ++
-      TrainingMix.queries ++ Pipeline.queries ++ Indexing.queries ++ Semantic.queries ++ Featurize.queries ++ Chunking.queries)
+      TrainingMix.queries ++ Pipeline.queries ++ Indexing.queries ++ Semantic.queries ++ Featurize.queries ++ Chunking.queries ++ Layout.queries)
       .map { case (k, f) =>
         k -> ((s: SparkSession, d: String) => { ensure(s); f(s, d) })
       }
@@ -56,5 +56,5 @@ object SparkEntry {
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ ScanQueries.oracles ++ Windows.oracles ++
       Curation.oracles ++ TemporalJoins.oracles ++ Sketches.oracles ++ Olap.oracles ++
-      TrainingMix.oracles ++ Pipeline.oracles ++ Indexing.oracles ++ Semantic.oracles ++ Featurize.oracles ++ Chunking.oracles
+      TrainingMix.oracles ++ Pipeline.oracles ++ Indexing.oracles ++ Semantic.oracles ++ Featurize.oracles ++ Chunking.oracles ++ Layout.oracles
 }

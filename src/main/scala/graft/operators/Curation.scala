@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.operators.Dedup.{h60, h60Duck}
 
@@ -242,16 +243,79 @@ object Curation {
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // 5. reservoir_sample — fixed-k per-group sample by hash order statistic
+  // ---------------------------------------------------------------------
+
+  /** Sample size per group. */
+  private[operators] val ReservoirK = 10
+  /** Pre-filter safety factor: keep rows whose hash falls in the lowest
+    * `SafetyC·k/n` fraction before ranking (see Scaladoc). */
+  private[operators] val SafetyC = 8L
+
+  /** Fixed-k uniform sample per source — the distributed replacement for
+    * the streaming reservoir algorithm (which is inherently sequential):
+    * rank every row by a content-keyed hash and keep the k smallest per
+    * group. Under the random-oracle hash this IS a uniform k-sample,
+    * with the reservoir's defining property (fixed output size however
+    * large the group) plus reproducibility across runs, engines, and
+    * partitionings — three things Vitter's algorithm R can't give you on
+    * a cluster without serializing the stream.
+    *
+    * Scale shape: the naive spelling ranks n rows per group through one
+    * window sort. Instead the hash-uniformity that makes the sample
+    * correct also BOUNDS the kth order statistic: E[kth smallest of n
+    * uniform hashes] ≈ k/n·2^60, so a pre-filter at `SafetyC·k/n·2^60`
+    * passes ~C·k rows per group and the window sorts ~C·k, not n. The
+    * threshold is part of the operator's (deterministic) semantics and
+    * the oracle applies the identical filter, so the gate checks the
+    * exact same relation. The miss probability — a group whose kth hash
+    * exceeds the bound, surfacing as <k sampled rows — is
+    * P[Binom(n, C·k/n) < k] ≤ e^{-k(C−1)²/(C+1)} ≈ 4·10⁻⁶ at k=10, C=8,
+    * monotone smaller for larger n; production campaigns pick C per
+    * their k against that formula.
+    *
+    * Group sizes come from one count aggregate (broadcast back; group
+    * cardinality relation, never corpus-sized rows).
+    */
+  val reservoirSample: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+      .withColumn("h", h60(concat(col("source"), lit("#"), col("doc_id"))))
+    val sizes = d.groupBy("source").agg(count(lit(1)).as("n"))
+    d.join(broadcast(sizes), "source")
+      .filter(col("h") < expr(s"(1152921504606846976L div n) * ${SafetyC * ReservoirK}"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))))
+      .filter(col("rn") <= ReservoirK)
+      .select(col("source"), col("rn").cast("long").as("rn"), col("doc_id"), col("h"))
+      .orderBy("source", "rn")
+  }
+  val reservoirSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |         ${h60Duck("source || '#' || CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |sizes AS (SELECT source, count(*) AS n FROM d GROUP BY 1)
+       |SELECT source, rn, doc_id, h FROM (
+       |  SELECT d.source, d.doc_id, d.h,
+       |         row_number() OVER (PARTITION BY d.source ORDER BY d.h, d.doc_id) AS rn
+       |  FROM d JOIN sizes USING (source)
+       |  WHERE d.h < (1152921504606846976 // n) * ${SafetyC * ReservoirK})
+       |WHERE rn <= $ReservoirK
+       |ORDER BY source, rn""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "benchmark_contamination" -> benchmarkContamination,
     "stratified_sample" -> stratifiedSample,
     "repetition_score" -> repetitionScore,
     "pii_redact" -> piiRedact,
+    "reservoir_sample" -> reservoirSample,
   )
   val oracles: Map[String, String] = Map(
     "benchmark_contamination" -> benchmarkContaminationSql,
     "stratified_sample" -> stratifiedSampleSql,
     "repetition_score" -> repetitionScoreSql,
     "pii_redact" -> piiRedactSql,
+    "reservoir_sample" -> reservoirSampleSql,
   )
 }

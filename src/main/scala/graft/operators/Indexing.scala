@@ -241,16 +241,106 @@ object Indexing {
        |  FROM scored)
        |WHERE rank <= $TopK ORDER BY doc_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X42 bpe_train_merges — byte-pair-encoding merge-rule training
+  // ---------------------------------------------------------------------
+
+  /** Merge rounds trained. Real tokenizers run 30k–100k; the loop body
+    * is identical, only the constant (and a persisted-stage cadence,
+    * see Scaladoc) changes. */
+  val BpeRounds = 6
+
+  /** Train the first [[BpeRounds]] BPE merge rules over the corpus
+    * (Sennrich '16 — the tokenizer-training pass itself, not its
+    * application): start from character symbols, repeatedly take the
+    * most frequent adjacent symbol pair (ties → lexicographic) and fuse
+    * it everywhere. Output: the learned merge table
+    * (round, left_sym, right_sym, pair_freq) — later rounds legitimately
+    * consume earlier rounds' fusions (the sf0.01 corpus learns
+    * 'm'+'er' at round 5 from round 0's 'e'+'r').
+    *
+    * Scale shape — the part that matters at 100 TB: the CORPUS is
+    * touched exactly once, by the word-frequency aggregate; every merge
+    * round runs over the VOCABULARY relation (Zipf: ~10⁷ rows for a
+    * web-scale corpus), weighted by `freq`. Rounds are fully
+    * declarative — the argmax is a 1-row `orderBy.limit(1)`
+    * (TakeOrderedAndProject, no driver collect) cross-joined back, the
+    * fusion is one `replace` projection — so the whole R-round train is
+    * ONE lazy DAG, with each round's vocab cached (vocab-sized, harness-
+    * scoped cleanup like [[Pipeline]]; a 30k-round production train
+    * checkpoints every few hundred rounds instead).
+    *
+    * Symbol sequences ride in one string column ('|c1|c2|…' — '|' can't
+    * occur in tokens) rather than an array: pair fusion is then a single
+    * literal `replace`, whose left-to-right non-overlapping scan is
+    * EXACTLY greedy BPE application ('a a a' + (a,a) → 'aa a'), and both
+    * engines' `replace` share that contract. The '|' prefix anchors
+    * every match at a symbol boundary, so a pattern can never match
+    * inside a longer symbol.
+    */
+  val bpeTrainMerges: Q = (spark, dir) => {
+    val words0 = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("word"), "(.)", "|$1").as("seq"), col("freq"))
+    var w = words0.cache()
+    val merges = (0 until BpeRounds).map { r =>
+      val pairs = w
+        .withColumn("syms", split(expr("substring(seq, 2)"), "[|]"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))")).as("p"),
+          col("freq"))
+      val best = pairs
+        .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum("freq").as("pf"))
+        .orderBy(col("pf").desc, col("a"), col("b")).limit(1)
+      w = w.crossJoin(best)
+        .select(expr("replace(seq, concat('|', a, '|', b), concat('|', a, b))").as("seq"),
+          col("freq"))
+        .cache()
+      best.select(lit(r.toLong).as("round"), col("a").as("left_sym"),
+        col("b").as("right_sym"), col("pf").as("pair_freq"))
+    }
+    merges.reduce(_ unionByName _).orderBy("round")
+  }
+  val bpeTrainMergesSql: String = {
+    def roundCtes(r: Int): String =
+      s"""p$r AS (
+         |  SELECT p.a AS a, p.b AS b, sum(freq) AS pf FROM (
+         |    SELECT unnest(list_transform(range(1, len(syms)),
+         |             i -> {'a': syms[i], 'b': syms[i+1]})) AS p, freq
+         |    FROM (SELECT string_split(substr(seq, 2), '|') AS syms, freq FROM w$r))
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, pf FROM p$r ORDER BY pf DESC, a, b LIMIT 1),
+         |w${r + 1} AS (SELECT replace(seq, '|' || b$r.a || '|' || b$r.b,
+         |                             '|' || b$r.a || b$r.b) AS seq, freq
+         |  FROM w$r, b$r)""".stripMargin
+    val unions = (0 until BpeRounds)
+      .map(r => s"SELECT $r AS round, a AS left_sym, b AS right_sym, pf AS pair_freq FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT term AS word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS term FROM documents) GROUP BY 1),
+       |w0 AS (SELECT regexp_replace(word, '(.)', '|\\1', 'g') AS seq, freq FROM words),
+       |${(0 until BpeRounds).map(roundCtes).mkString(",\n")}
+       |SELECT CAST(round AS BIGINT) AS round, left_sym, right_sym,
+       |       CAST(pair_freq AS BIGINT) AS pair_freq
+       |FROM ($unions) ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "tfidf_topk" -> tfidfTopk,
     "inverted_index" -> invertedIndex,
     "vocab_build" -> vocabBuild,
     "bm25_topk" -> bm25Topk,
+    "bpe_train_merges" -> bpeTrainMerges,
   )
   val oracles: Map[String, String] = Map(
     "tfidf_topk" -> tfidfTopkSql,
     "inverted_index" -> invertedIndexSql,
     "vocab_build" -> vocabBuildSql,
     "bm25_topk" -> bm25TopkSql,
+    "bpe_train_merges" -> bpeTrainMergesSql,
   )
 }
