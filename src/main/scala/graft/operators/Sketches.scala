@@ -214,11 +214,25 @@ object Sketches {
   // X39 cms_heavy_hitters — count-min sketch frequency estimation
   // ---------------------------------------------------------------------
 
-  private val CmsDepth = 3    // independent hash rows
-  private val CmsWidth = 1024 // counters per row
+  private[graft] val CmsDepth = 3    // independent hash rows
+  private[graft] val CmsWidth = 1024 // counters per row
   /** φ heavy-hitter threshold: report terms whose CMS estimate is at
     * least 1/φ⁻¹ = 1/200 of the token stream. */
   private val CmsPhiInv = 200L
+
+  /** (i, pos) sketch-cell coordinates for a `term` column — one row per
+    * (term-occurrence, hash row). Shared by the batch heavy-hitters
+    * query and the streaming twin (SketchStreamSpec): `groupBy(i, pos)
+    * .count` over these cells IS the sketch in either mode, and in
+    * streaming mode its state is bounded at depth·width rows however
+    * long the stream runs. */
+  private[graft] def cmsCells(tok: DataFrame): DataFrame = {
+    val rows = (0 until CmsDepth).map(i =>
+      struct(lit(i).as("i"),
+        expr(s"pmod(${h60Sql(s"concat('$i:', term)")}, $CmsWidth)").as("pos")))
+    tok.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.i").as("i"), col("r.pos").as("pos"))
+  }
 
   /** `cms_heavy_hitters` — token-frequency heavy hitters from a
     * count-min sketch (Cormode–Muthukrishnan '05): the sketch is
@@ -240,12 +254,7 @@ object Sketches {
   val cmsHeavyHitters: Q = (spark, dir) => {
     val tok = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("term"))
-    val rows = (0 until CmsDepth).map(i =>
-      struct(lit(i).as("i"),
-        expr(s"pmod(${h60Sql(s"concat('$i:', term)")}, $CmsWidth)").as("pos")))
-    val sketch = tok.select(explode(array(rows: _*)).as("r"))
-      .groupBy(col("r.i").as("i"), col("r.pos").as("pos"))
-      .agg(count(lit(1)).as("cnt"))
+    val sketch = cmsCells(tok).groupBy("i", "pos").agg(count(lit(1)).as("cnt"))
     val terms = tok.groupBy("term").agg(count(lit(1)).as("exact_count"))
     val tpos = terms.select((col("term") +: col("exact_count") +:
       (0 until CmsDepth).map(i =>

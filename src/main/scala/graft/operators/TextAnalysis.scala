@@ -255,6 +255,73 @@ object TextAnalysis {
       |    GROUP BY 1, 2))
       |WHERE rank <= 8 ORDER BY lang, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X45 bigram_lm_score — n-gram language-model fluency filter
+  // ---------------------------------------------------------------------
+
+  /** Fluency-keep threshold, in millionths (see Scaladoc): keep docs
+    * whose mean scaled bigram probability clears it. */
+  private val FluencyKeepMin = 20000L
+
+  /** Model-based fluency scoring with a corpus-trained bigram LM — the
+    * CCNet/KenLM-style "does this read like the reference corpus"
+    * filter, here with the corpus as its own reference (self-perplexity
+    * flags outlier docs; production would train counts on a trusted
+    * corpus and score the crawl — same plan, different count source).
+    *
+    * Numeric policy: a true perplexity needs log-probabilities, and
+    * `ln` is outside IEEE's correctly-rounded set (same reasoning as
+    * [[Indexing.tfidfTopk]]'s idf) — so the score is the MEAN SCALED
+    * CONDITIONAL PROBABILITY instead: per bigram occurrence
+    * p = (c₂(w₁,w₂)·10⁶) div c₁(w₁), per doc
+    * fluency = (Σ p) div (n−1) ∈ [0, 10⁶] — exact integers end to end,
+    * monotone in the same direction as likelihood (a doc of
+    * never-seen-in-corpus transitions scores ~0, formulaic text scores
+    * high), deterministic across engines.
+    *
+    * Plan: bigram explode (lag via the token index, no self-join) →
+    * count aggregate for the model (vocab²-bounded, Zipf-sparse) →
+    * occurrence⋈model join (AQE-owned side choice) → per-doc mean. Two
+    * shuffles past the model build; the model relation is what a real
+    * deployment broadcasts after training it once.
+    */
+  val bigramLmScore: Q = (spark, dir) => {
+    val bi = Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(words) - 1)," +
+          " i -> struct(element_at(words, i) AS w1, element_at(words, i + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("p", expr("(c2 * 1000000L) div c1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("psum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("psum div n_bigrams").as("fluency"),
+        (expr("psum div n_bigrams") >= FluencyKeepMin).as("keep"))
+      .orderBy("doc_id")
+  }
+  val bigramLmScoreSql: String =
+    s"""WITH bi AS (
+       |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(words)),
+       |             i -> {'w1': words[i], 'w2': words[i+1]})) AS p
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+       |    WHERE len(words) >= 2)),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+       |p AS (
+       |  SELECT bi.doc_id, (c2.c2 * 1000000) // c1.c1 AS p
+       |  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |       CAST(sum(p) // count(*) AS BIGINT) AS fluency,
+       |       CAST(sum(p) // count(*) AS BIGINT) >= $FluencyKeepMin AS keep
+       |FROM p GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "top_terms_per_lang" -> topTermsPerLang,
     "top_terms_agg" -> topTermsAgg,
@@ -263,6 +330,7 @@ object TextAnalysis {
     "token_count" -> tokenCount,
     "doc_fingerprint" -> docFingerprint,
     "text_stats" -> textStats,
+    "bigram_lm_score" -> bigramLmScore,
   )
   val oracles: Map[String, String] = Map(
     "top_terms_per_lang" -> topTermsPerLangSql,
@@ -272,5 +340,6 @@ object TextAnalysis {
     "token_count" -> tokenCountSql,
     "doc_fingerprint" -> docFingerprintSql,
     "text_stats" -> textStatsSql,
+    "bigram_lm_score" -> bigramLmScoreSql,
   )
 }
