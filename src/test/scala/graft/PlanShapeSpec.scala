@@ -163,6 +163,61 @@ class PlanShapeSpec extends AnyFunSuite {
       "the global offset window must read the bucket-count aggregate")
   }
 
+  test("random_projection is one shuffle-free codegen'd projection") {
+    val p = plan("random_projection")
+    assert(!p.contains("Exchange") || p.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"projection + final orderBy only:\n$p")
+    Seq("Join", "Window").foreach(op =>
+      assert(!p.contains(op), s"random_projection must not contain $op:\n$p"))
+  }
+
+  test("reservoir_sample pre-filters before the per-group rank window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, Window => LWindow}
+    val lp = SparkEntry.queries("reservoir_sample")(spark, Dir)
+      .queryExecution.optimizedPlan
+    val win = lp.collect { case w: LWindow => w }
+    assert(win.size == 1 && win.head.partitionSpec.nonEmpty,
+      "exactly one window, partitioned by group")
+    // the hash threshold must apply BELOW the window — the optimizer
+    // folds it into the group-size join's condition — so the rank sees
+    // ~C·k rows per group, not n. (Spark 4 additionally inserts
+    // WindowGroupLimit, bounding the sort at k either way.)
+    val thresholdBelow = win.head.child.collectFirst {
+      case f: Filter if f.condition.toString.contains("1152921504606846976") => f
+      case j: Join if j.condition.exists(_.toString.contains("1152921504606846976")) => j
+    }
+    assert(thresholdBelow.nonEmpty,
+      s"threshold pre-filter must run under the window:\n$lp")
+  }
+
+  test("zorder_layout has no corpus-wide sort: windows are per-cell + bounded prefix sum") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = SparkEntry.queries("zorder_layout")(spark, Dir)
+      .queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.size == 2, s"rank + offset windows expected:\n$lp")
+    val (global, perCell) = windows.partition(_.partitionSpec.isEmpty)
+    assert(perCell.size == 1, "the corpus rank window must be partitioned by z-cell")
+    assert(global.size == 1 &&
+      global.head.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+      "the prefix-sum window must read the 256-row cell-count aggregate")
+  }
+
+  test("bpe_train_merges: argmax rounds are top-1 take-ordered, never a global sort or collect") {
+    val p = plan("bpe_train_merges")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"per-round argmax must be TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Window"), s"no window needed in BPE training:\n$p")
+  }
+
+  test("bigram_lm_score joins model relations, never a cartesian") {
+    val p = plan("bigram_lm_score")
+    assert(!p.contains("CartesianProduct"),
+      s"model join must be keyed:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"model counts must be map-side combinable:\n$p")
+  }
+
   test("no UDFs anywhere: every registered query plan is built-in/codegen expressions") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
