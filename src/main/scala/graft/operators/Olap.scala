@@ -47,6 +47,34 @@ object Olap {
       |ORDER BY mktsegment, orderpriority""".stripMargin
 
   // ---------------------------------------------------------------------
+  // 1b. cube_agg — all grouping combinations in one pass
+  // ---------------------------------------------------------------------
+
+  /** Cube over (lang, source) on `documents`: detail + both one-dim
+    * marginals + grand total — 2^d grouping sets in ONE aggregation
+    * pass, where [[rollupAgg]] produces only the hierarchy's prefixes.
+    * The corpus-reporting shape ("tokens by language × source, with
+    * both margins") every dataset card needs. Same NULL-marker
+    * coalescing as rollup so cross-engine ordering is identical.
+    */
+  val cubeAgg: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .select(coalesce(col("lang"), lit("(all)")).as("lang"),
+        coalesce(col("source"), lit("(all)")).as("source"),
+        col("n_docs"), col("chars"))
+      .orderBy("lang", "source")
+  val cubeAggSql: String =
+    """SELECT coalesce(lang, '(all)') AS lang,
+      |       coalesce(source, '(all)') AS source,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents
+      |GROUP BY CUBE (lang, source)
+      |ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // 2. pivot_wide — cross-tab via the DataFrame pivot API
   // ---------------------------------------------------------------------
 
@@ -187,6 +215,7 @@ object Olap {
 
   val queries: Map[String, Q] = Map(
     "rollup_agg" -> rollupAgg,
+    "cube_agg" -> cubeAgg,
     "pivot_wide" -> pivotWide,
     "quantile_stats" -> quantileStats,
     "quantile_sampled" -> quantileSampled,
@@ -194,6 +223,7 @@ object Olap {
   )
   val oracles: Map[String, String] = Map(
     "rollup_agg" -> rollupAggSql,
+    "cube_agg" -> cubeAggSql,
     "pivot_wide" -> pivotWideSql,
     "quantile_stats" -> quantileStatsSql,
     "quantile_sampled" -> quantileSampledSql,
