@@ -270,23 +270,31 @@ object Indexing {
     * scoped cleanup like [[Pipeline]]; a 30k-round production train
     * checkpoints every few hundred rounds instead).
     *
-    * Symbol sequences ride in one string column ('|c1|c2|…' — '|' can't
-    * occur in tokens) rather than an array: pair fusion is then a single
-    * literal `replace`, whose left-to-right non-overlapping scan is
-    * EXACTLY greedy BPE application ('a a a' + (a,a) → 'aa a'), and both
-    * engines' `replace` share that contract. The '|' prefix anchors
-    * every match at a symbol boundary, so a pattern can never match
-    * inside a longer symbol.
+    * Symbol sequences ride in one string column ('|c1||c2||…|' — each
+    * symbol wrapped in its own '|'s, '|' can't occur in tokens) rather
+    * than an array: pair fusion is then a single literal `replace`
+    * ('|a||b|' → '|ab|'), whose left-to-right non-overlapping scan is
+    * EXACTLY greedy BPE application ('a a a' + (a,a) → 'aa a'), and
+    * both engines' `replace` share that contract. BOTH ends of both
+    * symbols are boundary-anchored: the wrap means a pattern can
+    * neither match inside a longer symbol nor match a right symbol
+    * that is a proper PREFIX of the actual neighbor ('aa'+'a' must not
+    * fire on ['aa','aab'] — the single-'|'-separator encoding had
+    * exactly that bug, caught by BpePropSpec's random-case property,
+    * while back-to-back merges still chain because each replacement
+    * re-emits the shared boundary). BpePropSpec holds the executable
+    * form of this argument against a greedy list-fold reference.
     */
   val bpeTrainMerges: Q = (spark, dir) => {
     val words0 = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(regexp_replace(col("word"), "(.)", "|$1").as("seq"), col("freq"))
+      .select(regexp_replace(col("word"), "(.)", "|$1|").as("seq"), col("freq"))
     var w = words0.cache()
     val merges = (0 until BpeRounds).map { r =>
       val pairs = w
-        .withColumn("syms", split(expr("substring(seq, 2)"), "[|]"))
+        .withColumn("syms",
+          split(expr("substring(seq, 2, length(seq) - 2)"), "[|][|]"))
         .filter(size(col("syms")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, size(syms) - 1)," +
@@ -296,8 +304,8 @@ object Indexing {
         .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum("freq").as("pf"))
         .orderBy(col("pf").desc, col("a"), col("b")).limit(1)
       w = w.crossJoin(best)
-        .select(expr("replace(seq, concat('|', a, '|', b), concat('|', a, b))").as("seq"),
-          col("freq"))
+        .select(expr("replace(seq, concat('|', a, '||', b, '|'), concat('|', a, b, '|'))")
+          .as("seq"), col("freq"))
         .cache()
       best.select(lit(r.toLong).as("round"), col("a").as("left_sym"),
         col("b").as("right_sym"), col("pf").as("pair_freq"))
@@ -310,11 +318,12 @@ object Indexing {
          |  SELECT p.a AS a, p.b AS b, sum(freq) AS pf FROM (
          |    SELECT unnest(list_transform(range(1, len(syms)),
          |             i -> {'a': syms[i], 'b': syms[i+1]})) AS p, freq
-         |    FROM (SELECT string_split(substr(seq, 2), '|') AS syms, freq FROM w$r))
+         |    FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), '||') AS syms,
+         |                 freq FROM w$r))
          |  GROUP BY 1, 2),
          |b$r AS (SELECT a, b, pf FROM p$r ORDER BY pf DESC, a, b LIMIT 1),
-         |w${r + 1} AS (SELECT replace(seq, '|' || b$r.a || '|' || b$r.b,
-         |                             '|' || b$r.a || b$r.b) AS seq, freq
+         |w${r + 1} AS (SELECT replace(seq, '|' || b$r.a || '||' || b$r.b || '|',
+         |                             '|' || b$r.a || b$r.b || '|') AS seq, freq
          |  FROM w$r, b$r)""".stripMargin
     val unions = (0 until BpeRounds)
       .map(r => s"SELECT $r AS round, a AS left_sym, b AS right_sym, pf AS pair_freq FROM b$r")
@@ -322,7 +331,7 @@ object Indexing {
     s"""WITH words AS (
        |  SELECT term AS word, count(*) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents) GROUP BY 1),
-       |w0 AS (SELECT regexp_replace(word, '(.)', '|\\1', 'g') AS seq, freq FROM words),
+       |w0 AS (SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS seq, freq FROM words),
        |${(0 until BpeRounds).map(roundCtes).mkString(",\n")}
        |SELECT CAST(round AS BIGINT) AS round, left_sym, right_sym,
        |       CAST(pair_freq AS BIGINT) AS pair_freq
