@@ -122,6 +122,56 @@ object Relational {
        |    FROM $EV))
        |WHERE chg ORDER BY user_id, ts, event_id""".stripMargin
 
+  /** X46 `snapshot_diff` — corpus recrawl diff: classify every doc as
+    * added / removed / changed between two snapshots (the reference's
+    * per-row upsert-or-skip decision, db/chat.py:13-26, lifted to the
+    * whole-corpus batch shape a recrawl pipeline runs before touching
+    * any downstream stage — only the diff flows on).
+    *
+    * The "new" snapshot is synthesized deterministically from the old:
+    * every 7th doc dropped (removed), every 4th surviving doc's text
+    * edited (changed), every 10th re-keyed +200000 (added). Content
+    * comparison is by md5 PROJECTED BEFORE the join — the full-outer
+    * join shuffles (doc_id, hash), never two copies of the text, so the
+    * exchange is O(rows·32B) regardless of document size. Unchanged
+    * rows are filtered out: the output is the (small) diff, which is
+    * the point at 100 TB — downstream stages consume deltas, not
+    * re-reads.
+    */
+  val snapshotDiff: Q = (spark, dir) => {
+    val old = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h_old"))
+    val newSnap = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(
+        when(col("doc_id") % 10 === 0, col("doc_id") + 200000)
+          .otherwise(col("doc_id")).as("doc_id"),
+        md5(when(col("doc_id") % 4 === 0, concat(col("text"), lit(" [recrawl-edit]")))
+          .otherwise(col("text"))).as("h_new"))
+    old.join(newSnap, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"))
+      .orderBy("doc_id")
+  }
+  val snapshotDiffSql: String =
+    """WITH old AS (SELECT doc_id, md5(text) AS h_old FROM documents),
+      |new_snap AS (
+      |  SELECT CASE WHEN doc_id % 10 = 0 THEN doc_id + 200000 ELSE doc_id END AS doc_id,
+      |         md5(CASE WHEN doc_id % 4 = 0 THEN text || ' [recrawl-edit]' ELSE text END) AS h_new
+      |  FROM documents WHERE doc_id % 7 <> 0)
+      |SELECT doc_id, status FROM (
+      |  SELECT coalesce(old.doc_id, new_snap.doc_id) AS doc_id,
+      |         CASE WHEN old.doc_id IS NULL THEN 'added'
+      |              WHEN new_snap.doc_id IS NULL THEN 'removed'
+      |              WHEN h_old <> h_new THEN 'changed' END AS status
+      |  FROM old FULL OUTER JOIN new_snap ON old.doc_id = new_snap.doc_id)
+      |WHERE status IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
+
   /** A5 `bounded_state_dedup` — bounded-memory dedup (FIFO caches,
     * utils/cache.py:7-17) mapped to its scalable equivalent: keep the first
     * occurrence of a key within each event-time window (what
@@ -625,6 +675,7 @@ object Relational {
     "argmax_per_group" -> argmaxPerGroup,
     "dedup_by_unique_key" -> dedupByUniqueKey,
     "cdc_diff_consecutive" -> cdcDiffConsecutive,
+    "snapshot_diff" -> snapshotDiff,
     "stateful_last_value_diff" -> statefulLastValueDiff,
     "bounded_state_dedup" -> boundedStateDedup,
     "update_rowcount_agg" -> updateRowcountAgg,
@@ -657,6 +708,7 @@ object Relational {
     "argmax_per_group" -> argmaxPerGroupSql,
     "dedup_by_unique_key" -> dedupByUniqueKeySql,
     "cdc_diff_consecutive" -> cdcDiffConsecutiveSql,
+    "snapshot_diff" -> snapshotDiffSql,
     "stateful_last_value_diff" -> statefulLastValueDiffSql,
     "bounded_state_dedup" -> boundedStateDedupSql,
     "update_rowcount_agg" -> updateRowcountAggSql,
