@@ -129,8 +129,8 @@ object Sketches {
     * (25–250 distinct per group) in the RAW-estimate regime at the gate
     * scale factors; a production campaign estimating 10⁹+ keys runs
     * P = 12–16 — only these two constants change. */
-  private[operators] val HllP = 4
-  private[operators] val HllM = 1 << HllP // 16 registers
+  private[graft] val HllP = 4
+  private[graft] val HllM = 1 << HllP // 16 registers
   /** Rank field width: h60 is 60 bits, bucket takes P of them. */
   private val HllRankBits = 60 - HllP // 56 → rank ∈ [1, 57]
   /** α_m·m²·2^RankBits, precomputed HERE and embedded as ONE full-
@@ -140,6 +140,29 @@ object Sketches {
     * decimals as DECIMAL, not DOUBLE). α_16 = 0.673 per Flajolet '07. */
   private val HllNumerator: Double = 0.673 * HllM * HllM * math.pow(2.0, HllRankBits + 1)
   private val HllNumLit: String = java.lang.Double.toString(HllNumerator)
+
+  /** (grp, bucket, m) HLL registers for a (grp, key) relation — the
+    * rank projection + `max` register aggregate, shared by the batch
+    * query and the streaming twin (HllStreamSpec): the same groupBy in
+    * a stream keeps at most groups·m state rows however long the
+    * stream runs, and `max` merges registers associatively across
+    * batches exactly as it does across partitions. */
+  private[graft] def hllRegisters(keyed: DataFrame): DataFrame =
+    keyed
+      .withColumn("h", Dedup.h60(col("key")))
+      .select(col("grp"), pmod(col("h"), lit(HllM.toLong)).as("bucket"),
+        expr(s"h div $HllM").as("rest"))
+      .groupBy("grp", "bucket")
+      .agg(max(when(col("rest") === 0, lit(HllRankBits + 1))
+        .otherwise(lit(HllRankBits + 1) - length(bin(col("rest"))))).as("m"))
+
+  /** Raw HLL estimate from a register map (missing buckets = rank 0) —
+    * the Scala twin of the query's final arithmetic, for spec use. */
+  private[graft] def hllEstimate(regs: Map[Long, Int]): Long = {
+    val s = (0L until HllM.toLong)
+      .map(b => 1L << (HllRankBits + 1 - regs.getOrElse(b, 0))).sum
+    math.floor(HllNumerator / s.toDouble).toLong
+  }
 
   /** `hll_distinct` — distinct-content cardinality per source, estimated
     * from a 16-register HyperLogLog over the exact-dupe corpus (the
@@ -168,13 +191,8 @@ object Sketches {
     val corpus = d.unionByName(
       d.filter(col("doc_id") % 3 === 0)
         .select((col("doc_id") + 100000).as("doc_id"), col("source"), col("text")))
-    val parts = corpus
-      .withColumn("h", Dedup.h60(col("text")))
-      .select(col("source"), pmod(col("h"), lit(HllM.toLong)).as("bucket"),
-        expr(s"h div $HllM").as("rest"))
-    val regs = parts.groupBy("source", "bucket")
-      .agg(max(when(col("rest") === 0, lit(HllRankBits + 1))
-        .otherwise(lit(HllRankBits + 1) - length(bin(col("rest"))))).as("m"))
+    val regs = hllRegisters(corpus.select(col("source").as("grp"), col("text").as("key")))
+      .withColumnRenamed("grp", "source")
     val grid = Tables.documents(spark, dir).select("source").distinct()
       .select(col("source"), explode(expr(s"sequence(0L, ${HllM - 1}L)")).as("bucket"))
     val s = grid.join(regs, Seq("source", "bucket"), "left")
