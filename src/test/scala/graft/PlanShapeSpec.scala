@@ -218,6 +218,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"model counts must be map-side combinable:\n$p")
   }
 
+  test("sketch builds are map-side-combinable aggregates (cluster-mergeable state)") {
+    // the property that lets sketches merge across executors/batches:
+    // HLL registers via partial max, CMS cells via partial count
+    assert(plan("hll_distinct").contains("partial_max"),
+      "HLL register merge must be a partial max aggregate")
+    assert(plan("cms_heavy_hitters").contains("partial_count"),
+      "CMS cell counts must be partial count aggregates")
+  }
+
   test("no UDFs anywhere: every registered query plan is built-in/codegen expressions") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val p = plan(q)
