@@ -52,12 +52,10 @@ object Layout {
     * (The rewrite itself would be `repartitionByRange(z)` + write —
     * the manifest is the decision artifact the oracle can check.)
     */
-  val zorderLayout: Q = (spark, dir) => {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        least(expr(s"n_chars div 64"), lit((1 << ZBits) - 1)).as("len_b"),
-        expr(s"pmod(${Dedup.h60Sql("lang")}, ${1 << ZBits})").as("lang_b"))
-      .withColumn("z", expr(mortonSql("len_b", "lang_b")))
+  /** The manifest core over any (doc_id, len_b, lang_b) relation —
+    * shared by `zorder_layout` and the composed `pipeline_layout`. */
+  private[operators] def manifestOf(d0: DataFrame): DataFrame = {
+    val d = d0.withColumn("z", expr(mortonSql("len_b", "lang_b")))
     val ranked = d.withColumn("rn",
       row_number().over(Window.partitionBy("z").orderBy("doc_id")))
     val offsets = d.groupBy("z").agg(count(lit(1)).as("zn"))
@@ -74,23 +72,70 @@ object Layout {
         min("lang_b").as("lang_min"), max("lang_b").as("lang_max"))
       .orderBy("file_id")
   }
-  val zorderLayoutSql: String = {
+
+  /** CTE suffix + final select producing the manifest over a relation
+    * `rel(doc_id, len_b, lang_b)` (caller opens the WITH). */
+  private[operators] def manifestSql(rel: String): String = {
     val morton = mortonSql("len_b", "lang_b")
+    s"""zz AS (SELECT doc_id, len_b, lang_b, $morton AS z FROM $rel),
+       |rr AS (SELECT *, (row_number() OVER (ORDER BY z, doc_id) - 1) // $RowsPerFile AS file_id
+       |      FROM zz)
+       |SELECT file_id, count(*) AS n_rows,
+       |       min(z) AS z_min, max(z) AS z_max,
+       |       min(len_b) AS len_min, max(len_b) AS len_max,
+       |       min(lang_b) AS lang_min, max(lang_b) AS lang_max
+       |FROM rr GROUP BY 1 ORDER BY file_id""".stripMargin
+  }
+
+  val zorderLayout: Q = (spark, dir) =>
+    manifestOf(Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        least(expr(s"n_chars div 64"), lit((1 << ZBits) - 1)).as("len_b"),
+        expr(s"pmod(${Dedup.h60Sql("lang")}, ${1 << ZBits})").as("lang_b")))
+  val zorderLayoutSql: String =
     s"""WITH d AS (
        |  SELECT doc_id,
        |         least(n_chars // 64, ${(1 << ZBits) - 1}) AS len_b,
        |         ${h60Duck("lang")} % ${1 << ZBits} AS lang_b
        |  FROM documents),
-       |z AS (SELECT doc_id, len_b, lang_b, $morton AS z FROM d),
-       |r AS (SELECT *, (row_number() OVER (ORDER BY z, doc_id) - 1) // $RowsPerFile AS file_id
-       |      FROM z)
-       |SELECT file_id, count(*) AS n_rows,
-       |       min(z) AS z_min, max(z) AS z_max,
-       |       min(len_b) AS len_min, max(len_b) AS len_max,
-       |       min(lang_b) AS lang_min, max(lang_b) AS lang_max
-       |FROM r GROUP BY 1 ORDER BY file_id""".stripMargin
-  }
+       |${manifestSql("d")}""".stripMargin
 
-  val queries: Map[String, Q] = Map("zorder_layout" -> zorderLayout)
-  val oracles: Map[String, String] = Map("zorder_layout" -> zorderLayoutSql)
+  /** `pipeline_layout` — the composed write-planning pass: run the full
+    * curation pipeline ([[Pipeline.corpusPipeline]] — dedup → CC
+    * resolve → span removal → quality/PII → resample → pack) and plan
+    * the Z-ordered layout of ITS survivors, clustered on
+    * (token length, language). This is the missing last stage of a real
+    * campaign: what ships to storage is the curated mix, laid out so
+    * every later scan prunes on both dimensions. Composition is the
+    * point (the registry's other composed query stops at packing):
+    * the manifest consumes the pipeline's own n_tokens/lang columns,
+    * and the oracle nests the entire already-proven pipeline CTE chain
+    * as a subquery — one hash checks both the pipeline and the layout
+    * arithmetic end-to-end.
+    */
+  val pipelineLayout: Q = (spark, dir) =>
+    manifestOf(Pipeline.corpusPipeline(spark, dir)
+      .select(col("doc_id"),
+        least(expr("n_tokens div 4"), lit((1 << ZBits) - 1)).as("len_b"),
+        expr(s"pmod(${Dedup.h60Sql("lang")}, ${1 << ZBits})").as("lang_b")))
+  // NOTE: the pipeline SQL is concatenated OUTSIDE any stripMargin —
+  // it contains continuation lines that start with '||' (string
+  // concat), which an enclosing stripMargin would truncate to '|'.
+  val pipelineLayoutSql: String =
+    "WITH pipe AS (\n" + Pipeline.corpusPipelineSql + "\n),\n" +
+      s"""d AS (
+         |  SELECT doc_id,
+         |         least(n_tokens // 4, ${(1 << ZBits) - 1}) AS len_b,
+         |         ${h60Duck("lang")} % ${1 << ZBits} AS lang_b
+         |  FROM pipe),
+         |${manifestSql("d")}""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "zorder_layout" -> zorderLayout,
+    "pipeline_layout" -> pipelineLayout,
+  )
+  val oracles: Map[String, String] = Map(
+    "zorder_layout" -> zorderLayoutSql,
+    "pipeline_layout" -> pipelineLayoutSql,
+  )
 }
