@@ -630,11 +630,83 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // 5. exact_substr_spans — ExactSubstr repeated-span detection
+  // ---------------------------------------------------------------------
+
+  /** Span gram width (tokens). Lee et al. use 50 BPE tokens; 10 word
+    * tokens is the same knob at harness doc lengths. */
+  private val SpanN = 10
+
+  /** ExactSubstr-style repeated-span detection (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): find
+    * every MAXIMAL span whose [[SpanN]]-token windows all occur ≥ 2
+    * times in the corpus — the detection core of suffix-array dedup,
+    * re-expressed relationally. Stride-1 windows (unlike
+    * `corpus_chunk_dedup`'s disjoint C4 chunks) make span boundaries
+    * exact to the token: consecutive repeated window positions merge
+    * into maximal spans via the islands trick (pos − row_number is
+    * constant within a run). A campaign then cuts `[span_start,
+    * span_end)` from each doc — the surgical version of C4's
+    * chunk-granular removal.
+    *
+    * Scale shape vs a literal suffix array: the relation is one row
+    * per token position (hash of its window), the duplicate test is a
+    * count-aggregate join (no pair enumeration anywhere — unlike the
+    * Jaccard op there's no per-key quadratic term to cap), and the
+    * only window runs per doc over its repeated positions. A suffix
+    * array gives arbitrary-length matches but needs a global sort of
+    * the corpus; fixed-N windows + islands recover maximal repeats ≥ N
+    * with hash aggregates only — the standard distributed trade.
+    *
+    * Output: (doc_id, span_start, span_end, n_grams), token-indexed
+    * [start, end), over the exact-dupe corpus (full-doc repeats) plus
+    * the generator's organically shared fragments (partial repeats).
+    */
+  val exactSubstrSpans: Q = (spark, dir) => {
+    val grams = withExactDupes(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= SpanN)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(words) - $SpanN), " +
+          s"i -> ${h60Sql(s"concat_ws(' ', slice(words, i + 1, $SpanN))")})")).as(Seq("pos", "h")))
+    val dfc = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val rep = grams.join(dfc.filter(col("cnt") >= 2), "h")
+    rep
+      .withColumn("grp", col("pos") - row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + SpanN).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_end", "n_grams")
+      .orderBy("doc_id", "span_start")
+  }
+  val exactSubstrSpansSql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, p.pos AS pos, p.h AS h FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(0, GREATEST(len(words) - ${SpanN - 1}, 0)),
+       |             i -> {'pos': i,
+       |                   'h': ${h60Duck(s"array_to_string(words[i+1:i+$SpanN], ' ')")}})) AS p
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM $ExactDupesSql))),
+       |dfc AS (SELECT h, count(*) AS cnt FROM grams GROUP BY 1),
+       |rep AS (SELECT doc_id, pos FROM grams JOIN dfc USING (h) WHERE cnt >= 2),
+       |isl AS (SELECT doc_id, pos,
+       |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |        FROM rep)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |       CAST(max(pos) + $SpanN AS BIGINT) AS span_end,
+       |       count(*) AS n_grams
+       |FROM isl GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "exact_dedup_documents" -> exactDedupDocuments,
+    "exact_substr_spans" -> exactSubstrSpans,
     "minhash_lsh_candidates" -> minhashLshCandidates,
     "near_dup_cluster" -> nearDupCluster,
     "dedup_resolve" -> dedupResolve,
@@ -645,6 +717,7 @@ object Dedup {
   )
   val oracles: Map[String, String] = Map(
     "exact_dedup_documents" -> exactDedupDocumentsSql,
+    "exact_substr_spans" -> exactSubstrSpansSql,
     "minhash_lsh_candidates" -> minhashLshCandidatesSql,
     "near_dup_cluster" -> nearDupClusterSql,
     "dedup_resolve" -> dedupResolveSql,
