@@ -662,8 +662,11 @@ object Dedup {
     * [start, end), over the exact-dupe corpus (full-doc repeats) plus
     * the generator's organically shared fragments (partial repeats).
     */
-  val exactSubstrSpans: Q = (spark, dir) => {
-    val grams = withExactDupes(spark, dir)
+  /** The spans relation (doc_id, span_start, span_end, n_grams) over a
+    * (doc_id, text) corpus — shared by the detection query and
+    * [[exactSubstrCut]]. */
+  private[operators] def substrSpansOf(corpus: DataFrame): DataFrame = {
+    val grams = corpus
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= SpanN)
       .select(col("doc_id"), posexplode(expr(
@@ -679,26 +682,91 @@ object Dedup {
         (max(col("pos")) + SpanN).cast("long").as("span_end"),
         count(lit(1)).as("n_grams"))
       .select("doc_id", "span_start", "span_end", "n_grams")
-      .orderBy("doc_id", "span_start")
   }
-  val exactSubstrSpansSql: String =
-    s"""WITH grams AS (
+
+  /** CTE list producing `spans(doc_id, span_start, span_end, n_grams)`
+    * over `rel(doc_id, text)` (caller opens the WITH). */
+  private def substrSpanCtes(rel: String): String =
+    s"""es_grams AS (
        |  SELECT doc_id, p.pos AS pos, p.h AS h FROM (
        |    SELECT doc_id,
        |           unnest(list_transform(range(0, GREATEST(len(words) - ${SpanN - 1}, 0)),
        |             i -> {'pos': i,
        |                   'h': ${h60Duck(s"array_to_string(words[i+1:i+$SpanN], ' ')")}})) AS p
-       |    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM $ExactDupesSql))),
-       |dfc AS (SELECT h, count(*) AS cnt FROM grams GROUP BY 1),
-       |rep AS (SELECT doc_id, pos FROM grams JOIN dfc USING (h) WHERE cnt >= 2),
-       |isl AS (SELECT doc_id, pos,
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM $rel))),
+       |es_dfc AS (SELECT h, count(*) AS cnt FROM es_grams GROUP BY 1),
+       |es_rep AS (SELECT doc_id, pos FROM es_grams JOIN es_dfc USING (h) WHERE cnt >= 2),
+       |es_isl AS (SELECT doc_id, pos,
        |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-       |        FROM rep)
-       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-       |       CAST(max(pos) + $SpanN AS BIGINT) AS span_end,
-       |       count(*) AS n_grams
-       |FROM isl GROUP BY doc_id, grp
+       |        FROM es_rep),
+       |spans AS (
+       |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |         CAST(max(pos) + $SpanN AS BIGINT) AS span_end,
+       |         count(*) AS n_grams
+       |  FROM es_isl GROUP BY doc_id, grp)""".stripMargin
+
+  val exactSubstrSpans: Q = (spark, dir) =>
+    substrSpansOf(withExactDupes(spark, dir)).orderBy("doc_id", "span_start")
+  val exactSubstrSpansSql: String =
+    s"""WITH ${substrSpanCtes(ExactDupesSql)}
+       |SELECT doc_id, span_start, span_end, n_grams FROM spans
        |ORDER BY doc_id, span_start""".stripMargin
+
+  /** `exact_substr_cut` — the removal half of ExactSubstr dedup: cut
+    * every repeated span from every doc and rebuild the text, with an
+    * audit count of removed tokens (the [[corpusChunkDedup]] semantics
+    * at token-exact boundaries; exact-dupe docs scrub to empty, docs
+    * with partial overlaps lose just the shared stretch).
+    *
+    * Scale shape: covered positions come from exploding each span's
+    * range — output is O(covered tokens), spans are disjoint per doc
+    * by construction (islands) so no distinct is needed; the cut is a
+    * (doc_id, pos) anti-join; the rebuild sorts only within one doc's
+    * surviving tokens (the X16c cost shape).
+    */
+  val exactSubstrCut: Q = (spark, dir) => {
+    val corpus = withExactDupes(spark, dir)
+    val covered = substrSpansOf(corpus)
+      .select(col("doc_id"),
+        explode(expr("sequence(span_start, span_end - 1)")).as("pos"))
+    val toks = corpus
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("pos", col("pos").cast("long"))
+    toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"), " ")
+        .as("clean_text"),
+        count(lit(1)).as("kept_n"))
+      .join(corpus.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")), Seq("doc_id"), "right")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_tokens") - coalesce(col("kept_n"), lit(0L))).cast("long").as("n_removed"))
+      .orderBy("doc_id")
+  }
+  val exactSubstrCutSql: String =
+    s"""WITH ${substrSpanCtes(ExactDupesSql)},
+       |covered AS (
+       |  SELECT doc_id, unnest(range(span_start, span_end)) AS pos FROM spans),
+       |toks AS (
+       |  SELECT doc_id, t.pos AS pos, t.tok AS tok FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(words) + 1),
+       |             i -> {'pos': CAST(i - 1 AS BIGINT), 'tok': words[i]})) AS t
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM $ExactDupesSql))),
+       |kept AS (
+       |  SELECT toks.doc_id, toks.pos, toks.tok FROM toks
+       |  LEFT JOIN covered ON toks.doc_id = covered.doc_id AND toks.pos = covered.pos
+       |  WHERE covered.pos IS NULL),
+       |rebuilt AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+       |         count(*) AS kept_n
+       |  FROM kept GROUP BY doc_id)
+       |SELECT c.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       |       CAST(len(string_split(c.text, ' ')) - coalesce(r.kept_n, 0) AS BIGINT)
+       |         AS n_removed
+       |FROM $ExactDupesSql c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id
+       |ORDER BY c.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // registry
@@ -707,6 +775,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "exact_dedup_documents" -> exactDedupDocuments,
     "exact_substr_spans" -> exactSubstrSpans,
+    "exact_substr_cut" -> exactSubstrCut,
     "minhash_lsh_candidates" -> minhashLshCandidates,
     "near_dup_cluster" -> nearDupCluster,
     "dedup_resolve" -> dedupResolve,
@@ -718,6 +787,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "exact_dedup_documents" -> exactDedupDocumentsSql,
     "exact_substr_spans" -> exactSubstrSpansSql,
+    "exact_substr_cut" -> exactSubstrCutSql,
     "minhash_lsh_candidates" -> minhashLshCandidatesSql,
     "near_dup_cluster" -> nearDupClusterSql,
     "dedup_resolve" -> dedupResolveSql,
