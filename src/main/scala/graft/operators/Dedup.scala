@@ -718,30 +718,32 @@ object Dedup {
     * at token-exact boundaries; exact-dupe docs scrub to empty, docs
     * with partial overlaps lose just the shared stretch).
     *
-    * Scale shape: covered positions come from exploding each span's
-    * range — output is O(covered tokens), spans are disjoint per doc
-    * by construction (islands) so no distinct is needed; the cut is a
-    * (doc_id, pos) anti-join; the rebuild sorts only within one doc's
-    * surviving tokens (the X16c cost shape).
+    * Scale shape: the spans are aggregated into a per-doc LIST (≤
+    * doc_len/SpanN entries, disjoint by construction) and joined back
+    * onto the doc row; the cut + rebuild is then ONE row-local
+    * codegen'd projection — keep token i iff no span covers i — with
+    * no token-level explode, no (doc, pos) anti-join, and no
+    * collect_list of token structs (the r3 GC-swing shape this op's
+    * first spelling briefly reintroduced: a suite run measured the
+    * NEXT query +19 s from its heap churn; the row-local form removed
+    * both the churn and two shuffles).
     */
   val exactSubstrCut: Q = (spark, dir) => {
     val corpus = withExactDupes(spark, dir)
-    val covered = substrSpansOf(corpus)
+    val spans = substrSpansOf(corpus).groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    corpus.join(spans, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        expr("CAST(array() AS ARRAY<STRUCT<span_start: BIGINT, span_end: BIGINT>>)")))
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("kept", expr(
+        """filter(transform(sequence(0, size(words) - 1),
+          |  i -> IF(exists(spans, s -> i >= s.span_start AND i < s.span_end),
+          |          NULL, words[i])),
+          |  x -> x IS NOT NULL)""".stripMargin))
       .select(col("doc_id"),
-        explode(expr("sequence(span_start, span_end - 1)")).as("pos"))
-    val toks = corpus
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("pos", col("pos").cast("long"))
-    toks.join(covered, Seq("doc_id", "pos"), "left_anti")
-      .groupBy("doc_id")
-      .agg(array_join(expr(
-        "transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"), " ")
-        .as("clean_text"),
-        count(lit(1)).as("kept_n"))
-      .join(corpus.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens")), Seq("doc_id"), "right")
-      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
-        (col("n_tokens") - coalesce(col("kept_n"), lit(0L))).cast("long").as("n_removed"))
+        array_join(col("kept"), " ").as("clean_text"),
+        (size(col("words")) - size(col("kept"))).cast("long").as("n_removed"))
       .orderBy("doc_id")
   }
   val exactSubstrCutSql: String =
