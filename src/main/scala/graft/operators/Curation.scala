@@ -304,12 +304,73 @@ object Curation {
        |WHERE rn <= $ReservoirK
        |ORDER BY source, rn""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // 6. length_outliers — k-sigma anomaly detection in exact arithmetic
+  // ---------------------------------------------------------------------
+
+  /** Sigma multiplier k (flag |x−μ| > k·σ). */
+  private val OutlierK = 3L
+
+  /** Statistical outlier detection on document length per language —
+    * the z-score quality gate every curation stack runs (truncated
+    * crawls, concatenation blowups), made engine-exact by clearing the
+    * square root: |x−μ| > k·σ with μ = Σ/n and σ² = (n·Σx²−Σ²)/n² is
+    * equivalent to
+    *
+    *   (x·n − Σ)² > k²·(n·Σx² − Σ²)
+    *
+    * — every term an integer, computed in DECIMAL(38,0)/HUGEINT (at a
+    * 10⁹-doc group with 10⁵-char docs the left side reaches ~10²⁸,
+    * past BIGINT), so both engines flag the identical rows: no sqrt,
+    * no float σ, no last-ulp disagreements at the decision boundary.
+    *
+    * The sf* corpus is uniform-length (no organic outliers — a uniform
+    * distribution never leaves ±1.8σ), so anomalies are injected
+    * deterministically: every 50th doc's length ×5. Output: the
+    * flagged docs only (outliers are the small side at any scale).
+    * Plan: one map-combinable moment aggregate per group (n, Σ, Σx² —
+    * the same single-pass moments `stddev` uses), broadcast back, then
+    * a row-parallel filter.
+    */
+  val lengthOutliers: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 50 === 0, col("n_chars") * 5)
+          .otherwise(col("n_chars")).as("n_chars"))
+    val moments = d.groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      sum(col("n_chars").cast("decimal(38,0)")).as("s1"),
+      sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)")).as("s2"))
+    d.join(broadcast(moments), "lang")
+      .filter(expr(
+        s"""(CAST(n_chars AS DECIMAL(38,0)) * n - s1) *
+           | (CAST(n_chars AS DECIMAL(38,0)) * n - s1) >
+           | ${OutlierK * OutlierK} * (n * s2 - s1 * s1)""".stripMargin))
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+  val lengthOutliersSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN doc_id % 50 = 0 THEN n_chars * 5 ELSE n_chars END AS n_chars
+       |  FROM documents),
+       |m AS (SELECT lang, count(*) AS n,
+       |             sum(CAST(n_chars AS HUGEINT)) AS s1,
+       |             sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2
+       |      FROM d GROUP BY 1)
+       |SELECT doc_id, d.lang, CAST(n_chars AS BIGINT) AS n_chars
+       |FROM d JOIN m ON d.lang = m.lang
+       |WHERE (CAST(n_chars AS HUGEINT) * n - s1) * (CAST(n_chars AS HUGEINT) * n - s1)
+       |      > ${OutlierK * OutlierK} * (n * s2 - s1 * s1)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "benchmark_contamination" -> benchmarkContamination,
     "stratified_sample" -> stratifiedSample,
     "repetition_score" -> repetitionScore,
     "pii_redact" -> piiRedact,
     "reservoir_sample" -> reservoirSample,
+    "length_outliers" -> lengthOutliers,
   )
   val oracles: Map[String, String] = Map(
     "benchmark_contamination" -> benchmarkContaminationSql,
@@ -317,5 +378,6 @@ object Curation {
     "repetition_score" -> repetitionScoreSql,
     "pii_redact" -> piiRedactSql,
     "reservoir_sample" -> reservoirSampleSql,
+    "length_outliers" -> lengthOutliersSql,
   )
 }
