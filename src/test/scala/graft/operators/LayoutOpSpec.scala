@@ -54,6 +54,35 @@ class LayoutOpSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
+  test("morton interleave is a bijection and preserves 2^k-block locality") {
+    import spark.implicits._
+    // evaluate the operator's own interleave expression over the full
+    // 16x16 dimension grid through a Spark projection
+    val z = (for (x <- 0 until 16; y <- 0 until 16) yield (x, y)).toDF("len_b", "lang_b")
+      .withColumn("z", expr(
+        (0 until 4).map(b =>
+          s"(((len_b >> $b) & 1) << ${2 * b}) | (((lang_b >> $b) & 1) << ${2 * b + 1})")
+          .mkString("(", ") | (", ")")))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
+    // bijection over the full grid
+    assert(z.values.toSet === (0 until 256).toSet)
+    // de-interleave round trip: even bits → x, odd bits → y
+    for (((x, y), m) <- z) {
+      val xb = (0 until 4).map(b => ((m >> (2 * b)) & 1) << b).sum
+      val yb = (0 until 4).map(b => ((m >> (2 * b + 1)) & 1) << b).sum
+      assert((xb, yb) === (x, y), s"z=$m")
+    }
+    // locality: any aligned 4x4 block (top 2 bits fixed in both dims)
+    // occupies exactly one contiguous 16-value z range — the property
+    // that makes per-file min/max stats tight on BOTH dimensions
+    for (bx <- 0 until 4; by <- 0 until 4) {
+      val zs = (for (x <- bx * 4 until bx * 4 + 4; y <- by * 4 until by * 4 + 4)
+        yield z((x, y))).sorted
+      assert(zs.last - zs.head === 15 && zs.distinct.size === 16,
+        s"block ($bx,$by) not z-contiguous: $zs")
+    }
+  }
+
   test("reservoir pre-filter keeps enough candidates at the spec'd safety factor") {
     // P[Binom(n, C*k/n) < k] bound from the Scaladoc: with C=8, k=10 the
     // filter must pass >= k rows per group on real data. Checked
