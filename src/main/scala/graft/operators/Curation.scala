@@ -275,21 +275,39 @@ object Curation {
     * monotone smaller for larger n; production campaigns pick C per
     * their k against that formula.
     *
+    * The comparison `h < C·k·2^60 / n` is spelled cross-multiplied —
+    * `h·n < C·k·2^60` in DECIMAL(38,0)/HUGEINT — so it is exact (no
+    * integer-division truncation) and cannot overflow for ANY group
+    * size: the earlier `(2^60 div n) * C·k` spelling overflowed BIGINT
+    * and aborted under ANSI exactly when n ≤ 9, i.e. on the groups
+    * where a reservoir must return every row. h·n stays ≤ 2^60·n
+    * (~10^28 at a 10-billion-row group), well inside 38 digits. Groups
+    * with n ≤ C·k pass every row by construction, as they must.
+    *
     * Group sizes come from one count aggregate (broadcast back; group
     * cardinality relation, never corpus-sized rows).
     */
-  val reservoirSample: Q = (spark, dir) => {
-    val d = Tables.documents(spark, dir)
+  /** 2^60 · SafetyC · ReservoirK — the cross-multiplied pre-filter bound. */
+  private val ReservoirBound: java.math.BigInteger =
+    java.math.BigInteger.valueOf(1152921504606846976L)
+      .multiply(java.math.BigInteger.valueOf(SafetyC * ReservoirK))
+
+  /** Core on an explicit (source, doc_id) relation so specs can feed
+    * degenerate groups (n < k) that the sf* corpus never contains. */
+  private[operators] def reservoirCore(docs: DataFrame): DataFrame = {
+    val d = docs
       .withColumn("h", h60(concat(col("source"), lit("#"), col("doc_id"))))
     val sizes = d.groupBy("source").agg(count(lit(1)).as("n"))
     d.join(broadcast(sizes), "source")
-      .filter(col("h") < expr(s"(1152921504606846976L div n) * ${SafetyC * ReservoirK}"))
+      .filter(col("h").cast("decimal(38,0)") * col("n") <
+        expr(s"CAST('$ReservoirBound' AS DECIMAL(38,0))"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("source").orderBy(col("h"), col("doc_id"))))
       .filter(col("rn") <= ReservoirK)
       .select(col("source"), col("rn").cast("long").as("rn"), col("doc_id"), col("h"))
       .orderBy("source", "rn")
   }
+  val reservoirSample: Q = (spark, dir) => reservoirCore(Tables.documents(spark, dir))
   val reservoirSampleSql: String =
     s"""WITH d AS (
        |  SELECT source, doc_id,
@@ -300,7 +318,7 @@ object Curation {
        |  SELECT d.source, d.doc_id, d.h,
        |         row_number() OVER (PARTITION BY d.source ORDER BY d.h, d.doc_id) AS rn
        |  FROM d JOIN sizes USING (source)
-       |  WHERE d.h < (1152921504606846976 // n) * ${SafetyC * ReservoirK})
+       |  WHERE CAST(d.h AS HUGEINT) * n < CAST('$ReservoirBound' AS HUGEINT))
        |WHERE rn <= $ReservoirK
        |ORDER BY source, rn""".stripMargin
 

@@ -181,10 +181,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // the hash threshold must apply BELOW the window — the optimizer
     // folds it into the group-size join's condition — so the rank sees
     // ~C·k rows per group, not n. (Spark 4 additionally inserts
-    // WindowGroupLimit, bounding the sort at k either way.)
+    // WindowGroupLimit, bounding the sort at k either way.) The bound
+    // literal is the cross-multiplied 2^60·C·k (overflow-free form).
     val thresholdBelow = win.head.child.collectFirst {
-      case f: Filter if f.condition.toString.contains("1152921504606846976") => f
-      case j: Join if j.condition.exists(_.toString.contains("1152921504606846976")) => j
+      case f: Filter if f.condition.toString.contains("92233720368547758080") => f
+      case j: Join if j.condition.exists(_.toString.contains("92233720368547758080")) => j
     }
     assert(thresholdBelow.nonEmpty,
       s"threshold pre-filter must run under the window:\n$lp")
