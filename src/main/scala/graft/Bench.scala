@@ -36,6 +36,14 @@ object Bench {
     val total = results.map(_._2).sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    // The full record above is ~4 KB at the 111-query registry; a log
+    // tail capture (the driver keeps the last ~2 KB of stdout) chops its
+    // HEAD, leaving nothing parseable. Emit a compact totals-only record
+    // as the LAST stdout line so any tail window ends with one complete
+    // JSON object; the per-query map stays available in the full line,
+    // the stderr echo, and the durable file below.
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
     // stdout gets truncated in long driver logs; echo on stderr (captured
     // separately) and keep a durable file copy. SPARK_GRAFT_BENCH_OUT
     // overrides the path so concurrent runs don't clobber each other (and
@@ -48,6 +56,7 @@ object Bench {
     java.nio.file.Files.write(out,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     System.err.println(s"[bench] wrote $out")
+    println(compact) // keep LAST on stdout (Spark logs go to stderr)
     spark.stop()
   }
 }

@@ -56,7 +56,7 @@ object Curation {
     val d = Tables.documents(spark, dir).select("doc_id", "text")
     val benchDocs = d.filter(col("doc_id") % 20 === 0)
     val bench = ngrams(benchDocs).select(col("ng")).distinct()
-    val leaked = benchDocs.select((col("doc_id") + 100000).as("doc_id"),
+    val leaked = benchDocs.select((col("doc_id") + Dedup.ReKeyA).as("doc_id"),
       expr("substring(text, instr(text, ' ') + 1)").as("text"))
     val corpus = ngrams(d.filter(col("doc_id") % 20 =!= 0).unionByName(leaked))
     corpus.join(bench, "ng")
@@ -68,10 +68,10 @@ object Curation {
        |  SELECT DISTINCT ng FROM ${ngramsSql("(SELECT * FROM documents WHERE doc_id % 20 = 0)")}),
        |corpus AS (
        |  SELECT doc_id, ng FROM ${ngramsSql(
-      """(SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
-        |   UNION ALL
-        |   SELECT doc_id + 100000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text
-        |   FROM documents WHERE doc_id % 20 = 0)""".stripMargin)})
+      s"""(SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+         |   UNION ALL
+         |   SELECT doc_id + ${Dedup.ReKeyA} AS doc_id, substr(text, strpos(text, ' ') + 1) AS text
+         |   FROM documents WHERE doc_id % 20 = 0)""".stripMargin)})
        |SELECT doc_id, count(*) AS n_shared
        |FROM corpus JOIN bench USING (ng)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin

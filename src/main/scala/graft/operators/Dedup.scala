@@ -38,6 +38,17 @@ object Dedup {
   def h60Duck(x: String): String =
     s"CAST('0x' || substr(md5($x),1,15) AS BIGINT)"
 
+  /** Synthetic re-key offsets for injected corpus variants (re-crawls,
+    * leaked docs, "added" snapshot keys). 2^40 / 2^41 sit above any real
+    * doc_id/vec_id at ANY scale factor — ids grow linearly with SF, and
+    * 10^12 docs is past the exabyte mark — so a synthetic band can never
+    * collide with (and silently reclassify) real rows, which the old
+    * +100000/+200000 offsets did once the table outgrew them. Every
+    * oracle interpolates the same constant.
+    */
+  val ReKeyA: Long = 1L << 40
+  val ReKeyB: Long = 1L << 41
+
   // ---------------------------------------------------------------------
   // shared input builders (Spark + DuckDB twins)
   // ---------------------------------------------------------------------
@@ -47,27 +58,27 @@ object Dedup {
     val d = Tables.documents(spark, dir).select("doc_id", "text")
     d.unionByName(
       d.filter(col("doc_id") % 3 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .select((col("doc_id") + ReKeyA).as("doc_id"), col("text")))
   }
   private val ExactDupesSql =
-    """(SELECT doc_id, text FROM documents
-      | UNION ALL
-      | SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0)"""
+    s"""(SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + $ReKeyA AS doc_id, text FROM documents WHERE doc_id % 3 = 0)"""
       .stripMargin
 
   /** documents ∪ near-duplicate re-crawl (first word dropped) of every doc. */
   private def withNearDupes(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select("doc_id", "text")
     d.unionByName(
-      d.select((col("doc_id") + 100000).as("doc_id"),
+      d.select((col("doc_id") + ReKeyA).as("doc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text")))
   }
   private val NearDupesSql =
-    """(SELECT doc_id, text FROM documents
-      | UNION ALL
-      | SELECT doc_id + 100000 AS doc_id,
-      |        substr(text, strpos(text, ' ') + 1) AS text
-      | FROM documents)""".stripMargin
+    s"""(SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + $ReKeyA AS doc_id,
+       |        substr(text, strpos(text, ' ') + 1) AS text
+       | FROM documents)""".stripMargin
 
   /** Distinct word-3-gram shingles per doc (docs shorter than 3 words
     * yield none). One row per (doc_id, shingle). */
@@ -446,7 +457,10 @@ object Dedup {
     * boilerplate n-grams. */
   private val DfCap = 100
   private val JaccardThreshold = 0.5
-  private val PackShift = 31                  // doc_id << 31 | n_sh, both < 2^31
+  // doc_id << 22 | n_sh: doc_id < 2^41 (covers real ids plus the
+  // ReKeyA=2^40 synthetic band), n_sh < 2^22 (a ~4M-shingle ceiling per
+  // doc — a 25 MB document; beyond either bound densify ids first)
+  private val PackShift = 22
   private val PackMask = (1L << PackShift) - 1
 
   /** Exact n-gram Jaccard near-dup pairs: enumerate co-occurring doc
@@ -499,7 +513,7 @@ object Dedup {
     // collect_list buffers primitive longs instead of struct rows, which
     // cuts the ObjectHashAggregate's allocation (the suite's biggest GC
     // source — its bench time swung 4× run-to-run on struct buffers).
-    // Packing needs doc_id < 2^31 and n_sh < 2^31; a corpus with 64-bit
+    // Packing needs doc_id < 2^41 and n_sh < 2^22; a corpus with 64-bit
     // ids would densify ids first (zipWithIndex-style) or revert to the
     // struct form. Long order = (doc_id, n_sh) lexicographic order, and
     // n_sh is functionally dependent on doc_id, so sort_array and the

@@ -54,20 +54,20 @@ object Pipeline {
     val d = Tables.documents(spark, dir).select("doc_id", "lang", "text")
     d.unionByName(
         d.filter(col("doc_id") % 3 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("lang"), col("text")))
+          .select((col("doc_id") + Dedup.ReKeyA).as("doc_id"), col("lang"), col("text")))
       .unionByName(
         d.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"), col("lang"),
+          .select((col("doc_id") + Dedup.ReKeyB).as("doc_id"), col("lang"),
             expr("substring(text, instr(text, ' ') + 1)").as("text")))
   }
   private val CorpusSql =
-    """(SELECT doc_id, lang, text FROM documents
-      | UNION ALL
-      | SELECT doc_id + 100000 AS doc_id, lang, text FROM documents WHERE doc_id % 3 = 0
-      | UNION ALL
-      | SELECT doc_id + 200000 AS doc_id, lang,
-      |        substr(text, strpos(text, ' ') + 1) AS text
-      | FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+    s"""(SELECT doc_id, lang, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + ${Dedup.ReKeyA} AS doc_id, lang, text FROM documents WHERE doc_id % 3 = 0
+       | UNION ALL
+       | SELECT doc_id + ${Dedup.ReKeyB} AS doc_id, lang,
+       |        substr(text, strpos(text, ' ') + 1) AS text
+       | FROM documents WHERE doc_id % 5 = 0)""".stripMargin
 
   val corpusPipeline: Q = (spark, dir) => {
     // -- 1. exact dedup (min() over the identical texts of a hash group
@@ -254,6 +254,182 @@ object Pipeline {
        |       n_tokens, shard, seq_in_shard, tok_offset
        |FROM packed ORDER BY doc_id""".stripMargin
 
-  val queries: Map[String, Q] = Map("corpus_pipeline" -> corpusPipeline)
-  val oracles: Map[String, String] = Map("corpus_pipeline" -> corpusPipelineSql)
+  // ---------------------------------------------------------------------
+  // X50 incremental_pipeline — the recrawl delta driving the curation
+  // stages, without re-running the pipeline over the full corpus
+  // ---------------------------------------------------------------------
+
+  /** Injected-repetition density: delta docs with doc_id ≡ [[JunkMod]]
+    * (mod 40) have their text replaced by 50 copies of one word, so the
+    * Gopher gate provably drops rows inside THIS query (the sf corpus
+    * has no organic repetition). 2^41 % 40 = 32, so the rule only fires
+    * on changed docs — added (re-keyed) ids can never hit it. */
+  private val JunkMod = 4
+  private val JunkText = List.fill(50)("junk").mkString(" ")
+
+  /** The reference's defining operating mode — upsert-or-skip on
+    * recrawl (db/chat.py:13-26; re-scrape merge scrapers/chat.py:158-171)
+    * — lifted to the batch shape a 100 TB weekly recrawl needs: diff
+    * the snapshots ONCE, then run the curation stages over the
+    * changed+added docs ONLY; removed docs are retired, unchanged docs
+    * are never touched past the diff.
+    *
+    * Stage structure:
+    *   1. snapshot diff — md5 projected per side, one full-outer join
+    *      on (doc_id, hash). This is the ONLY corpus-sized step, and
+    *      the only place `documents` is scanned (once per snapshot
+    *      side). Same diff semantics as `snapshot_diff`
+    *      ([[Relational.snapshotDiff]]), but the new side carries its
+    *      text forward for the delta stages.
+    *   2. Gopher repetition keep-filter (delta-sized, row-local —
+    *      exercised via [[JunkMod]] injection)
+    *   3. PII redaction with audit counts (row-local; injected
+    *      positives on doc_id % 4 = 0, which both changed and re-keyed
+    *      added ids can hit)
+    *   4. token accounting for the downstream packer
+    *
+    * Everything after the diff is a PROJECTION/FILTER over the delta —
+    * no join, no window, no aggregate (plan-asserted) — so incremental
+    * cost is O(|delta|), not O(|corpus|). The corpus-STATE stages
+    * (near-dup CC labels, cross-doc chunk dedup, the training mix)
+    * consume persisted label/state relations incrementally instead of
+    * re-clustering per delta — that shape is `corpus_pipeline`'s
+    * persisted-stage layout plus `dedup_resolve`'s label relation; the
+    * delta query prices the per-document work.
+    *
+    * Output: one row per delta doc — survivors with audit columns,
+    * retired (removed) docs with zeroed counts — so the sink can MERGE
+    * upserts and retirements in one pass (firestore/chat.py:49-56).
+    */
+  val incrementalPipeline: Q = (spark, dir) => {
+    val old = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h_old"))
+    val newSnap = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(
+        when(col("doc_id") % 10 === 0, col("doc_id") + Dedup.ReKeyB)
+          .otherwise(col("doc_id")).as("doc_id"),
+        when(col("doc_id") % 4 === 0, concat(col("text"), lit(" [recrawl-edit]")))
+          .otherwise(col("text")).as("new_text"))
+      .withColumn("h_new", md5(col("new_text")))
+    // persisted: the diff is the pipeline's one corpus-sized step and
+    // both output branches (processed delta + retirements) consume it;
+    // without the cache each branch would re-run the full-outer join —
+    // and re-scan the corpus. The cached relation is DELTA-sized (the
+    // unchanged majority is filtered out before it), exactly what a
+    // production recrawl would write to its stage table.
+    val diff = old.join(newSnap, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select("doc_id", "status", "new_text")
+      .persist()
+    val retired = diff.filter(col("status") === "removed")
+      .select(col("doc_id"), lit("retired").as("status"),
+        lit(0L).as("n_tokens"), lit(0L).as("n_emails"), lit(0L).as("n_phones"))
+    val processed = diff.filter(col("status") =!= "removed")
+      .withColumn("qtext",
+        when(col("doc_id") % 40 === JunkMod, lit(JunkText)).otherwise(col("new_text")))
+      .withColumn("words", split(col("qtext"), " "))
+      .filter(size(col("words")) >= 2)
+      .withColumn("top_term_n", expr(
+        """CAST(aggregate(array_sort(words),
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+          |  (acc, w) -> named_struct(
+          |    'prev', w,
+          |    'run',  IF(w <=> acc.prev, acc.run + 1L, 1L),
+          |    'best', GREATEST(acc.best, IF(w <=> acc.prev, acc.run + 1L, 1L))),
+          |  acc -> acc.best) AS BIGINT)""".stripMargin))
+      .withColumn("bigrams", expr(
+        "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i + 1]))"))
+      .filter(
+        col("top_term_n").cast("double") / size(col("words")) <= Curation.TopTermMax &&
+        (size(col("bigrams")) - size(array_distinct(col("bigrams")))).cast("double") /
+          size(col("bigrams")) <= Curation.DupBigramMax)
+      .withColumn("ptext",
+        when(col("doc_id") % 4 === 0,
+          concat(col("qtext"), lit(" reach user"), col("doc_id"),
+            lit("@mail.example or 555-0142 now")))
+          .otherwise(col("qtext")))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("ptext"), lit(Curation.EmailPat), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("ptext"), lit(Curation.PhonePat), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("ptext"), Curation.EmailPat, "<EMAIL>"),
+          Curation.PhonePat, "<PHONE>"))
+      .select(col("doc_id"), col("status"),
+        size(split(col("redacted"), " ")).cast("long").as("n_tokens"),
+        col("n_emails"), col("n_phones"))
+    processed.unionByName(retired).orderBy("doc_id")
+  }
+
+  val incrementalPipelineSql: String =
+    s"""WITH old AS (SELECT doc_id, md5(text) AS h_old FROM documents),
+       |new_snap AS (
+       |  SELECT CASE WHEN doc_id % 10 = 0 THEN doc_id + ${Dedup.ReKeyB} ELSE doc_id END AS doc_id,
+       |         CASE WHEN doc_id % 4 = 0 THEN text || ' [recrawl-edit]' ELSE text END AS new_text
+       |  FROM documents WHERE doc_id % 7 <> 0),
+       |diff AS (
+       |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       |         CASE WHEN o.doc_id IS NULL THEN 'added'
+       |              WHEN n.doc_id IS NULL THEN 'removed'
+       |              WHEN o.h_old <> md5(n.new_text) THEN 'changed' END AS status,
+       |         n.new_text
+       |  FROM old o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id),
+       |delta AS (
+       |  SELECT doc_id, status,
+       |         CASE WHEN doc_id % 40 = $JunkMod
+       |              THEN repeat('junk ', 49) || 'junk' ELSE new_text END AS qtext
+       |  FROM diff WHERE status IN ('added', 'changed')),
+       |rep AS (
+       |  SELECT doc_id,
+       |         CAST(len(words) AS BIGINT) AS n_words,
+       |         CAST(list_max(list_transform(list_distinct(words),
+       |           w -> len(list_filter(words, x -> x = w)))) AS BIGINT) AS top_term_n,
+       |         CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+       |         CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams
+       |  FROM (
+       |    SELECT doc_id, words,
+       |           list_transform(range(1, len(words)),
+       |             i -> words[i] || ' ' || words[i + 1]) AS bigrams
+       |    FROM (SELECT doc_id, string_split(qtext, ' ') AS words FROM delta)
+       |    WHERE len(words) >= 2)),
+       |kept AS (
+       |  SELECT d.* FROM delta d JOIN rep USING (doc_id)
+       |  WHERE CAST(rep.top_term_n AS DOUBLE) / rep.n_words <= ${Curation.TopTermMax}
+       |    AND CAST(rep.n_bigrams - rep.n_distinct_bigrams AS DOUBLE) / rep.n_bigrams
+       |        <= ${Curation.DupBigramMax}),
+       |pii AS (
+       |  SELECT doc_id, status,
+       |         CAST(len(regexp_extract_all(ptext, '${Curation.EmailPat}')) AS BIGINT) AS n_emails,
+       |         CAST(len(regexp_extract_all(ptext, '${Curation.PhonePat}')) AS BIGINT) AS n_phones,
+       |         regexp_replace(regexp_replace(ptext, '${Curation.EmailPat}', '<EMAIL>', 'g'),
+       |                        '${Curation.PhonePat}', '<PHONE>', 'g') AS redacted
+       |  FROM (
+       |    SELECT *, CASE WHEN doc_id % 4 = 0
+       |                THEN qtext || ' reach user' || CAST(doc_id AS VARCHAR)
+       |                     || '@mail.example or 555-0142 now'
+       |                ELSE qtext END AS ptext
+       |    FROM kept))
+       |SELECT doc_id, status,
+       |       CAST(len(string_split(redacted, ' ')) AS BIGINT) AS n_tokens,
+       |       n_emails, n_phones
+       |FROM pii
+       |UNION ALL
+       |SELECT doc_id, 'retired' AS status, CAST(0 AS BIGINT) AS n_tokens,
+       |       CAST(0 AS BIGINT) AS n_emails, CAST(0 AS BIGINT) AS n_phones
+       |FROM diff WHERE status = 'removed'
+       |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "corpus_pipeline" -> corpusPipeline,
+    "incremental_pipeline" -> incrementalPipeline,
+  )
+  val oracles: Map[String, String] = Map(
+    "corpus_pipeline" -> corpusPipelineSql,
+    "incremental_pipeline" -> incrementalPipelineSql,
+  )
 }

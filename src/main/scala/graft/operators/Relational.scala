@@ -130,7 +130,7 @@ object Relational {
     *
     * The "new" snapshot is synthesized deterministically from the old:
     * every 7th doc dropped (removed), every 4th surviving doc's text
-    * edited (changed), every 10th re-keyed +200000 (added). Content
+    * edited (changed), every 10th re-keyed +2^41 (added). Content
     * comparison is by md5 PROJECTED BEFORE the join — the full-outer
     * join shuffles (doc_id, hash), never two copies of the text, so the
     * exchange is O(rows·32B) regardless of document size. Unchanged
@@ -144,7 +144,7 @@ object Relational {
     val newSnap = Tables.documents(spark, dir)
       .filter(col("doc_id") % 7 =!= 0)
       .select(
-        when(col("doc_id") % 10 === 0, col("doc_id") + 200000)
+        when(col("doc_id") % 10 === 0, col("doc_id") + Dedup.ReKeyB)
           .otherwise(col("doc_id")).as("doc_id"),
         md5(when(col("doc_id") % 4 === 0, concat(col("text"), lit(" [recrawl-edit]")))
           .otherwise(col("text"))).as("h_new"))
@@ -158,9 +158,9 @@ object Relational {
       .orderBy("doc_id")
   }
   val snapshotDiffSql: String =
-    """WITH old AS (SELECT doc_id, md5(text) AS h_old FROM documents),
-      |new_snap AS (
-      |  SELECT CASE WHEN doc_id % 10 = 0 THEN doc_id + 200000 ELSE doc_id END AS doc_id,
+    s"""WITH old AS (SELECT doc_id, md5(text) AS h_old FROM documents),
+       |new_snap AS (
+       |  SELECT CASE WHEN doc_id % 10 = 0 THEN doc_id + ${Dedup.ReKeyB} ELSE doc_id END AS doc_id,
       |         md5(CASE WHEN doc_id % 4 = 0 THEN text || ' [recrawl-edit]' ELSE text END) AS h_new
       |  FROM documents WHERE doc_id % 7 <> 0)
       |SELECT doc_id, status FROM (

@@ -177,13 +177,13 @@ object Semantic {
   private def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     e.unionByName(e.filter(col("vec_id") % 7 === 0)
-      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      .select((col("vec_id") + Dedup.ReKeyA).as("vec_id"), col("embedding")))
   }
   private val DupCorpusSql =
-    """(SELECT vec_id, embedding FROM embeddings
-      | UNION ALL
-      | SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
-      | WHERE vec_id % 7 = 0)""".stripMargin
+    s"""(SELECT vec_id, embedding FROM embeddings
+       | UNION ALL
+       | SELECT vec_id + ${Dedup.ReKeyA} AS vec_id, embedding FROM embeddings
+       | WHERE vec_id % 7 = 0)""".stripMargin
 
   /** SemDeDup: cluster, then drop every vector that has an
     * earlier-id near-duplicate (cos ≥ τ) in its own cluster. The

@@ -159,7 +159,7 @@ object Similarity {
   val embeddingCosineNearDup: Q = (spark, dir) => {
     val base = Tables.embeddingsD(spark, dir).select("vec_id", "embedding")
     val dup = base.filter(col("vec_id") % 2 === 0)
-      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      .select((col("vec_id") + Dedup.ReKeyA).as("vec_id"), col("embedding"))
     val all = base.unionByName(dup)
       .withColumn("norm", expr(s"sqrt(${dotSql("embedding", "embedding")})"))
       .cache()
@@ -182,7 +182,7 @@ object Similarity {
   val embeddingCosineNearDupSql: String =
     s"""WITH base AS (SELECT vec_id, embedding FROM $EmbD
        |  UNION ALL
-       |  SELECT vec_id + 100000 AS vec_id, embedding FROM $EmbD WHERE vec_id % 2 = 0),
+       |  SELECT vec_id + ${Dedup.ReKeyA} AS vec_id, embedding FROM $EmbD WHERE vec_id % 2 = 0),
        |v AS (SELECT vec_id, embedding,
        |  sqrt(${dotDuck("embedding", "embedding")}) AS norm FROM base),
        |bk AS (

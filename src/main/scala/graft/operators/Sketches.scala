@@ -190,7 +190,7 @@ object Sketches {
     val d = Tables.documents(spark, dir).select("doc_id", "source", "text")
     val corpus = d.unionByName(
       d.filter(col("doc_id") % 3 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("source"), col("text")))
+        .select((col("doc_id") + Dedup.ReKeyA).as("doc_id"), col("source"), col("text")))
     val regs = hllRegisters(corpus.select(col("source").as("grp"), col("text").as("key")))
       .withColumnRenamed("grp", "source")
     val grid = Tables.documents(spark, dir).select("source").distinct()
@@ -210,7 +210,7 @@ object Sketches {
     s"""WITH corpus AS (
        |  SELECT doc_id, source, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 100000, source, text FROM documents WHERE doc_id % 3 = 0),
+       |  SELECT doc_id + ${Dedup.ReKeyA}, source, text FROM documents WHERE doc_id % 3 = 0),
        |parts AS (SELECT source, h % $HllM AS bucket, h // $HllM AS rest
        |  FROM (SELECT source, ${h60Duck("text")} AS h FROM corpus)),
        |regs AS (SELECT source, bucket,

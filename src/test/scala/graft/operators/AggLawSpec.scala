@@ -44,7 +44,7 @@ class AggLawSpec extends AnyFunSuite {
     // removed: multiples of 7 that were not re-keyed away
     val removed = ids.filter(_ % 7 == 0)
     // added: re-keyed survivors (every 10th, not dropped by the %7 rule)
-    val added = ids.filter(id => id % 7 != 0 && id % 10 == 0).map(_ + 200000)
+    val added = ids.filter(id => id % 7 != 0 && id % 10 == 0).map(_ + Dedup.ReKeyB)
     // changed: edited survivors that kept their key
     val changed = ids.filter(id => id % 7 != 0 && id % 10 != 0 && id % 4 == 0)
     assert(byStatus.getOrElse("removed", Set.empty) ===

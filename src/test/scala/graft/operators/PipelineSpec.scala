@@ -78,8 +78,8 @@ class PipelineSpec extends AnyFunSuite {
   test("exact re-crawl copies never survive the pipeline") {
     val ids = df.select("doc_id").collect().map(_.getLong(0))
     assert(ids.nonEmpty)
-    assert(!ids.exists(id => id >= 100000 && id < 200000),
-      "stage 1 must remove every exact re-crawl (+100000 ids)")
+    assert(!ids.exists(id => id >= Dedup.ReKeyA && id < Dedup.ReKeyB),
+      "stage 1 must remove every exact re-crawl (+ReKeyA ids)")
   }
 
   test("PII audit trail: injected positives are counted and scrubbed") {

@@ -26,10 +26,10 @@ class SemanticSpec extends AnyFunSuite {
     val kept = SparkEntry.queries("semdedup_prune")(spark, Dir)
       .collect().map(_.getLong(0)).toSet
     val n = graft.Tables.embeddings(spark, Dir).count()
-    // the corpus unions a +100000-id exact copy of every 7th vector; an
+    // the corpus unions a +ReKeyA-id exact copy of every 7th vector; an
     // exact copy has cos = 1 >= tau against its earlier-id original in
     // the same cluster, so none may survive
-    assert(!kept.exists(_ >= 100000), "all exact copies must be pruned")
+    assert(!kept.exists(_ >= Dedup.ReKeyA), "all exact copies must be pruned")
     assert(kept.nonEmpty && kept.size <= n)
   }
 
