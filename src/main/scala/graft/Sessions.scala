@@ -17,6 +17,16 @@ object Sessions {
       // functions stay pure.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // ObjectHashAggregate (collect_list/typed-imperative aggs: the
+      // shingle grouping, inverted index, spans lists) falls back to
+      // SORT-based aggregation after this many in-memory keys — the
+      // 128-key default turns every such agg over real key counts into
+      // a full sort of its input. Group state here is small (df-capped
+      // lists, span structs), so keys are cheap; 1M keys of ~100-byte
+      // state bounds the agg map at ~100 MB per task — sized for the
+      // executor memory this harness runs with, and the same tuning a
+      // production cluster applies per its own task memory budget.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       // engine extensions: native expressions (graft_dot, …)
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.ui.enabled", "false")

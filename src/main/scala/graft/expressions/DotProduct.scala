@@ -94,5 +94,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByCount].getName, "graft_topk"),
       (children: Seq[Expression]) => TopKByCount(children.head, children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pairs"),
+      new ExpressionInfo(classOf[PackedPairs].getName, "graft_pairs"),
+      (children: Seq[Expression]) => PackedPairs(children.head)))
   }
 }

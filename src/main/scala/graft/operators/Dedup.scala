@@ -241,9 +241,14 @@ object Dedup {
       .get("spark.graft.reliableCheckpoints", "false").toBoolean
     def cut(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    val pairs = minhashPairsOf(docs)
-    val edges = cut(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    // cut the PAIR relation, then derive the symmetric edge view from
+    // the materialized blocks: the union's two branches otherwise each
+    // re-run the whole minhash chain (shingle → signature agg → band
+    // self-join → distinct) — the single most expensive recompute in
+    // the loop's setup (≈2× the CC iterations themselves at sf0.1)
+    val pairs = cut(minhashPairsOf(docs))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = cut(docs.select(col("doc_id"))
       .withColumn("label", col("doc_id")))
     var iter = 0
@@ -459,9 +464,28 @@ object Dedup {
   private val JaccardThreshold = 0.5
   // doc_id << 22 | n_sh: doc_id < 2^41 (covers real ids plus the
   // ReKeyA=2^40 synthetic band), n_sh < 2^22 (a ~4M-shingle ceiling per
-  // doc — a 25 MB document; beyond either bound densify ids first)
+  // doc — a 25 MB document; beyond either bound densify ids first).
+  // NOTE the bound EXCLUDES the ReKeyB=2^41 band (incremental_pipeline's
+  // re-key space): (2^41)<<22 overflows into the sign bit and would
+  // silently corrupt the packed sort order, so the packed-Jaccard path
+  // asserts the bound at runtime (see packDocId) instead of trusting
+  // its callers.
   private val PackShift = 22
   private val PackMask = (1L << PackShift) - 1
+  private val PackMaxDocId = 1L << (63 - PackShift) // 2^41
+
+  /** Pack (doc_id, n_sh) into one non-negative long, ABORTING (ANSI
+    * raise_error) on a doc_id outside [0, 2^41) rather than silently
+    * wrapping into the sign bit — a ReKeyB-keyed corpus fed here must
+    * densify ids first, and the guard is one codegen'd branch per row,
+    * not a separate validation pass. */
+  private def packDocId(docId: Column, nSh: Column): Column =
+    shiftleft(
+      when(docId >= 0 && docId < PackMaxDocId, docId)
+        .otherwise(raise_error(concat(
+          lit(s"ngram_jaccard_pairs: doc_id out of packed range [0, $PackMaxDocId): "),
+          docId.cast("string")))),
+      PackShift).bitwiseOR(nSh)
 
   /** Exact n-gram Jaccard near-dup pairs: enumerate co-occurring doc
     * pairs per shared shingle (df-capped), count common shingles per
@@ -473,7 +497,7 @@ object Dedup {
     * capped shingle relation by shingle (list state provably ≤ DfCap
     * entries because over-cap keys are anti-joined out FIRST — the df
     * pre-pass is a count-only hash aggregate, map-side combinable, so no
-    * unbounded collect ever runs), then explode the sorted i<j
+    * unbounded collect ever runs), then explode the b > a value-compared
     * combinations. Each unordered pair is generated exactly once (a
     * self-join produces both orders and shuffles the relation twice);
     * per-key work is ≤ DfCap²/2 rows inside a codegen'd explode. That
@@ -496,43 +520,67 @@ object Dedup {
     // there is nothing to equi-compare, so hashing shingles first (r2)
     // would only add 0.5M md5 evaluations — the shuffle partitioner
     // hashes the string anyway, exactly and collision-free in both
-    // engines. The explode is cheap enough to recompute per consumer
-    // (caching strings costs more than re-deriving them); a real 100 TB
-    // campaign persists this relation as its shingle table first.
+    // engines. The shingle relation and its capped subset are
+    // materialized once (localCheckpoint: raw block storage — its write
+    // cost measured half the columnar cache's encode for a relation
+    // read exactly twice) because each is read twice below; re-deriving
+    // the split+explode per consumer cost more in every measurement. A
+    // real 100 TB campaign persists this relation as its shingle table
+    // first (reliable storage, same role).
     val sh = shingled(withNearDupes(spark, dir))
-      .select(col("doc_id"), col("shingle").as("sh"))
+      .select(col("doc_id"), col("shingle").as("sh")).localCheckpoint()
     val dfBySh = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     // over-cap keys form a TINY list (only boilerplate shingles); the
     // planner broadcasts the anti-join from stats — df never rides
     // along every shingle row
     val blocked = dfBySh.filter(col("df") > DfCap).select("sh")
-    val kept = sh.join(blocked, Seq("sh"), "left_anti")
+    val kept = sh.join(blocked, Seq("sh"), "left_anti").localCheckpoint()
     // one row per doc — broadcast-joined back onto the shingle rows
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // (doc_id, n_sh) packed into one non-negative BIGINT: the per-shingle
     // collect_list buffers primitive longs instead of struct rows, which
     // cuts the ObjectHashAggregate's allocation (the suite's biggest GC
     // source — its bench time swung 4× run-to-run on struct buffers).
-    // Packing needs doc_id < 2^41 and n_sh < 2^22; a corpus with 64-bit
-    // ids would densify ids first (zipWithIndex-style) or revert to the
-    // struct form. Long order = (doc_id, n_sh) lexicographic order, and
-    // n_sh is functionally dependent on doc_id, so sort_array and the
-    // i<j enumeration see exactly the sequence the struct form produced.
+    // Packing needs doc_id < 2^41 and n_sh < 2^22 (packDocId aborts
+    // outside the bound); a corpus with 64-bit ids would densify ids
+    // first (zipWithIndex-style) or revert to the struct form. The
+    // b > a value comparison inside the explode needs no sorted list:
+    // packed longs order as (doc_id, n_sh) lexicographic, doc_id is
+    // unique per shingle group, and n_sh is functionally dependent on
+    // doc_id — so each unordered pair is enumerated exactly once with
+    // doc_a < doc_b, with no per-group sort at all.
+    //
+    // repartition BEFORE the fan-out: the grouped relation is ~27k
+    // compact rows at sf0.1, so AQE coalesces its shuffle to 1–2
+    // partitions — correct for its byte size, catastrophically serial
+    // for a stage that EXPANDS 200× (5.2M pair rows came out of 2
+    // tasks: the suite's hottest loop ran on 2 of 32 cores). The
+    // round-robin repartition is a shuffle of the SMALL side, priced
+    // exactly so every core works the k²/2 enumeration.
+    val par = spark.sparkContext.defaultParallelism
     val pairs = kept.join(sizes, "doc_id")
-      .select(col("sh"),
-        (shiftleft(col("doc_id"), PackShift).bitwiseOR(col("n_sh"))).as("packed"))
+      .select(col("sh"), packDocId(col("doc_id"), col("n_sh")).as("packed"))
       .groupBy("sh")
-      .agg(sort_array(collect_list(col("packed"))).as("ids"))
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
-          s"b -> struct(shiftright(a, $PackShift) AS doc_a, " +
-          s"shiftright(b, $PackShift) AS doc_b, " +
-          s"a & $PackMask AS n_a, b & $PackMask AS n_b))))")).as("p"))
-      .select(col("p.*"))
+      .agg(collect_list(col("packed")).as("ids"))
+      .select("ids") // the shingle key is spent — don't ship it through the rebalance
+      .repartition(par)
+      // native kernel ([[graft.expressions.PackedPairs]]): fused i<j
+      // loop, whole-stage codegen — the built-in lambda spelling ran
+      // this, the suite's hottest loop, on the expression interpreter
+      .select(explode(expr("graft_pairs(ids)")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    // count on the PACKED pair (2 longs — halves the shuffle row vs the
+    // unpacked 4-column key); doc ids and set sizes unpack afterwards,
+    // once per surviving distinct pair instead of once per candidate row
     pairs
-      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .groupBy("a", "b")
       .agg(count(lit(1)).as("n_common"))
+      .select(
+        shiftright(col("a"), PackShift).as("doc_a"),
+        shiftright(col("b"), PackShift).as("doc_b"),
+        col("a").bitwiseAND(lit(PackMask)).as("n_a"),
+        col("b").bitwiseAND(lit(PackMask)).as("n_b"),
+        col("n_common"))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= JaccardThreshold)

@@ -260,15 +260,26 @@ object Indexing {
     * 'm'+'er' at round 5 from round 0's 'e'+'r').
     *
     * Scale shape — the part that matters at 100 TB: the CORPUS is
-    * touched exactly once, by the word-frequency aggregate; every merge
-    * round runs over the VOCABULARY relation (Zipf: ~10⁷ rows for a
-    * web-scale corpus), weighted by `freq`. Rounds are fully
-    * declarative — the argmax is a 1-row `orderBy.limit(1)`
-    * (TakeOrderedAndProject, no driver collect) cross-joined back, the
-    * fusion is one `replace` projection — so the whole R-round train is
-    * ONE lazy DAG, with each round's vocab cached (vocab-sized, harness-
-    * scoped cleanup like [[Pipeline]]; a 30k-round production train
-    * checkpoints every few hundred rounds instead).
+    * touched exactly once, by the word-frequency aggregate (full
+    * shuffle parallelism); every merge round runs over the VOCABULARY
+    * relation (Zipf: ~10⁷ rows for a web-scale corpus), weighted by
+    * `freq`. Rounds stay declarative — the argmax is a 1-row
+    * `orderBy.limit(1)` (TakeOrderedAndProject, no driver collect)
+    * cross-joined back, the fusion is one `replace` projection — but
+    * each round's vocab is `localCheckpoint`ed (lineage CUT, exactly
+    * the CC-loop trade in [[Dedup.clusterLabelsOf]]): without the cut,
+    * round r's plan nests r crossJoins and Catalyst re-optimizes the
+    * whole prefix every round, which at R=6 already costs 10× the data
+    * work. The loop relation is also `coalesce(1)`d AFTER the corpus
+    * agg materializes — narrow merge of already-computed blocks, so the
+    * corpus pass keeps its parallelism while the per-round jobs stop
+    * paying 32-task scheduling for a few-thousand-row relation (a
+    * web-scale vocab keeps more partitions: the coalesce target would
+    * scale with |vocab|, e.g. rows/10⁶, not the constant 1 of this
+    * harness-sized corpus; a 30k-round production train additionally
+    * swaps reliable `checkpoint()` in every few hundred rounds).
+    * Checkpoint blocks are harness-scoped ([[Bench]] unpersists them
+    * between queries).
     *
     * Symbol sequences ride in one string column ('|c1||c2||…|' — each
     * symbol wrapped in its own '|'s, '|' can't occur in tokens) rather
@@ -290,7 +301,9 @@ object Indexing {
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(regexp_replace(col("word"), "(.)", "|$1|").as("seq"), col("freq"))
-    var w = words0.cache()
+    // corpus agg at full parallelism; the loop runs over a 1-partition
+    // narrow view of the materialized vocab (see Scaladoc)
+    var w = words0.localCheckpoint().coalesce(1)
     val merges = (0 until BpeRounds).map { r =>
       val pairs = w
         .withColumn("syms",
@@ -300,13 +313,17 @@ object Indexing {
           "transform(sequence(1, size(syms) - 1)," +
             " i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))")).as("p"),
           col("freq"))
+      // best is NOT checkpointed: it re-derives from the (checkpointed,
+      // tiny) vocab wherever read — the fuse job computes it inline and
+      // the final union recomputes all R argmaxes in one job, which is
+      // fewer Spark jobs total than materializing R one-row relations
       val best = pairs
         .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum("freq").as("pf"))
         .orderBy(col("pf").desc, col("a"), col("b")).limit(1)
       w = w.crossJoin(best)
         .select(expr("replace(seq, concat('|', a, '||', b, '|'), concat('|', a, b, '|'))")
           .as("seq"), col("freq"))
-        .cache()
+        .localCheckpoint() // cut lineage: round r+1 plans against a leaf
       best.select(lit(r.toLong).as("round"), col("a").as("left_sym"),
         col("b").as("right_sym"), col("pf").as("pair_freq"))
     }

@@ -301,31 +301,30 @@ object Pipeline {
     * retired (removed) docs with zeroed counts — so the sink can MERGE
     * upserts and retirements in one pass (firestore/chat.py:49-56).
     */
-  val incrementalPipeline: Q = (spark, dir) => {
-    val old = Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(col("text")).as("h_old"))
-    val newSnap = Tables.documents(spark, dir)
+  /** The simulated recrawl snapshot (doc_id, new_text): 1-in-7 docs gone,
+    * 1-in-10 re-keyed (URL moved), 1-in-4 edited. Shared by the batch
+    * diff below and the streaming twin's spec
+    * ([[graft.streaming.IncrementalStream]]), so both modes replay the
+    * same crawl. */
+  private[graft] def recrawlSnapshot(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .filter(col("doc_id") % 7 =!= 0)
       .select(
         when(col("doc_id") % 10 === 0, col("doc_id") + Dedup.ReKeyB)
           .otherwise(col("doc_id")).as("doc_id"),
         when(col("doc_id") % 4 === 0, concat(col("text"), lit(" [recrawl-edit]")))
           .otherwise(col("text")).as("new_text"))
-      .withColumn("h_new", md5(col("new_text")))
-    // persisted: the diff is the pipeline's one corpus-sized step and
-    // both output branches (processed delta + retirements) consume it;
-    // without the cache each branch would re-run the full-outer join —
-    // and re-scan the corpus. The cached relation is DELTA-sized (the
-    // unchanged majority is filtered out before it), exactly what a
-    // production recrawl would write to its stage table.
-    val diff = old.join(newSnap, Seq("doc_id"), "full_outer")
-      .withColumn("status",
-        when(col("h_old").isNull, lit("added"))
-          .when(col("h_new").isNull, lit("removed"))
-          .when(col("h_old") =!= col("h_new"), lit("changed")))
-      .filter(col("status").isNotNull)
-      .select("doc_id", "status", "new_text")
-      .persist()
+
+  /** The per-document delta stages — Gopher repetition gate, PII
+    * redaction + audit, token accounting, retirement rows — over a diff
+    * relation `(doc_id, status ∈ added|changed|removed, new_text)`.
+    * Row-local by construction (no join/window/aggregate — plan-asserted
+    * by IncrementalPipelineSpec), so the SAME function prices the batch
+    * recrawl delta and each streaming micro-batch
+    * ([[graft.streaming.IncrementalStream]] calls it per batch): parity
+    * between the two modes is by shared code, not by twin
+    * implementations. */
+  private[graft] def deltaStages(diff: DataFrame): DataFrame = {
     val retired = diff.filter(col("status") === "removed")
       .select(col("doc_id"), lit("retired").as("status"),
         lit(0L).as("n_tokens"), lit(0L).as("n_emails"), lit(0L).as("n_phones"))
@@ -363,7 +362,33 @@ object Pipeline {
       .select(col("doc_id"), col("status"),
         size(split(col("redacted"), " ")).cast("long").as("n_tokens"),
         col("n_emails"), col("n_phones"))
-    processed.unionByName(retired).orderBy("doc_id")
+    processed.unionByName(retired)
+  }
+
+  val incrementalPipeline: Q = (spark, dir) => {
+    val old = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h_old"))
+    val newSnap = recrawlSnapshot(spark, dir)
+      .withColumn("h_new", md5(col("new_text")))
+    // persisted: the diff is the pipeline's one corpus-sized step and
+    // both output branches (processed delta + retirements) consume it;
+    // without the cache each branch would re-run the full-outer join —
+    // and re-scan the corpus. The cached relation is DELTA-sized (the
+    // unchanged majority is filtered out before it), exactly what a
+    // production recrawl would write to its stage table. Cache LIFECYCLE
+    // belongs to the caller (same contract as corpusPipeline's persisted
+    // stages): both harnesses clear the catalog cache after each query's
+    // action; a long-lived session invoking this repeatedly must do the
+    // same or accumulate one delta-sized relation per call.
+    val diff = old.join(newSnap, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select("doc_id", "status", "new_text")
+      .persist()
+    deltaStages(diff).orderBy("doc_id")
   }
 
   val incrementalPipelineSql: String =

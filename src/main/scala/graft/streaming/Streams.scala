@@ -200,8 +200,9 @@ object MergeSink {
   }
 
   /** Snapshot swap: write next to the live dir, then two atomic renames
-    * (see [[merge]] Scaladoc for the crash-recovery contract). */
-  private def writeSnapshot(merged: DataFrame, path: String): Unit = {
+    * (see [[merge]] Scaladoc for the crash-recovery contract). Shared
+    * with [[IncrementalStream]]'s hash-state store. */
+  private[streaming] def writeSnapshot(merged: DataFrame, path: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = path + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)

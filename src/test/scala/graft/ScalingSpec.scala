@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Empirical scaling evidence for the dedup family — the round-6 ask
+  * that plan reading alone can't answer: do shuffle volumes actually
+  * grow sub-quadratically when the corpus grows 10×?
+  *
+  * `documents` has 500 rows at sf0.01 and 5,000 at sf0.1 (sf0.001 is
+  * the SAME 500-row table, so the only real growth step in the harness
+  * data is sf0.01 → sf0.1). For each query the spec tallies SHUFFLE
+  * RECORDS WRITTEN across every stage of the query's jobs (including
+  * checkpoint/persist materializations, which per-plan metrics would
+  * miss) via a SparkListener, then asserts growth ≤ g^1.7 where
+  * g = corpus growth — comfortably above honest super-linear effects
+  * (near-dup pair structure grows slightly faster than docs; fixed
+  * per-job partition floors bias the ratio DOWN, not up) and far below
+  * the g² of an all-pairs regression, which at g = 10 would show ~100×.
+  *
+  * The measured numbers are recorded in docs/SCALE.md §"Measured
+  * scaling"; re-derive the table (plus wall times) with
+  * `GRAFT_SCALE_TABLE=1 sbt "testOnly graft.ScalingSpec"`.
+  */
+class ScalingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val SfSmall = "/root/testdata/sf0.01"
+  private val SfBig = "/root/testdata/sf0.1"
+  // X2 minhash LSH, X4 capped Jaccard, X16 CC clustering (pairs + the
+  // iterative label loop), X28 the full composed pipeline
+  private val Queries =
+    Seq("minhash_lsh_candidates", "ngram_jaccard_pairs", "near_dup_cluster", "corpus_pipeline")
+  private val MaxExponent = 1.7
+
+  private case class Probe(secs: Double, shuffleRows: Long)
+
+  private def measure(name: String, dir: String): Probe = {
+    val tally = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) tally.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftBusDrain.drain(spark.sparkContext)
+      Probe(secs, tally.get())
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+  }
+
+  test("dedup-family shuffle volume grows sub-quadratically from sf0.01 to sf0.1") {
+    val growth = Tables.documents(spark, SfBig).count().toDouble /
+      Tables.documents(spark, SfSmall).count()
+    assert(growth >= 5, s"harness data should grow ~10x, got $growth")
+    val bound = math.pow(growth, MaxExponent)
+    val rows = Queries.map { q =>
+      val small = measure(q, SfSmall)
+      val big = measure(q, SfBig)
+      val ratio = big.shuffleRows.toDouble / math.max(1L, small.shuffleRows)
+      System.err.println(
+        f"[scaling] $q%-24s sf0.01: ${small.shuffleRows}%9d rows ${small.secs}%6.2f s | " +
+          f"sf0.1: ${big.shuffleRows}%9d rows ${big.secs}%6.2f s | growth $ratio%6.1fx (bound $bound%5.1fx)")
+      assert(ratio <= bound,
+        s"$q shuffle rows grew ${ratio}x for ${growth}x data — super-quadratic-risk " +
+          s"(bound ${bound}x); an all-pairs regression would show ~${growth * growth}x")
+      (q, small, big, ratio)
+    }
+    if (sys.env.contains("GRAFT_SCALE_TABLE")) {
+      System.err.println("| query | sf0.01 shuffle rows | sf0.01 s | sf0.1 shuffle rows | sf0.1 s | growth |")
+      System.err.println("|---|---|---|---|---|---|")
+      rows.foreach { case (q, s, b, r) =>
+        System.err.println(
+          f"| `$q` | ${s.shuffleRows}%,d | ${s.secs}%.2f | ${b.shuffleRows}%,d | ${b.secs}%.2f | ${r}%.1fx |")
+      }
+    }
+  }
+}

@@ -32,8 +32,12 @@ class IncrementalPipelineSpec extends AnyFunSuite {
       case _                        => Nil
     }
   }
+  // The persisted diff appears in BOTH union branches (processed ∪ retired);
+  // count its physical nodes once per distinct cache, not per occurrence.
   private lazy val nested: Seq[SparkPlan] =
-    plan.collect { case m: InMemoryRelation => m }.flatMap(m => physNodes(m.cachedPlan))
+    plan.collect { case m: InMemoryRelation => m }
+      .groupBy(_.cacheBuilder.cachedPlan.id).values.map(_.head).toSeq
+      .flatMap(m => physNodes(m.cachedPlan))
 
   test("the corpus is scanned exactly once per snapshot side, inside the diff stage") {
     assert(plan.collect { case l: LogicalRelation => l }.isEmpty,
