@@ -75,6 +75,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"expected map-side-combinable df aggregate:\n$p")
   }
 
+  test("ngram pair fan-out re-expands parallelism and runs the native kernel") {
+    // AQE sizes post-shuffle partitions by bytes, so the compact grouped
+    // shingle relation coalesces to ~1 partition — serial for a stage
+    // that expands 200x. The explicit round-robin repartition (which AQE
+    // respects: user-specified partition counts are not re-coalesced)
+    // must sit under the explode, and the enumeration must be the
+    // codegen'd graft_pairs kernel, not interpreted lambdas.
+    val p = plan("ngram_jaccard_pairs")
+    assert(p.contains("RoundRobinPartitioning"),
+      s"expected an explicit fan-out repartition before the pair explode:\n$p")
+    assert(p.contains("graft_pairs"), s"expected the native pair kernel:\n$p")
+    assert(!p.contains("sort_array"),
+      s"value-compared enumeration needs no per-group sort:\n$p")
+  }
+
   test("asof_join is join-free: union + running-last window, no pair materialization") {
     val p = plan("asof_join")
     assert(!p.contains("Join"), s"as-of must be the merge formulation, not a join:\n$p")
