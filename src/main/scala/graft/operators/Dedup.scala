@@ -569,6 +569,18 @@ object Dedup {
       // this, the suite's hottest loop, on the expression interpreter
       .select(explode(expr("graft_pairs(ids)")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+      // set-similarity LENGTH FILTER (the SSJoin size filter): j =
+      // c/(n_a+n_b−c) with c ≤ min(n_a,n_b) gives j ≤ min/max, so any
+      // pair with 2·min < max can never reach the 0.5 threshold — an
+      // exact-safe necessary condition that drops candidates BEFORE
+      // they ride the count shuffle (the set sizes are already packed
+      // in the low bits, so the test is three codegen'd bit-ops,
+      // pipelined into the explode's stage)
+      .filter(
+        shiftleft(least(col("a").bitwiseAND(lit(PackMask)),
+          col("b").bitwiseAND(lit(PackMask))), 1) >=
+        greatest(col("a").bitwiseAND(lit(PackMask)),
+          col("b").bitwiseAND(lit(PackMask))))
     // count on the PACKED pair (2 longs — halves the shuffle row vs the
     // unpacked 4-column key); doc ids and set sizes unpack afterwards,
     // once per surviving distinct pair instead of once per candidate row
