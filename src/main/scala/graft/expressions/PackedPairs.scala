@@ -44,6 +44,7 @@ case class PackedPairs(child: Expression) extends UnaryExpression {
   override def nullSafeEval(in: Any): Any = {
     val xs = in.asInstanceOf[ArrayData].toLongArray()
     val n = xs.length
+    PackedPairs.checkSizeJava(n)
     val out = new Array[Any](n * (n - 1) / 2)
     var k = 0
     var i = 0
@@ -75,9 +76,11 @@ case class PackedPairs(child: Expression) extends UnaryExpression {
       val b = ctx.freshName("b")
       val rowCls = classOf[GenericInternalRow].getName
       val arrCls = classOf[GenericArrayData].getName
+      val exprCls = classOf[PackedPairs].getName
       s"""
          |long[] $xs = $c.toLongArray();
          |int $n = $xs.length;
+         |$exprCls.checkSizeJava($n);
          |Object[] $out = new Object[$n * ($n - 1) / 2];
          |int $k = 0;
          |for (int $i = 0; $i < $n; $i++) {
@@ -95,4 +98,19 @@ case class PackedPairs(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): PackedPairs =
     copy(child = newChild)
+}
+
+object PackedPairs {
+  /** n(n−1)/2 must fit an int (and a JVM array): past this bound the
+    * count computation itself overflows. Callers are expected to bound
+    * group size far below it (ngram's DfCap = 100); the guard turns a
+    * silent negative-size wrap into a diagnosable error. Called from
+    * both the interpreted eval and the generated code (static
+    * forwarder), so the two paths can't drift. */
+  private val MaxElems = 46340 // floor(sqrt(2^31))
+
+  def checkSizeJava(n: Int): Unit =
+    if (n > MaxElems) throw new IllegalArgumentException(
+      s"graft_pairs: input of $n elements would enumerate >Int.MaxValue pairs " +
+        s"(bound $MaxElems); cap group fanout (e.g. a df-cap) before enumerating")
 }

@@ -56,6 +56,16 @@ class PackedPairsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 5L), (5L, 9L), (3L, 5L), (1L, 9L), (1L, 3L), (3L, 9L)))
   }
 
+  test("fails loudly past the int-overflow bound instead of wrapping") {
+    val big = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array.fill(46341)(0L))
+    val e = intercept[IllegalArgumentException](
+      PackedPairs(org.apache.spark.sql.catalyst.expressions.Literal(
+        big, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+        .eval(null))
+    assert(e.getMessage.contains("df-cap"))
+  }
+
   test("rejects non-array<bigint> input") {
     import spark.implicits._
     val df = Seq((1L, Seq("x", "y"))).toDF("g", "ids")
