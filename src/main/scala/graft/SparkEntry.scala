@@ -28,6 +28,14 @@ object SparkEntry {
       "graft_simhash",
       ch => graft.expressions.SimHashVotes(ch.head, ch(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk",
+      ch => graft.expressions.TopKByCount(ch.head, ch(1), ch(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pairs",
+      ch => graft.expressions.PackedPairs(ch.head),
+      "built-in")
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -382,6 +382,58 @@ object Curation {
        |      > ${OutlierK * OutlierK} * (n * s2 - s1 * s1)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // 7. source_quality_gate — domain-level curation
+  // ---------------------------------------------------------------------
+
+  /** Short-document threshold (chars) and the gate fraction: a source
+    * ships only while its short-doc share stays at or under
+    * [[GateNum]]/[[GateDen]] = 30%. */
+  private val ShortChars = 200L
+  private val GateNum = 3L
+  private val GateDen = 10L
+
+  /** DOMAIN-level quality gate — the curation pass that drops whole
+    * sources, not documents (C4's domain blocklists, RefinedWeb/Dolma's
+    * per-domain heuristics, lifted from a static list to a
+    * corpus-derived one): a source whose short-doc share exceeds 30% is
+    * scaffolding/boilerplate-heavy, and EVERY doc from it is excluded —
+    * including its individually-fine ones, which is the point: domain
+    * reputation is evidence a per-doc gate can't see. Keep ⟺
+    * n_short·10 ≤ n_docs·3, an integer cross-multiply with no float at
+    * the decision boundary (house rule; a ratio column would disagree
+    * in the last ulp across engines). Survivors carry their source's
+    * audit counts so the decision is inspectable downstream.
+    *
+    * Scale shape: one map-side-combinable count aggregate keyed on
+    * source (domain cardinality ≪ corpus — web-scale is ~10⁸ domains
+    * vs ~10¹¹ docs), the domain-stats relation broadcast back, then a
+    * row-parallel filter. The corpus is scanned once and never
+    * shuffled: the gate costs one pass plus a broadcast, the same
+    * budget as [[lengthOutliers]].
+    */
+  val sourceQualityGate: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    val stats = d.groupBy("source").agg(
+      count(lit(1)).as("src_docs"),
+      sum(when(col("n_chars") < ShortChars, 1L).otherwise(0L)).as("src_short"))
+    d.join(broadcast(stats), "source")
+      .filter(col("src_short") * GateDen <= col("src_docs") * GateNum)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("src_docs"), col("src_short"))
+      .orderBy("doc_id")
+  }
+  val sourceQualityGateSql: String =
+    s"""WITH s AS (
+       |  SELECT source, count(*) AS src_docs,
+       |         CAST(sum(CASE WHEN n_chars < $ShortChars THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS src_short
+       |  FROM documents GROUP BY 1)
+       |SELECT doc_id, source, n_chars, src_docs, src_short
+       |FROM documents JOIN s USING (source)
+       |WHERE src_short * $GateDen <= src_docs * $GateNum
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "benchmark_contamination" -> benchmarkContamination,
     "stratified_sample" -> stratifiedSample,
@@ -389,6 +441,7 @@ object Curation {
     "pii_redact" -> piiRedact,
     "reservoir_sample" -> reservoirSample,
     "length_outliers" -> lengthOutliers,
+    "source_quality_gate" -> sourceQualityGate,
   )
   val oracles: Map[String, String] = Map(
     "benchmark_contamination" -> benchmarkContaminationSql,
@@ -397,5 +450,6 @@ object Curation {
     "pii_redact" -> piiRedactSql,
     "reservoir_sample" -> reservoirSampleSql,
     "length_outliers" -> lengthOutliersSql,
+    "source_quality_gate" -> sourceQualityGateSql,
   )
 }
