@@ -296,15 +296,20 @@ object Indexing {
     * re-emits the shared boundary). BpePropSpec holds the executable
     * form of this argument against a greedy list-fold reference.
     */
-  val bpeTrainMerges: Q = (spark, dir) => {
+  /** The train loop itself: per-round 1-row argmax relations (a, b,
+    * pf), each lazy over that round's CHECKPOINTED vocab — shared by
+    * the merge-table query ([[bpeTrainMerges]]) and the tokenizer
+    * application ([[bpeEncode]]), so both derive from the identical
+    * rules by construction. */
+  private def bpeRounds(spark: SparkSession, dir: String): Seq[DataFrame] = {
     val words0 = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(regexp_replace(col("word"), "(.)", "|$1|").as("seq"), col("freq"))
     // corpus agg at full parallelism; the loop runs over a 1-partition
-    // narrow view of the materialized vocab (see Scaladoc)
+    // narrow view of the materialized vocab (see bpeTrainMerges Scaladoc)
     var w = words0.localCheckpoint().coalesce(1)
-    val merges = (0 until BpeRounds).map { r =>
+    (0 until BpeRounds).map { r =>
       val pairs = w
         .withColumn("syms",
           split(expr("substring(seq, 2, length(seq) - 2)"), "[|][|]"))
@@ -324,12 +329,19 @@ object Indexing {
         .select(expr("replace(seq, concat('|', a, '||', b, '|'), concat('|', a, b, '|'))")
           .as("seq"), col("freq"))
         .localCheckpoint() // cut lineage: round r+1 plans against a leaf
+      best
+    }
+  }
+
+  val bpeTrainMerges: Q = (spark, dir) =>
+    bpeRounds(spark, dir).zipWithIndex.map { case (best, r) =>
       best.select(lit(r.toLong).as("round"), col("a").as("left_sym"),
         col("b").as("right_sym"), col("pf").as("pair_freq"))
-    }
-    merges.reduce(_ unionByName _).orderBy("round")
-  }
-  val bpeTrainMergesSql: String = {
+    }.reduce(_ unionByName _).orderBy("round")
+  /** The train-loop CTE chain (words → w0 → p_r/b_r/w_{r+1} per round)
+    * — shared by the merge-table oracle and the encode oracle, mirroring
+    * [[bpeRounds]] on the Spark side. */
+  private def bpeCtePrefix: String = {
     def roundCtes(r: Int): String =
       s"""p$r AS (
          |  SELECT p.a AS a, p.b AS b, sum(freq) AS pf FROM (
@@ -342,17 +354,80 @@ object Indexing {
          |w${r + 1} AS (SELECT replace(seq, '|' || b$r.a || '||' || b$r.b || '|',
          |                             '|' || b$r.a || b$r.b || '|') AS seq, freq
          |  FROM w$r, b$r)""".stripMargin
-    val unions = (0 until BpeRounds)
-      .map(r => s"SELECT $r AS round, a AS left_sym, b AS right_sym, pf AS pair_freq FROM b$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT term AS word, count(*) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents) GROUP BY 1),
        |w0 AS (SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS seq, freq FROM words),
-       |${(0 until BpeRounds).map(roundCtes).mkString(",\n")}
+       |${(0 until BpeRounds).map(roundCtes).mkString(",\n")}""".stripMargin
+  }
+
+  val bpeTrainMergesSql: String = {
+    val unions = (0 until BpeRounds)
+      .map(r => s"SELECT $r AS round, a AS left_sym, b AS right_sym, pf AS pair_freq FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeCtePrefix
        |SELECT CAST(round AS BIGINT) AS round, left_sym, right_sym,
        |       CAST(pair_freq AS BIGINT) AS pair_freq
        |FROM ($unions) ORDER BY round""".stripMargin
+  }
+
+  /** Tokenizer APPLICATION — the other half of the BPE story: encode
+    * every document with the merge rules [[bpeRounds]] just learned
+    * (train→apply in one lineage, the way a tokenizer ships with its
+    * corpus statistics) and account tokens per doc. Greedy BPE
+    * application is the same chained literal `replace` over the
+    * '|'-wrapped symbol string as training's fusion step — rules
+    * applied IN TRAINING ORDER — so the encode inherits BpePropSpec's
+    * boundary-anchoring argument verbatim.
+    *
+    * The WHOLE text is wrapped and encoded in one pass, not
+    * word-by-word: training words are space-split, so no learned
+    * symbol can contain ' ' and no rule '|a||b|' can ever match across
+    * a '| |' boundary — which turns the encode into a handful of
+    * NATIVE string ops per document (one regex wrap + R literal
+    * replaces + two length probes) instead of a per-word interpreted
+    * lambda chain (the first spelling; 5× slower at sf0.1). Token
+    * count = symbol count minus space symbols: ('||' separators div 2
+    * + 1) − (space count), both from length differences — no
+    * re-splitting.
+    *
+    * Scale shape: the R one-row rule relations broadcast onto the
+    * corpus (crossJoin of 1-row sides), then ONE row-local projection
+    * over the documents scan — the corpus is touched once for training
+    * (word-freq agg) and once for encoding, and the encode pass
+    * shuffles nothing.
+    */
+  val bpeEncode: Q = (spark, dir) => {
+    val rules = bpeRounds(spark, dir)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val withRules = rules.zipWithIndex.foldLeft(docs) { case (df, (best, r)) =>
+      df.crossJoin(broadcast(best.select(col("a").as(s"a$r"), col("b").as(s"b$r"))))
+    }
+    val encodeExpr = (0 until BpeRounds).foldLeft("regexp_replace(text, '(.)', '|$1|')") {
+      (acc, r) =>
+        s"replace($acc, concat('|', a$r, '||', b$r, '|'), concat('|', a$r, b$r, '|'))"
+    }
+    withRules
+      .select(col("doc_id"), col("text"), expr(encodeExpr).as("e"))
+      .select(col("doc_id"), expr(
+        """CAST((length(e) - length(replace(e, '||', ''))) DIV 2 + 1
+          |     - (length(text) - length(replace(text, ' ', ''))) AS BIGINT)""".stripMargin)
+        .as("n_tokens"))
+      .orderBy("doc_id")
+  }
+  val bpeEncodeSql: String = {
+    val encodeExpr = (0 until BpeRounds).foldLeft("regexp_replace(text, '(.)', '|\\1|', 'g')") {
+      (acc, r) =>
+        s"replace($acc, '|' || b$r.a || '||' || b$r.b || '|', '|' || b$r.a || b$r.b || '|')"
+    }
+    s"""WITH $bpeCtePrefix,
+       |enc AS (
+       |  SELECT doc_id, text, $encodeExpr AS e
+       |  FROM documents, ${(0 until BpeRounds).map(r => s"b$r").mkString(", ")})
+       |SELECT doc_id,
+       |       CAST((length(e) - length(replace(e, '||', ''))) // 2 + 1
+       |            - (length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS n_tokens
+       |FROM enc ORDER BY doc_id""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(
@@ -361,6 +436,7 @@ object Indexing {
     "vocab_build" -> vocabBuild,
     "bm25_topk" -> bm25Topk,
     "bpe_train_merges" -> bpeTrainMerges,
+    "bpe_encode" -> bpeEncode,
   )
   val oracles: Map[String, String] = Map(
     "tfidf_topk" -> tfidfTopkSql,
@@ -368,5 +444,6 @@ object Indexing {
     "vocab_build" -> vocabBuildSql,
     "bm25_topk" -> bm25TopkSql,
     "bpe_train_merges" -> bpeTrainMergesSql,
+    "bpe_encode" -> bpeEncodeSql,
   )
 }

@@ -43,6 +43,11 @@ class ScalingSpec extends AnyFunSuite {
         if (m != null) tally.addAndGet(m.shuffleWriteMetrics.recordsWritten)
       }
     }
+    // flush stage events still in flight from earlier suites BEFORE
+    // attaching the tally — a prior query's late onStageCompleted would
+    // otherwise inflate this query's row count (observed: +27% on
+    // corpus_pipeline when run mid-suite vs isolated)
+    org.apache.spark.GraftBusDrain.drain(spark.sparkContext)
     spark.sparkContext.addSparkListener(listener)
     try {
       val t0 = System.nanoTime()

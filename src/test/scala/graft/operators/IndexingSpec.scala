@@ -10,6 +10,25 @@ class IndexingSpec extends AnyFunSuite {
   private lazy val spark = graft.TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("bpe_encode token counts sit between merged-everything and character count") {
+    // every merge can only FUSE adjacent symbols: per doc,
+    // n_words <= n_tokens <= n_chars-without-spaces, with strict
+    // compression somewhere in the corpus (6 learned rules must fire)
+    val enc = graft.SparkEntry.queries("bpe_encode")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bounds = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nw"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("nc"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(enc.keySet == bounds.keySet)
+    enc.foreach { case (id, nt) =>
+      val (nw, nc) = bounds(id)
+      assert(nt >= nw && nt <= nc, s"doc $id: tokens $nt outside [$nw, $nc]")
+    }
+    assert(enc.exists { case (id, nt) => nt < bounds(id)._2 },
+      "the learned merges must compress at least one document")
+  }
+
   test("bm25_topk emits exactly ranks 1..k per doc, scores weakly decreasing") {
     val rows = Indexing.bm25Topk(spark, dir)
       .select("doc_id", "rank", "score").collect()
