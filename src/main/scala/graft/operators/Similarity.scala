@@ -378,12 +378,66 @@ object Similarity {
        |FROM $EmbD ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // X53 scalar_quantize_embeddings — int8 codes for ANN at scale
+  // ---------------------------------------------------------------------
+
+  /** Per-dimension min/max scalar quantization to uint8 codes — the
+    * standard 4× memory/IO reduction for a 100 TB vector store (a
+    * float32 corpus that doesn't fit executor memory as vectors often
+    * does as codes; IVF/LSH probing then runs over codes and only the
+    * re-rank touches floats). Codes are
+    * floor((x − mn_i) · 255 / (mx_i − mn_i)) clamped to [0, 255], with
+    * degenerate dimensions (mn = mx) coding to 0. Every arithmetic step
+    * is written in the SAME order in both engines over doubles
+    * ([[Tables.embeddingsD]] pins the cast), so IEEE 754 makes the
+    * floor decisions bit-identical — ints out, no float in the output.
+    *
+    * Scale shape: the bounds pass is ONE map-side-combinable aggregate
+    * (Dim min/max partials per task — posexplode feeds a 64-group hash
+    * agg, never a shuffle of vectors), the 1-row bounds arrays
+    * broadcast back, and quantization is a row-local projection over
+    * the scan. Nothing vector-sized is ever shuffled.
+    */
+  val scalarQuantizeEmbeddings: Q = (spark, dir) => {
+    val e = Tables.embeddingsD(spark, dir).select(col("vec_id"), col("embedding").as("emb"))
+    val bounds = e.select(posexplode(col("emb")).as(Seq("p", "x")))
+      .groupBy("p").agg(min("x").as("mn"), max("x").as("mx"))
+    val bb = bounds.agg(
+      expr("transform(sort_array(collect_list(struct(p, mn))), s -> s.mn)").as("mns"),
+      expr("transform(sort_array(collect_list(struct(p, mx))), s -> s.mx)").as("mxs"))
+    // codes ship as ONE comma-joined string per vector (the driver's
+    // pandas hash-compare can't element-compare list columns; a string
+    // of ints is also what a manifest/stats file would store)
+    e.crossJoin(broadcast(bb))
+      .select(col("vec_id"), expr(
+        s"""array_join(transform(sequence(1, $Dim), i -> CAST(CAST(
+           |  CASE WHEN element_at(mxs, i) = element_at(mns, i) THEN 0.0D
+           |       ELSE LEAST(CAST(255 AS DOUBLE), GREATEST(CAST(0 AS DOUBLE),
+           |         FLOOR((element_at(emb, i) - element_at(mns, i)) * CAST(255 AS DOUBLE)
+           |               / (element_at(mxs, i) - element_at(mns, i))))) END AS INT) AS STRING)), ',')
+           |""".stripMargin).as("codes"))
+      .orderBy("vec_id")
+  }
+  val scalarQuantizeEmbeddingsSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding AS emb FROM $EmbD),
+       |b AS (SELECT i, min(emb[i]) AS mn, max(emb[i]) AS mx
+       |      FROM e, (SELECT unnest(range(1, $Dim + 1)) AS i) GROUP BY i),
+       |bb AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM b)
+       |SELECT vec_id, array_to_string(list_transform(range(1, $Dim + 1), i -> CAST(
+       |  CASE WHEN bb.mxs[i] = bb.mns[i] THEN 0.0
+       |       ELSE LEAST(CAST(255 AS DOUBLE), GREATEST(CAST(0 AS DOUBLE),
+       |         FLOOR((emb[i] - bb.mns[i]) * CAST(255 AS DOUBLE)
+       |               / (bb.mxs[i] - bb.mns[i])))) END AS INT)), ',') AS codes
+       |FROM e, bb ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "cosine_topk_bruteforce" -> cosineTopkBruteforce,
     "embedding_cosine_near_dup" -> embeddingCosineNearDup,
     "ann_lsh_bucket_top1" -> annLshBucketTop1,
     "ann_ivf_topk" -> annIvfTopk,
     "random_projection" -> randomProjection,
+    "scalar_quantize_embeddings" -> scalarQuantizeEmbeddings,
   )
   val oracles: Map[String, String] = Map(
     "cosine_topk_bruteforce" -> cosineTopkBruteforceSql,
@@ -391,5 +445,6 @@ object Similarity {
     "ann_lsh_bucket_top1" -> annLshBucketTop1Sql,
     "ann_ivf_topk" -> annIvfTopkSql,
     "random_projection" -> randomProjectionSql,
+    "scalar_quantize_embeddings" -> scalarQuantizeEmbeddingsSql,
   )
 }
