@@ -30,7 +30,15 @@ import org.apache.spark.sql.types._
 case class PackedPairs(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    // containsNull=false only: toLongArray would silently map null
+    // elements to 0, violating the distinct-input contract without an
+    // error. The collect_list producer already yields
+    // containsNull=false, so well-formed plans are unaffected.
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
+      "graft_pairs requires array<bigint> with containsNull=false " +
+        "(null elements would silently read as 0); filter nulls or use " +
+        "a non-null producer such as collect_list")
     case other => TypeCheckResult.TypeCheckFailure(
       s"graft_pairs requires array<bigint>, got ${other.simpleString}")
   }
@@ -53,6 +61,7 @@ case class PackedPairs(child: Expression) extends UnaryExpression {
       var j = i + 1
       while (j < n) {
         val b = xs(j)
+        if (a == b) PackedPairs.duplicateValueJava(a)
         out(k) =
           if (a < b) new GenericInternalRow(Array[Any](a, b))
           else new GenericInternalRow(Array[Any](b, a))
@@ -87,6 +96,7 @@ case class PackedPairs(child: Expression) extends UnaryExpression {
          |  long $a = $xs[$i];
          |  for (int $j = $i + 1; $j < $n; $j++) {
          |    long $b = $xs[$j];
+         |    if ($a == $b) $exprCls.duplicateValueJava($a);
          |    $out[$k++] = ($a < $b)
          |      ? new $rowCls(new Object[]{$a, $b})
          |      : new $rowCls(new Object[]{$b, $a});
@@ -113,4 +123,12 @@ object PackedPairs {
     if (n > MaxElems) throw new IllegalArgumentException(
       s"graft_pairs: input of $n elements would enumerate >Int.MaxValue pairs " +
         s"(bound $MaxElems); cap group fanout (e.g. a df-cap) before enumerating")
+
+  /** Duplicate input values would emit degenerate (v,v) pairs, silently
+    * violating the distinct-input a<b contract — abort instead. Every
+    * duplicate necessarily meets its twin in the i<j scan, so the check
+    * is complete at one predictable branch per pair; raised from both
+    * eval paths (static forwarder) so they can't drift. */
+  def duplicateValueJava(v: Long): Unit = throw new IllegalArgumentException(
+    s"graft_pairs: duplicate value $v in input; values must be distinct")
 }

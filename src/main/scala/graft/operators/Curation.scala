@@ -407,17 +407,22 @@ object Curation {
     *
     * Scale shape: one map-side-combinable count aggregate keyed on
     * source (domain cardinality ≪ corpus — web-scale is ~10⁸ domains
-    * vs ~10¹¹ docs), the domain-stats relation broadcast back, then a
-    * row-parallel filter. The corpus is scanned once and never
-    * shuffled: the gate costs one pass plus a broadcast, the same
-    * budget as [[lengthOutliers]].
+    * vs ~10¹¹ docs), the domain-stats relation joined back, then a
+    * row-parallel filter. The stats join is deliberately UNHINTED: AQE
+    * picks broadcast from the aggregate's observed size whenever the
+    * domain relation fits (it does at any harness scale, keeping the
+    * corpus scan shuffle-free), and degrades to a shuffle join when a
+    * true web-scale domain table (~10⁸ rows × audit counts) would
+    * otherwise OOM the driver — a forced `broadcast(stats)` hint turns
+    * that case into a campaign-killing failure instead of a slower
+    * plan.
     */
   val sourceQualityGate: Q = (spark, dir) => {
     val d = Tables.documents(spark, dir)
     val stats = d.groupBy("source").agg(
       count(lit(1)).as("src_docs"),
       sum(when(col("n_chars") < ShortChars, 1L).otherwise(0L)).as("src_short"))
-    d.join(broadcast(stats), "source")
+    d.join(stats, "source")
       .filter(col("src_short") * GateDen <= col("src_docs") * GateNum)
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("src_docs"), col("src_short"))

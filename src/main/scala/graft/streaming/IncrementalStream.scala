@@ -26,10 +26,12 @@ case class Recrawl(doc_id: Long, new_text: String, removed: Boolean)
   *      the batch query prices, so batch/stream parity is by shared
   *      code, and the per-row cost of a micro-batch is identical to the
   *      batch delta's;
-  *   3. merge the state: upsert (doc_id, hash) for added/changed rows,
-  *      delete for removals, snapshot-swapped like [[MergeSink]] (a
-  *      production cluster swaps in Delta/Iceberg `MERGE INTO` with the
-  *      same call sites).
+  *   3. deliver the delta to the sink, and only then merge the state:
+  *      upsert (doc_id, hash) for added/changed rows, delete for
+  *      removals, snapshot-swapped like [[MergeSink]] (a production
+  *      cluster swaps in Delta/Iceberg `MERGE INTO` with the same call
+  *      sites). Sink-before-state is the at-least-once commit order —
+  *      see [[processBatch]].
   *
   * State is hash-only — O(|corpus|) keys × 16 bytes, never the text —
   * so the state table at 100 TB of corpus is ~100 GB of hashes:
@@ -51,11 +53,29 @@ object IncrementalStream {
       .select(lit(0L).as("doc_id"), lit("").as("h")).limit(0)
 
   /** Process ONE batch of crawl results against the state at
-    * `statePath`; returns the delta-stage output rows (same schema as
-    * the batch query: doc_id, status, n_tokens, n_emails, n_phones) and
-    * merges the state. Exposed separately from [[start]] so the spec
-    * can also drive it directly against a hand-built state. */
-  def processBatch(batch: DataFrame, statePath: String): DataFrame = {
+    * `statePath`: compute the delta-stage output rows (same schema as
+    * the batch query: doc_id, status, n_tokens, n_emails, n_phones),
+    * hand them to `onDelta`, and only THEN commit the merged state.
+    *
+    * Commit order is the delivery contract. The sink sees the delta
+    * BEFORE the hash state advances, so any failure — an `onDelta`
+    * throw, a crash before the snapshot swap — leaves the state at its
+    * pre-batch snapshot and the replayed batch re-derives the same
+    * delta (no hash-skip of undelivered work). A crash in the window
+    * between sink commit and state swap re-delivers that delta once
+    * more on replay: at-least-once delivery, which the upsert/retire
+    * row semantics absorb idempotently — the reverse order (state
+    * first) would instead drop the batch silently. `delta` is
+    * materialized before `onDelta` runs and unpersisted when this
+    * returns; it must not be read after the callback ends (its lineage
+    * would re-read the by-then-advanced state).
+    *
+    * Exposed separately from [[start]] so the spec can drive it
+    * directly against a hand-built state (including the failure path,
+    * which a MemoryStream harness without a checkpoint dir can't
+    * replay). */
+  def processBatch(batch: DataFrame, statePath: String, batchId: Long)(
+      onDelta: (DataFrame, Long) => Unit): Unit = {
     val spark = batch.sparkSession
     val state = readState(spark, statePath)
     // replay/page-overlap safety; a doc both crawled and removed in one
@@ -78,25 +98,40 @@ object IncrementalStream {
     // delta-sized; read by deltaStages' two branches AND the state merge
     val diff = upserts.select("doc_id", "status", "new_text")
       .unionByName(retired).persist()
-    val out = Pipeline.deltaStages(diff).localCheckpoint()
-    // state merge: upsert new hashes, drop removals
-    val touched = diff.select("doc_id")
-    val nextState = state.join(touched, Seq("doc_id"), "left_anti")
-      .unionByName(upserts.select(col("doc_id"), col("h_new").as("h")))
-    MergeSink.writeSnapshot(nextState, statePath)
-    diff.unpersist()
-    out
+    val out = Pipeline.deltaStages(diff).persist()
+    try {
+      // materialize against the PRE-batch state before anything mutates
+      // (out's lineage reads statePath); blocks back onDelta's reads
+      out.count()
+      // sink FIRST — a throw here propagates, the batch fails, and the
+      // replay runs against the still-unadvanced state
+      onDelta(out, batchId)
+      // state merge: upsert new hashes, drop removals
+      val touched = diff.select("doc_id")
+      val nextState = state.join(touched, Seq("doc_id"), "left_anti")
+        .unionByName(upserts.select(col("doc_id"), col("h_new").as("h")))
+      MergeSink.writeSnapshot(nextState, statePath)
+    } finally {
+      // a long-running query must not accumulate one block set per batch
+      diff.unpersist()
+      out.unpersist()
+    }
   }
 
   /** Start the continuous query: crawl results in, delta rows handed to
-    * `onDelta` per micro-batch, hash state maintained at `statePath`. */
+    * `onDelta` per micro-batch (sink-before-state commit order — see
+    * [[processBatch]]), hash state maintained at `statePath`. NOT
+    * wrapped in [[Streams.isolated]]: a failed stateful batch must fail
+    * the query so Structured Streaming replays it, not be logged and
+    * skipped — swallowing the throw after the sink/state handshake
+    * would turn at-least-once into silent at-most-once. */
   def start(recrawl: Dataset[Recrawl], statePath: String, name: String)(
       onDelta: (DataFrame, Long) => Unit): StreamingQuery =
     recrawl.toDF().writeStream
       .queryName(name)
       .outputMode(OutputMode.Append())
-      .foreachBatch(Streams.isolated { (batch: DataFrame, batchId: Long) =>
-        onDelta(processBatch(batch, statePath), batchId)
-      })
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, statePath, batchId)(onDelta)
+      }
       .start()
 }

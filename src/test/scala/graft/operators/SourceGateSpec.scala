@@ -27,6 +27,20 @@ class SourceGateSpec extends AnyFunSuite {
     }
   }
 
+  test("the stats join is AQE-owned: no hint, broadcast still picked at runtime") {
+    // a forced broadcast(stats) would OOM the driver at web scale
+    // (~10^8 domains); unhinted, AQE broadcasts from observed size here
+    // and degrades to a shuffle join there
+    val df = SparkEntry.queries("source_quality_gate")(spark, Dir)
+    val logical = df.queryExecution.logical.toString
+    assert(!logical.toLowerCase.contains("hint"),
+      s"domain-stats join must not carry a broadcast hint:\n$logical")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin"),
+      s"AQE should still pick broadcast for the tiny stats side:\n$executed")
+  }
+
   test("the keep decision is the exact 30% cross-multiply on the carried counts") {
     val out = SparkEntry.queries("source_quality_gate")(spark, Dir).collect()
     out.foreach { r =>

@@ -129,6 +129,48 @@ class IncrementalStreamSpec extends AnyFunSuite {
     assert(!stateIds.contains(someId), "retired doc must leave the hash state")
   }
 
+  test("commit order: a sink failure leaves state unadvanced; the retry re-delivers") {
+    import spark.implicits._
+    val statePath = freshStatePath("commit")
+    seedState(statePath)
+    val before = IncrementalStream.readState(spark, statePath)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val someId = graft.Tables.documents(spark, Dir)
+      .select("doc_id").orderBy("doc_id").first().getLong(0)
+    val batch = Seq(Recrawl(someId, "fresh text for the commit order test", removed = false)).toDF()
+    // 1st attempt: the sink throws AFTER seeing the delta. The throw must
+    // propagate (so Structured Streaming would fail+replay the batch) and
+    // the hash state must NOT have advanced — the reverse order would
+    // hash-skip the replay and silently drop the delta (at-most-once).
+    val boom = intercept[RuntimeException] {
+      IncrementalStream.processBatch(batch, statePath, 0L) { (delta, _) =>
+        assert(delta.count() == 1, "the delta must be computed before the sink runs")
+        throw new RuntimeException("sink down")
+      }
+    }
+    assert(boom.getMessage == "sink down")
+    val afterFail = IncrementalStream.readState(spark, statePath)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(afterFail == before, "a failed sink must leave the hash state unadvanced")
+    // replay of the same batch: delta re-delivered, THEN state advances
+    var delivered = Array.empty[Row]
+    IncrementalStream.processBatch(batch, statePath, 0L) { (delta, _) =>
+      delivered = delta.collect()
+    }
+    assert(delivered.map(_.getLong(0)).toSeq == Seq(someId),
+      "the replay must re-deliver the undelivered delta")
+    assert(delivered.head.getString(1) == "changed")
+    val afterOk = IncrementalStream.readState(spark, statePath)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(afterOk != before, "a delivered batch must advance the state")
+    // and a second replay now hash-skips: the upsert is idempotent
+    var replayed = 0L
+    IncrementalStream.processBatch(batch, statePath, 1L) { (delta, _) =>
+      replayed = delta.count()
+    }
+    assert(replayed == 0, "a post-commit duplicate delivery must hash-skip")
+  }
+
   test("junk-gated docs update the hash state but emit no survivor row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
