@@ -41,6 +41,21 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Round-robin fan-out for CPU-heavy row-local passes, applied ONLY
+    * in the small-file regime: a scan under `maxPartitionBytes` yields
+    * fewer partitions than cores, so a chain of per-row string/regex
+    * work runs effectively serial no matter how wide the cluster — the
+    * exact inverse of the production regime, where a 100 TB scan has
+    * ~10⁶ partitions and parallelism is free. The rebalance is priced
+    * at the scan size, which is by definition small when the condition
+    * fires; when the scan already has ≥ cores partitions this is an
+    * exact no-op (no shuffle added at scale). The partition count comes
+    * from the physical scan plan — plan-time metadata, no job. */
+  def fanout(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Float-math parity: DuckDB's list_cosine_similarity computes in
     * float32 when fed list<float>; both engines are pinned to double by
     * casting the embedding once here.

@@ -302,10 +302,24 @@ object Indexing {
     * application ([[bpeEncode]]), so both derive from the identical
     * rules by construction. */
   private def bpeRounds(spark: SparkSession, dir: String): Seq[DataFrame] = {
+    // (?s) dotall: '.' must also wrap newline characters, or an
+    // unwrapped '\n' splices two symbols together. The framing itself
+    // REQUIRES no literal '|' in any token (the wrap is what makes
+    // every rule boundary-anchored) — enforced here on the vocab-sized
+    // aggregate (one branch per distinct word, not per corpus row);
+    // encode inherits the guarantee because its text is exactly these
+    // words space-joined.
     val words0 = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(regexp_replace(col("word"), "(.)", "|$1|").as("seq"), col("freq"))
+      .select(
+        regexp_replace(
+          when(!col("word").contains("|"), col("word"))
+            .otherwise(raise_error(concat(
+              lit("bpe: literal '|' in a token corrupts the symbol framing: "),
+              col("word")))),
+          "(?s)(.)", "|$1|").as("seq"),
+        col("freq"))
     // corpus agg at full parallelism; the loop runs over a 1-partition
     // narrow view of the materialized vocab (see bpeTrainMerges Scaladoc)
     var w = words0.localCheckpoint().coalesce(1)
@@ -357,7 +371,7 @@ object Indexing {
     s"""words AS (
        |  SELECT term AS word, count(*) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents) GROUP BY 1),
-       |w0 AS (SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS seq, freq FROM words),
+       |w0 AS (SELECT regexp_replace(word, '(?s)(.)', '|\\1|', 'g') AS seq, freq FROM words),
        |${(0 until BpeRounds).map(roundCtes).mkString(",\n")}""".stripMargin
   }
 
@@ -391,23 +405,45 @@ object Indexing {
     * + 1) − (space count), both from length differences — no
     * re-splitting.
     *
-    * Scale shape: the R one-row rule relations broadcast onto the
-    * corpus (crossJoin of 1-row sides), then ONE row-local projection
-    * over the documents scan — the corpus is touched once for training
-    * (word-freq agg) and once for encoding, and the encode pass
-    * shuffles nothing.
+    * Scale shape: the R learned rules are PIVOTED into ONE one-row
+    * relation (max-when over the R-row merge table — R rows of
+    * metadata, never data) and broadcast onto the corpus with a single
+    * crossJoin, then ONE row-local projection over the documents scan —
+    * the corpus is touched once for training (word-freq agg) and once
+    * for encoding, and the encode pass adds no data-sized shuffle at
+    * scale ([[Tables.fanout]] rebalances the scan only in the
+    * small-file regime, where the 7-pass string rewrite would
+    * otherwise run on a single core). One broadcast instead of the r9
+    * spelling's R chained 1-row crossJoins: R−1 fewer
+    * broadcast-exchange jobs and one join to plan instead of six. The
+    * rule application stays the STATIC nested-`replace` expression
+    * (whole-stage codegen) rather than a higher-order `aggregate` fold
+    * over an array of rule structs — lambda folds evaluate on the
+    * expression interpreter, and this is the suite's hottest per-row
+    * string loop.
     */
   val bpeEncode: Q = (spark, dir) => {
     val rules = bpeRounds(spark, dir)
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val withRules = rules.zipWithIndex.foldLeft(docs) { case (df, (best, r)) =>
-      df.crossJoin(broadcast(best.select(col("a").as(s"a$r"), col("b").as(s"b$r"))))
-    }
-    val encodeExpr = (0 until BpeRounds).foldLeft("regexp_replace(text, '(.)', '|$1|')") {
+    // recompute all R argmaxes in ONE job over the checkpointed vocab
+    // chain (same shape as bpeTrainMerges' final union), pivoted to a
+    // single row (a0, b0, …, a5, b5)
+    val ruleTable = rules.zipWithIndex.map { case (best, r) =>
+      best.select(lit(r).as("round"), col("a"), col("b"))
+    }.reduce(_ unionByName _)
+    val ruleRow = ruleTable.agg(
+      max(when(col("round") === 0, col("a"))).as("a0"),
+      (0 until BpeRounds).flatMap { r =>
+        val a = if (r == 0) Nil
+          else Seq(max(when(col("round") === r, col("a"))).as(s"a$r"))
+        a :+ max(when(col("round") === r, col("b"))).as(s"b$r")
+      }: _*)
+    val docs = Tables.fanout(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    val encodeExpr = (0 until BpeRounds).foldLeft("regexp_replace(text, '(?s)(.)', '|$1|')") {
       (acc, r) =>
         s"replace($acc, concat('|', a$r, '||', b$r, '|'), concat('|', a$r, b$r, '|'))"
     }
-    withRules
+    docs.crossJoin(broadcast(ruleRow))
       .select(col("doc_id"), col("text"), expr(encodeExpr).as("e"))
       .select(col("doc_id"), expr(
         """CAST((length(e) - length(replace(e, '||', ''))) DIV 2 + 1
@@ -416,7 +452,7 @@ object Indexing {
       .orderBy("doc_id")
   }
   val bpeEncodeSql: String = {
-    val encodeExpr = (0 until BpeRounds).foldLeft("regexp_replace(text, '(.)', '|\\1|', 'g')") {
+    val encodeExpr = (0 until BpeRounds).foldLeft("regexp_replace(text, '(?s)(.)', '|\\1|', 'g')") {
       (acc, r) =>
         s"replace($acc, '|' || b$r.a || '||' || b$r.b || '|', '|' || b$r.a || b$r.b || '|')"
     }
