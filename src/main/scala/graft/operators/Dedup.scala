@@ -53,7 +53,14 @@ object Dedup {
   // shared input builders (Spark + DuckDB twins)
   // ---------------------------------------------------------------------
 
-  /** documents ∪ exact re-crawl of every 3rd doc (same text, new id). */
+  /** documents ∪ exact re-crawl of every 3rd doc (same text, new id).
+    * Deliberately NOT [[Tables.fanout]]-rebalanced: measured at sf0.1,
+    * fanning the scan to 32 partitions (64 after the union) made every
+    * consumer SLOWER (exact_dedup 0.36→1.05 s, corpus_chunk 1.27→2.44 s,
+    * ngram 2.3→4.4 s) — these pipelines are multi-stage, so the extra
+    * task count multiplies across every stage and checkpoint while the
+    * per-row work per stage is too small to amortize it. The fanout
+    * pays only for single-stage many-pass pipelines (bpe_encode). */
   private def withExactDupes(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select("doc_id", "text")
     d.unionByName(
@@ -66,7 +73,8 @@ object Dedup {
        | SELECT doc_id + $ReKeyA AS doc_id, text FROM documents WHERE doc_id % 3 = 0)"""
       .stripMargin
 
-  /** documents ∪ near-duplicate re-crawl (first word dropped) of every doc. */
+  /** documents ∪ near-duplicate re-crawl (first word dropped) of every
+    * doc. Not fanout-rebalanced — see [[withExactDupes]]. */
   private def withNearDupes(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select("doc_id", "text")
     d.unionByName(
@@ -524,9 +532,11 @@ object Dedup {
     // materialized once (localCheckpoint: raw block storage — its write
     // cost measured half the columnar cache's encode for a relation
     // read exactly twice) because each is read twice below; re-deriving
-    // the split+explode per consumer cost more in every measurement. A
-    // real 100 TB campaign persists this relation as its shingle table
-    // first (reliable storage, same role).
+    // the split+explode per consumer cost more in every measurement
+    // (re-measured r10: dropping the kept ckpt 2.3->2.5 s, dropping the
+    // sh ckpt 2.3->3.0 s, min-of-N — both materializations earn their
+    // write). A real 100 TB campaign persists this relation as its
+    // shingle table first (reliable storage, same role).
     val sh = shingled(withNearDupes(spark, dir))
       .select(col("doc_id"), col("shingle").as("sh")).localCheckpoint()
     val dfBySh = sh.groupBy("sh").agg(count(lit(1)).as("df"))
