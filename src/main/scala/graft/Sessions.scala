@@ -35,6 +35,44 @@ object Sessions {
   def get(appName: String): SparkSession = {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    registerMetricsLogger(spark)
     spark
   }
+
+  /** Per-run surfacing of the engine's `observe(...)` tripwire metrics
+    * (`graft_*` observation nodes — candidate-pair volumes in the
+    * dedup family): every query execution that evaluates one logs it
+    * to stderr, and the ngram invariant `candidate_pairs ≤
+    * kept_rows·(DfCap−1)/2` is re-checked with a LOUD warning on
+    * violation — the production tripwire for boilerplate-driven
+    * candidate explosion that stays inside the df-cap's proven
+    * envelope. Observation metrics ride the existing aggregates
+    * (CollectMetrics): zero extra jobs, zero extra shuffles. */
+  private val metricsHooked = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  def registerMetricsLogger(spark: SparkSession): Unit =
+    if (metricsHooked.add(spark)) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        private var lastKept = -1L // ngram emits kept+pairs in one execution
+        override def onSuccess(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit = {
+          val ms = qe.observedMetrics
+          ms.get("graft_ngram_kept").foreach(r => lastKept = r.getLong(0))
+          ms.foreach { case (name, row) =>
+            if (name.startsWith("graft_"))
+              System.err.println(s"[graft-metric] $name = $row")
+          }
+          ms.get("graft_ngram_pairs").foreach { r =>
+            val pairs = r.getLong(0)
+            val bound = lastKept * (graft.operators.Dedup.DfCap - 1L) / 2L
+            if (lastKept >= 0 && pairs > bound)
+              System.err.println(
+                s"[graft-metric] WARNING ngram candidate volume $pairs exceeds " +
+                  s"df-cap envelope $bound (kept=$lastKept) — boilerplate explosion?")
+          }
+        }
+        override def onFailure(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      })
+    }
 }

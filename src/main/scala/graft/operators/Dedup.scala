@@ -174,6 +174,11 @@ object Dedup {
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // candidate-volume tripwire (same rationale as ngram's — see
+      // there): the pre-distinct bucket-join volume is THE quantity an
+      // adversarial corpus inflates; surfaced per run via the
+      // [[graft.Sessions]] metrics listener, zero extra jobs
+      .observe("graft_minhash_candidates", count(lit(1)).as("candidate_pairs"))
       .distinct()
   }
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
@@ -468,7 +473,7 @@ object Dedup {
     * worst-case pair fanout per shingle to DfCap²/2. At 100 TB this cap
     * is what keeps shared-shingle pair generation from degenerating on
     * boilerplate n-grams. */
-  private val DfCap = 100
+  private[graft] val DfCap = 100
   private val JaccardThreshold = 0.5
   // doc_id << 22 | n_sh: doc_id < 2^41 (covers real ids plus the
   // ReKeyA=2^40 synthetic band), n_sh < 2^22 (a ~4M-shingle ceiling per
@@ -568,7 +573,17 @@ object Dedup {
     // round-robin repartition is a shuffle of the SMALL side, priced
     // exactly so every core works the k²/2 enumeration.
     val par = spark.sparkContext.defaultParallelism
+    // candidate-volume TRIPWIRE (observed metrics — zero extra jobs):
+    // the df-cap PROVES candidate_pairs ≤ kept_rows·(DfCap−1)/2 (each
+    // kept shingle row pairs with at most DfCap−1 group-mates, ÷2
+    // unordered), but nothing at runtime *showed* the actual volume —
+    // a production corpus whose boilerplate both explodes df just
+    // under the cap AND multiplies shingle rows would degrade inside
+    // the proven envelope. Both counts surface per run through
+    // [[graft.Sessions]]' QueryExecutionListener, which warns loudly
+    // when the invariant is violated; NgramGuardSpec asserts it.
     val pairs = kept.join(sizes, "doc_id")
+      .observe("graft_ngram_kept", count(lit(1)).as("kept_rows"))
       .select(col("sh"), packDocId(col("doc_id"), col("n_sh")).as("packed"))
       .groupBy("sh")
       .agg(collect_list(col("packed")).as("ids"))
@@ -579,6 +594,7 @@ object Dedup {
       // this, the suite's hottest loop, on the expression interpreter
       .select(explode(expr("graft_pairs(ids)")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+      .observe("graft_ngram_pairs", count(lit(1)).as("candidate_pairs"))
       // set-similarity LENGTH FILTER (the SSJoin size filter): j =
       // c/(n_a+n_b−c) with c ≤ min(n_a,n_b) gives j ≤ min/max, so any
       // pair with 2·min < max can never reach the 0.5 threshold — an

@@ -28,9 +28,13 @@ class ScalingSpec extends AnyFunSuite {
   private val SfSmall = "/root/testdata/sf0.01"
   private val SfBig = "/root/testdata/sf0.1"
   // X2 minhash LSH, X4 capped Jaccard, X16 CC clustering (pairs + the
-  // iterative label loop), X28 the full composed pipeline
+  // iterative label loop), X28 the full composed pipeline, X42/X52 the
+  // BPE pair (train touches the corpus once — its loop is vocab-sized,
+  // so shuffle growth should be FLAT-ish, far under the bound), X44b
+  // the layout-composed pipeline (the suite's biggest query)
   private val Queries =
-    Seq("minhash_lsh_candidates", "ngram_jaccard_pairs", "near_dup_cluster", "corpus_pipeline")
+    Seq("minhash_lsh_candidates", "ngram_jaccard_pairs", "near_dup_cluster",
+      "corpus_pipeline", "bpe_train_merges", "bpe_encode", "pipeline_layout")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)

@@ -11,6 +11,7 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    Sessions.registerMetricsLogger(s) // graft_* tripwire metrics in specs too
     s
   }
 }
