@@ -98,5 +98,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_pairs"),
       new ExpressionInfo(classOf[PackedPairs].getName, "graft_pairs"),
       (children: Seq[Expression]) => PackedPairs(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_winhash"),
+      new ExpressionInfo(classOf[WindowHash].getName, "graft_winhash"),
+      (children: Seq[Expression]) => WindowHash(children.head, children(1))))
   }
 }

@@ -146,7 +146,7 @@ object Curation {
     * cross-engine); the verdict compares those exact doubles.
     */
   val repetitionScore: Q = (spark, dir) =>
-    Tables.documents(spark, dir)
+    Tables.fanout(Tables.documents(spark, dir))
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 2)
       .withColumn("n_tokens", size(col("words")).cast("long"))

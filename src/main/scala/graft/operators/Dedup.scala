@@ -766,12 +766,18 @@ object Dedup {
     * (doc_id, text) corpus — shared by the detection query and
     * [[exactSubstrCut]]. */
   private[operators] def substrSpansOf(corpus: DataFrame): DataFrame = {
+    // per-position window hashes via the native rolling kernel
+    // ([[graft.expressions.WindowHash]]): the transform/slice/concat
+    // lambda spelling ran this — one md5 per token position over the
+    // whole corpus, the family's hottest loop — on the expression
+    // interpreter, allocating a slice per position. Same (pos, h)
+    // relation bit-for-bit; the oracle keeps the per-position
+    // array_to_string+md5 spelling, which is the same definition.
     val grams = corpus
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= SpanN)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(words) - $SpanN), " +
-          s"i -> ${h60Sql(s"concat_ws(' ', slice(words, i + 1, $SpanN))")})")).as(Seq("pos", "h")))
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_winhash(words, $SpanN)")).as(Seq("pos", "h")))
     val dfc = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
     val rep = grams.join(dfc.filter(col("cnt") >= 2), "h")
     rep
