@@ -64,31 +64,47 @@ object Chunking {
   // X37 cdc_chunks
   // ---------------------------------------------------------------------
 
-  /** Content-defined chunks. Shape: explode to (doc, pos, tok) — tokens
-    * only, the doc array is never carried per row — then the rolling
-    * window is [[CdcWindow]] `lag`s in ONE per-doc window spec (codegen'd
-    * window functions, partitions bounded by doc length, all docs in
-    * parallel), the boundary flag prefix-sums into a chunk id in the
-    * same spec, and one hash agg rebuilds chunk text in token order. */
-  val cdcChunks: Q = (spark, dir) => {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val lags = (CdcWindow - 1 to 1 by -1).map(k => lag(col("tok"), k).over(w)) :+ col("tok")
-    val flagged = toks
-      .withColumn("wkey", concat_ws(" ", lags: _*))
-      .withColumn("flag",
-        when(col("pos") >= CdcWindow - 1 &&
-          expr(s"${h60Sql("wkey")} % $CdcMod") === 0, 1L).otherwise(0L))
-      .withColumn("chunk_id", coalesce(
-        sum(col("flag")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    flagged.groupBy("doc_id", "chunk_id")
-      .agg(
-        array_join(expr("transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"),
-          " ").as("chunk_text"),
-        count(lit(1)).as("n_chunk"))
+  /** Content-defined chunks, computed ROW-LOCALLY: the rolling window
+    * hashes come from the native [[graft.expressions.WindowHash]]
+    * kernel (`hs[i]` = h60 of `words[i..i+W-1]`; a boundary falls
+    * after token p ⟺ `hs[p-W+1] % CdcMod = 0` — the same flag the r9
+    * lag-window spelling computed), boundary positions and chunk
+    * [start, end] spans are per-row array algebra, and one generator
+    * explode emits the chunks. This removes the r9 shape's token
+    * explode (corpus×tokens rows), its per-doc window shuffle + sort,
+    * AND the collect_list/array_sort rebuild aggregate — the only
+    * remaining exchange is the output sort, and per-row work
+    * (winhash + O(tokens) array ops) rides the small-file fanout.
+    * Wall-clock at sf0.1 is job-floor-dominated and measured NEUTRAL
+    * vs the window spelling (~1.4 s both); the change is for the
+    * 100 TB shape, where the removed exchanges are two corpus×tokens
+    * shuffles.
+    * The oracle keeps the independent lag-window SQL spelling; the
+    * possibly-empty final span (boundary on the last token) is
+    * filtered exactly as the group-by form never emitted it. */
+  val cdcChunks: Q = (spark, dir) =>
+    Tables.fanout(Tables.documents(spark, dir))
+      .withColumn("words", split(col("text"), " "))
+      // hoisted OUT of the lambda below: a lambda body re-evaluates its
+      // expressions per element, so inlining the kernel there would
+      // re-hash the whole doc per position (O(tokens²))
+      .withColumn("hs", expr(s"graft_winhash(words, $CdcWindow)"))
+      .withColumn("bnd", expr(
+        s"""CASE WHEN size(words) >= $CdcWindow THEN
+           |  filter(sequence($CdcWindow - 1, size(words) - 1),
+           |         p -> element_at(hs, p - ${CdcWindow - 1} + 1) % $CdcMod = 0)
+           |ELSE array() END""".stripMargin))
+      .select(col("doc_id"), posexplode(expr(
+        """filter(
+          |  zip_with(concat(array(0), transform(bnd, b -> b + 1)),
+          |           concat(bnd, array(size(words) - 1)),
+          |           (s, e) -> named_struct(
+          |             'chunk_text', array_join(slice(words, s + 1, e - s + 1), ' '),
+          |             'n_chunk', CAST(e - s + 1 AS BIGINT))),
+          |  c -> c.n_chunk > 0)""".stripMargin)).as(Seq("pos", "c")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("c.chunk_text").as("chunk_text"), col("c.n_chunk").as("n_chunk"))
       .orderBy("doc_id", "chunk_id")
-  }
   val cdcChunksSql: String = {
     val lagCols = (CdcWindow - 1 to 1 by -1)
       .map(k => s"lag(tok, $k) OVER (PARTITION BY doc_id ORDER BY pos) AS l$k")
