@@ -20,14 +20,20 @@ object Curation {
 
   private val ContamN = 5 // n-gram width; real pipelines run 8–13-grams
 
-  /** Word n-grams of width [[ContamN]], distinct per doc. */
+  /** Word n-grams of width [[ContamN]], distinct per doc — as 60-bit
+    * window HASHES ([[graft.expressions.WindowHash]]), not strings: the
+    * contamination probe only ever equi-compares grams, so the 8-byte
+    * hash is the join key a 100 TB run ships instead of ~30-byte
+    * strings (and the kernel replaces the interpreted per-position
+    * concat lambda). h60-equality-as-gram-equality is the same
+    * collision trade `exact_substr_spans` already makes (~10⁻⁷ at
+    * harness scale); the oracle keeps the independent string-joining
+    * spelling. */
   private def ngrams(df: DataFrame): DataFrame =
     df.withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= ContamN)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(0, size(words) - $ContamN), " +
-          s"i -> concat_ws(' ', ${(0 until ContamN).map(j => s"words[i + $j]").mkString(", ")}))")))
-        .as("ng"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(s"graft_winhash(words, $ContamN)"))).as("ng"))
   private def ngramsSql(rel: String): String =
     s"""(SELECT doc_id, unnest(list_distinct(
        |   list_transform(range(1, len(words) - ${ContamN - 2}),
