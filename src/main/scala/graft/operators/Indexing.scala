@@ -466,6 +466,51 @@ object Indexing {
        |FROM enc ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // X54 vocab_coverage — per-document OOV rate against the built vocab
+  // ---------------------------------------------------------------------
+
+  /** Per-document vocabulary coverage: how much of each doc tokenizes
+    * into the [[vocabBuild]] vocabulary (floor-filtered at
+    * [[MinCount]]) and how much is out-of-vocabulary — the OOV-rate
+    * report every tokenizer/vocab decision is validated against before
+    * a training run (a rising per-source OOV fraction is the standard
+    * drift signal after a vocab freeze).
+    *
+    * Scale shape: token explode → LEFT join against the vocab term
+    * set — deliberately unhinted: the vocab is Zipf-small (~10⁷ rows
+    * at web scale) so AQE broadcasts it when it fits and falls back to
+    * a shuffle join when it doesn't — then one map-side-combinable
+    * per-doc count aggregate. The OOV fraction is an exact int/int
+    * double division (bit-exact cross-engine, house rule). */
+  val vocabCoverage: Q = (spark, dir) => {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= MinCount)
+      .select(col("term"), lit(1L).as("iv"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(vocab, Seq("term"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac", col("n_oov").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+  val vocabCoverageSql: String =
+    s"""WITH v AS (
+       |  SELECT term, 1 AS iv FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY 1 HAVING count(*) >= $MinCount),
+       |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |       CAST(sum(CASE WHEN v.iv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |       CAST(sum(CASE WHEN v.iv IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+       |         AS oov_frac
+       |FROM t LEFT JOIN v USING (term)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tfidf_topk" -> tfidfTopk,
     "inverted_index" -> invertedIndex,
@@ -473,6 +518,7 @@ object Indexing {
     "bm25_topk" -> bm25Topk,
     "bpe_train_merges" -> bpeTrainMerges,
     "bpe_encode" -> bpeEncode,
+    "vocab_coverage" -> vocabCoverage,
   )
   val oracles: Map[String, String] = Map(
     "tfidf_topk" -> tfidfTopkSql,
@@ -481,5 +527,6 @@ object Indexing {
     "bm25_topk" -> bm25TopkSql,
     "bpe_train_merges" -> bpeTrainMergesSql,
     "bpe_encode" -> bpeEncodeSql,
+    "vocab_coverage" -> vocabCoverageSql,
   )
 }

@@ -322,6 +322,61 @@ object TextAnalysis {
        |FROM p GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // 9. winnow_fingerprints — winnowing document fingerprints
+  // ---------------------------------------------------------------------
+
+  /** Winnowing gram size and hash-window width (Schleimer et al. 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" §4 —
+    * the MOSS scheme). Guarantee: any shared substring of at least
+    * `WinnowK + WinnowW − 1` tokens produces at least one shared
+    * fingerprint. */
+  private val WinnowK = 4
+  private val WinnowW = 4
+
+  /** Winnowing fingerprints: hash every [[WinnowK]]-token window
+    * ([[graft.expressions.WindowHash]] — the native rolling kernel),
+    * then keep the MINIMUM hash of each [[WinnowW]]-long window of
+    * hashes; the distinct kept values are the document's fingerprint
+    * set — the index a plagiarism/near-dup campaign equi-joins on,
+    * with density 2/(w+1) of all grams but the full substring-match
+    * guarantee above.
+    *
+    * Scale shape: entirely ROW-LOCAL until the final explode (winhash
+    * kernel + one sliding-min lambda over the per-doc hash array —
+    * no token explode, no per-doc window shuffle), embarrassingly
+    * parallel at any corpus size; output is the (doc, fp) posting
+    * relation, ~2/(w+1) of gram count. The oracle spells the same
+    * definition independently: per-position window min over an
+    * exploded hash relation. */
+  val winnowFingerprints: Q = (spark, dir) =>
+    Tables.fanout(Tables.documents(spark, dir))
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= WinnowK + WinnowW - 1)
+      .withColumn("hs", expr(s"graft_winhash(words, $WinnowK)"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(hs) - $WinnowW + 1), " +
+          s"i -> array_min(slice(hs, i, $WinnowW)))"))).as("fp"))
+      .orderBy("doc_id", "fp")
+  val winnowFingerprintsSql: String =
+    s"""WITH ww AS (
+       |  SELECT doc_id, words FROM (
+       |    SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+       |  WHERE len(words) >= ${WinnowK + WinnowW - 1}),
+       |hs AS (
+       |  SELECT doc_id, i,
+       |         ${h60Duck(s"array_to_string(words[i:i+${WinnowK - 1}], ' ')")} AS h
+       |  FROM (SELECT doc_id, words, unnest(range(1, len(words) - ${WinnowK - 2})) AS i
+       |        FROM ww)),
+       |wmin AS (
+       |  SELECT doc_id, i,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp,
+       |         count(*) OVER (PARTITION BY doc_id) AS m
+       |  FROM hs)
+       |SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= m - ${WinnowW - 1}
+       |ORDER BY doc_id, fp""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "top_terms_per_lang" -> topTermsPerLang,
     "top_terms_agg" -> topTermsAgg,
@@ -331,6 +386,7 @@ object TextAnalysis {
     "doc_fingerprint" -> docFingerprint,
     "text_stats" -> textStats,
     "bigram_lm_score" -> bigramLmScore,
+    "winnow_fingerprints" -> winnowFingerprints,
   )
   val oracles: Map[String, String] = Map(
     "top_terms_per_lang" -> topTermsPerLangSql,
@@ -341,5 +397,6 @@ object TextAnalysis {
     "doc_fingerprint" -> docFingerprintSql,
     "text_stats" -> textStatsSql,
     "bigram_lm_score" -> bigramLmScoreSql,
+    "winnow_fingerprints" -> winnowFingerprintsSql,
   )
 }
