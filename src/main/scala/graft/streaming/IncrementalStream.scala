@@ -124,14 +124,19 @@ object IncrementalStream {
     * wrapped in [[Streams.isolated]]: a failed stateful batch must fail
     * the query so Structured Streaming replays it, not be logged and
     * skipped — swallowing the throw after the sink/state handshake
-    * would turn at-least-once into silent at-most-once. */
-  def start(recrawl: Dataset[Recrawl], statePath: String, name: String)(
-      onDelta: (DataFrame, Long) => Unit): StreamingQuery =
-    recrawl.toDF().writeStream
+    * would turn at-least-once into silent at-most-once. With
+    * `checkpoint` set, a restarted query resumes from the offset log
+    * and replays the failed batch (IncrementalStreamSpec drives that
+    * path end-to-end). */
+  def start(recrawl: Dataset[Recrawl], statePath: String, name: String,
+      checkpoint: Option[String] = None)(
+      onDelta: (DataFrame, Long) => Unit): StreamingQuery = {
+    val w = recrawl.toDF().writeStream
       .queryName(name)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, statePath, batchId)(onDelta)
       }
-      .start()
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 }

@@ -171,6 +171,42 @@ class IncrementalStreamSpec extends AnyFunSuite {
     assert(replayed == 0, "a post-commit duplicate delivery must hash-skip")
   }
 
+  test("end-to-end replay: a sink failure fails the query; restart from checkpoint re-delivers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val statePath = freshStatePath("sreplay")
+    seedState(statePath)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-incr-ckpt").toString
+    val someId = graft.Tables.documents(spark, Dir)
+      .select("doc_id").orderBy("doc_id").first().getLong(0)
+    val in = MemoryStream[Recrawl]
+    // ≥6 distinct tokens: shorter texts trip the Gopher top-term gate
+    // (1/4 = 0.25 > 0.20) and the delta row is legitimately dropped
+    in.addData(Recrawl(someId, "fresh replay text with many distinct tokens here", removed = false))
+    @volatile var failOnce = true
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def sink(delta: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val rows = delta.collect()
+      if (failOnce) { failOnce = false; throw new RuntimeException("sink down") }
+      delivered.synchronized { delivered ++= rows.map(_.getLong(0)) }
+    }
+    // attempt 1: the sink throw must surface as a failed QUERY (no
+    // swallow-and-commit), leaving the offset log uncommitted
+    val q1 = IncrementalStream.start(in.toDS(), statePath, "incr-sreplay-1", Some(ckpt))(sink)
+    val failed = intercept[Exception] { q1.processAllAvailable() }
+    assert(failed.getMessage.contains("sink down") ||
+      Option(failed.getCause).exists(_.getMessage.contains("sink down")))
+    q1.stop()
+    assert(delivered.isEmpty)
+    // attempt 2: restart from the same checkpoint — Structured
+    // Streaming replays the uncommitted batch against the unadvanced
+    // state and the delta reaches the sink exactly once
+    val q2 = IncrementalStream.start(in.toDS(), statePath, "incr-sreplay-2", Some(ckpt))(sink)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(delivered.toSeq == Seq(someId),
+      s"replayed batch must deliver the delta exactly once, got $delivered")
+  }
+
   test("junk-gated docs update the hash state but emit no survivor row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
