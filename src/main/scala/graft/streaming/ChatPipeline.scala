@@ -41,6 +41,16 @@ object ChatPipeline {
   /** Wire the full pipeline onto a streaming page source. Each batch
     * merges into both stores; both merges are idempotent, so
     * at-least-once delivery yields exactly-once effects (db/chat.py:14-19).
+    *
+    * The sink deliberately does NOT ride [[Streams.isolated]] (same
+    * reasoning as [[IncrementalStream.start]]): `lastValueDiff` holds
+    * Spark-managed state, and swallowing a merge failure would let the
+    * batch commit — state advanced, rows never stored, the diff gone
+    * for good (silent at-most-once, contradicting the contract above).
+    * A failed merge must fail the query so the replay re-runs against
+    * the uncommitted state version. The isolator stays correct only on
+    * the stateless poll path ([[Streams.polling]]), where a skipped
+    * batch's data is re-presented by the next live fetch.
     */
   def start(pages: Dataset[RawPage], now: Instant, msgStorePath: String,
       docStorePath: String, intervalMs: Long = 1000,
@@ -48,14 +58,13 @@ object ChatPipeline {
     val spark = pages.sparkSession
     import spark.implicits._
     val changed = changedMessages(pages, now)
-    val sink: (Dataset[ChatMessage], Long) => Unit = (batch, batchId) =>
-      Streams.isolated { (df, _) =>
-        val cached = df.cache()
-        try {
-          MergeSink.merge(cached, Seq("room", "id"), msgStorePath, MergeSink.Upsert)
-          MergeSink.merge(toDocRows(cached), Seq("room", "id"), docStorePath, MergeSink.Upsert)
-        } finally cached.unpersist()
-      }(batch.toDF(), batchId)
+    val sink: (Dataset[ChatMessage], Long) => Unit = (batch, _) => {
+      val cached = batch.toDF().cache()
+      try {
+        MergeSink.merge(cached, Seq("room", "id"), msgStorePath, MergeSink.Upsert)
+        MergeSink.merge(toDocRows(cached), Seq("room", "id"), docStorePath, MergeSink.Upsert)
+      } finally cached.unpersist()
+    }
     changed.writeStream
       .queryName("chat-pipeline")
       .outputMode("update")

@@ -111,7 +111,16 @@ object Streams {
   /** S1 `periodic_poll_source` error isolation (tasks.py:23-37): one
     * failing micro-batch is logged and skipped; the query keeps running.
     * Wraps a `foreachBatch` body the way the reference wraps each poll
-    * iteration in try/except. */
+    * iteration in try/except.
+    *
+    * STATELESS poll paths ONLY. Skipping commits the batch, so this is
+    * sound exactly when the skipped data is re-presented by the world
+    * itself — the next live poll re-fetches the same page. Wrapping a
+    * STATEFUL pipeline (managed streaming state, a hash-diff store)
+    * turns a sink failure into silent at-most-once: state advances,
+    * the delta is gone, the replay hash-skips. Those paths
+    * ([[IncrementalStream]], [[ChatPipeline]]) must rethrow instead —
+    * see their Scaladocs. */
   def isolated(f: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (df, batchId) =>
       try f(df, batchId)
