@@ -46,7 +46,9 @@ object Indexing {
   // X29 tfidf_topk — per-document top-k terms by tf·idf
   // ---------------------------------------------------------------------
 
-  /** (doc_id, term, tf) — one row per distinct term per doc. */
+  /** (doc_id, term, tf) — one row per distinct term per doc. (No
+    * small-file fanout: measured slower for this multi-stage family at
+    * sf0.1, same task-count effect recorded in `Dedup.withExactDupes`.) */
   private def tfRel(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
