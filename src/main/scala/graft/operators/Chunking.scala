@@ -1,10 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Dedup.{h60Duck, h60Sql}
+import graft.operators.Dedup.h60Duck
 
 /** Document chunking for retrieval/RAG ingestion: fixed-stride windows
   * (the standard overlap baseline) and content-defined chunking (CDC —

@@ -226,6 +226,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window needed in BPE training:\n$p")
   }
 
+  test("winnow_fingerprints is row-local: no join, no per-doc window shuffle") {
+    val p = plan("winnow_fingerprints")
+    assert(!p.contains("Join"), s"fingerprinting must not join:\n$p")
+    assert(!p.contains("Window"),
+      s"the sliding min is per-row array algebra, not a window shuffle:\n$p")
+    assert(p.contains("graft_winhash"), s"expected the native window-hash kernel:\n$p")
+  }
+
+  test("vocab_coverage: vocab join AQE-owned, per-doc counts map-side combinable") {
+    val df = SparkEntry.queries("vocab_coverage")(spark, Dir)
+    val logical = df.queryExecution.logical.toString
+    assert(!logical.toLowerCase.contains("hint"),
+      s"the vocab join must stay AQE/statistics-owned (web-scale vocab may not broadcast):\n$logical")
+    val p = df.queryExecution.explainString(SimpleMode)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-doc coverage counts must combine map-side:\n$p")
+  }
+
   test("bigram_lm_score joins model relations, never a cartesian") {
     val p = plan("bigram_lm_score")
     assert(!p.contains("CartesianProduct"),
