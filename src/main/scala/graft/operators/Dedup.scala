@@ -157,12 +157,24 @@ object Dedup {
   /** The candidate-pair pipeline, shared by `minhash_lsh_candidates`,
     * `near_dup_cluster`, and the composed `corpus_pipeline` (the pairs
     * are the clustering edge set). Input: (doc_id, text [, ...]). */
-  private[operators] def minhashPairsOf(docs: DataFrame): DataFrame = {
+  /** The per-doc signature relation (doc_id, mh0..mh11) — shared by
+    * candidate generation and the agreement estimator. */
+  private[operators] def minhashSigOf(docs: DataFrame): DataFrame = {
     val sh = shingled(docs)
       .withColumn("h", h60(col("shingle")) % MersenneP)
     val mins = (0 until NumHashes).map(s =>
       min((col("h") * HashA(s) + HashB(s)) % MersenneP).as(s"mh$s"))
-    val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  private[operators] def minhashPairsOf(docs: DataFrame): DataFrame =
+    minhashPairsFromSig(minhashSigOf(docs))
+
+  /** Candidate pairs from an already-built signature relation — split
+    * out so consumers that ALSO read the signatures ([[minhashJaccardEstimate]])
+    * can materialize them once instead of re-running the shingle+agg
+    * chain per read. */
+  private def minhashPairsFromSig(sig: DataFrame): DataFrame = {
     val bands = (0 until NumHashes / BandRows).map { b =>
       val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"mh$i"))
       struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("sig"))
@@ -208,6 +220,60 @@ object Dedup {
   val minhashLshCandidatesSql: String =
     s"""WITH ${minhashCtes(NearDupesSql)}
        |SELECT doc_a, doc_b FROM mh_pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X56 minhash_jaccard_estimate — signature-agreement Jaccard estimator
+  // ---------------------------------------------------------------------
+
+  /** Jaccard ESTIMATE per LSH candidate pair from minhash signature
+    * agreement: E[mh_s(A)=mh_s(B)] = J(A,B) (the defining MinHash
+    * property, Broder '97), so agree/12 is the unbiased estimator a
+    * 100 TB campaign scores candidates with BEFORE exact verification —
+    * pairs with a high estimate short-circuit straight to the dedup
+    * verdict, and only the uncertain band pays an exact
+    * shingle-intersection pass ([[ngramJaccardPairs]]'s machinery).
+    * Structural invariant, spec-asserted: every candidate collides on
+    * ≥1 full band, so n_agree ≥ [[BandRows]] by construction.
+    *
+    * Scale shape: the doc-sized signature relation joins twice onto
+    * the candidate-bounded pair relation on doc ids (AQE-owned,
+    * planner picks broadcast/SHJ from stats); the agreement count is a
+    * row-local 12-term sum, and the estimate is one int/double divide
+    * (exact IEEE, bit-identical cross-engine). No new shuffle class
+    * beyond the candidate generation it already shares.
+    */
+  val minhashJaccardEstimate: Q = (spark, dir) => {
+    val docs = withNearDupes(spark, dir)
+    // the signature relation is read three ways (band buckets + both
+    // agreement sides) — materialize the shingle+agg chain ONCE; a
+    // campaign persists this as its signature table
+    val sig = minhashSigOf(docs).localCheckpoint()
+    val a = sig.select(col("doc_id").as("doc_a") +:
+      (0 until NumHashes).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val b = sig.select(col("doc_id").as("doc_b") +:
+      (0 until NumHashes).map(i => col(s"mh$i").as(s"b$i")): _*)
+    minhashPairsFromSig(sig)
+      .join(a, "doc_a").join(b, "doc_b")
+      .withColumn("n_agree",
+        (0 until NumHashes).map(i =>
+          when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        (col("n_agree").cast("double") / NumHashes).as("jaccard_est"))
+      .orderBy("doc_a", "doc_b")
+  }
+  val minhashJaccardEstimateSql: String = {
+    val agree = (0 until NumHashes)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ${minhashCtes(NearDupesSql)}
+       |SELECT doc_a, doc_b, n_agree,
+       |       CAST(n_agree AS DOUBLE) / $NumHashes AS jaccard_est
+       |FROM (
+       |  SELECT p.doc_a, p.doc_b, CAST($agree AS BIGINT) AS n_agree
+       |  FROM mh_pairs p
+       |  JOIN sig a ON a.doc_id = p.doc_a
+       |  JOIN sig b ON b.doc_id = p.doc_b)
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // 2b. near_dup_cluster — connected components over the candidate graph
@@ -891,6 +957,7 @@ object Dedup {
     "simhash_fingerprint" -> simhashFingerprint,
     "simhash_near_dup" -> simhashNearDup,
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
+    "minhash_jaccard_estimate" -> minhashJaccardEstimate,
   )
   val oracles: Map[String, String] = Map(
     "exact_dedup_documents" -> exactDedupDocumentsSql,
@@ -903,5 +970,6 @@ object Dedup {
     "simhash_fingerprint" -> simhashFingerprintSql,
     "simhash_near_dup" -> simhashNearDupSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
+    "minhash_jaccard_estimate" -> minhashJaccardEstimateSql,
   )
 }

@@ -29,6 +29,20 @@ class NgramGuardSpec extends AnyFunSuite {
       s"candidate pairs $pairs exceed the df-cap envelope $bound (kept=$kept)")
   }
 
+  test("minhash estimator: every LSH candidate agrees on ≥ BandRows hashes") {
+    // structural pigeonhole: a candidate collides on at least one full
+    // band of 3 consecutive minhashes, so n_agree ≥ 3 by construction —
+    // an estimator row below that would mean banding or the agreement
+    // sum is broken
+    val out = SparkEntry.queries("minhash_jaccard_estimate")(spark, Dir).collect()
+    assert(out.nonEmpty, "the near-dup corpus must produce candidate pairs")
+    out.foreach { r =>
+      assert(r.getLong(2) >= 3,
+        s"pair (${r.getLong(0)},${r.getLong(1)}): n_agree=${r.getLong(2)} < band width")
+      assert(math.abs(r.getDouble(3) - r.getLong(2) / 12.0) == 0.0, "estimate must be n_agree/12")
+    }
+  }
+
   test("minhash pre-distinct candidate volume is observed and ~linear in docs") {
     val df = SparkEntry.queries("minhash_lsh_candidates")(spark, Dir)
     df.collect()
