@@ -377,6 +377,57 @@ object TextAnalysis {
        |SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= m - ${WinnowW - 1}
        |ORDER BY doc_id, fp""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // 10. ngram_novelty — per-document corpus-novelty profile
+  // ---------------------------------------------------------------------
+
+  /** Novelty gram width. */
+  private val NovelN = 3
+
+  /** Per-document novelty: the fraction of a doc's distinct
+    * [[NovelN]]-gram hashes that occur in NO other document — the
+    * signal data-mixing recipes weight up (novel long-tail content)
+    * and dedup reports track per source (a source whose novelty decays
+    * is re-crawling itself). Grams are [[graft.expressions.WindowHash]]
+    * hashes END TO END — both engines hash with the same md5-prefix
+    * definition, so the comparison is identical by construction, not
+    * merely collision-improbable.
+    *
+    * Scale shape: distinct-per-doc gram hashes (row-local kernel +
+    * array_distinct, no string shuffles — 8-byte keys), one
+    * map-side-combinable df aggregate over the gram relation, join
+    * back, one per-doc count aggregate. The df relation is
+    * vocabulary-shaped (Zipf), never corpus²; exact int/int double
+    * division at the output. */
+  val ngramNovelty: Q = (spark, dir) => {
+    val grams = Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= NovelN)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(s"graft_winhash(words, $NovelN)"))).as("g"))
+    val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(df, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_frac", col("n_novel").cast("double") / col("n_grams"))
+      .orderBy("doc_id")
+  }
+  val ngramNoveltySql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(words) - ${NovelN - 2}),
+       |    i -> ${h60Duck(s"array_to_string(words[i:i+${NovelN - 1}], ' ')")}))) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+       |  WHERE len(words) >= $NovelN),
+       |df AS (SELECT g, count(*) AS df FROM grams GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_grams,
+       |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+       |         AS novelty_frac
+       |FROM grams JOIN df USING (g)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "top_terms_per_lang" -> topTermsPerLang,
     "top_terms_agg" -> topTermsAgg,
@@ -387,6 +438,7 @@ object TextAnalysis {
     "text_stats" -> textStats,
     "bigram_lm_score" -> bigramLmScore,
     "winnow_fingerprints" -> winnowFingerprints,
+    "ngram_novelty" -> ngramNovelty,
   )
   val oracles: Map[String, String] = Map(
     "top_terms_per_lang" -> topTermsPerLangSql,
@@ -398,5 +450,6 @@ object TextAnalysis {
     "text_stats" -> textStatsSql,
     "bigram_lm_score" -> bigramLmScoreSql,
     "winnow_fingerprints" -> winnowFingerprintsSql,
+    "ngram_novelty" -> ngramNoveltySql,
   )
 }
