@@ -53,22 +53,24 @@ object Sessions {
   def registerMetricsLogger(spark: SparkSession): Unit =
     if (metricsHooked.add(spark)) {
       spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
-        private var lastKept = -1L // ngram emits kept+pairs in one execution
         override def onSuccess(fn: String,
             qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit = {
           val ms = qe.observedMetrics
-          ms.get("graft_ngram_kept").foreach(r => lastKept = r.getLong(0))
           ms.foreach { case (name, row) =>
             if (name.startsWith("graft_"))
               System.err.println(s"[graft-metric] $name = $row")
           }
-          ms.get("graft_ngram_pairs").foreach { r =>
-            val pairs = r.getLong(0)
-            val bound = lastKept * (graft.operators.Dedup.DfCap - 1L) / 2L
-            if (lastKept >= 0 && pairs > bound)
+          // both ngram tripwire metrics ride ONE query execution (the
+          // observe nodes share a plan), so the invariant check is
+          // stateless — no cross-execution coupling to race
+          for (kept <- ms.get("graft_ngram_kept"); pairs <- ms.get("graft_ngram_pairs")) {
+            val k = kept.getLong(0)
+            val p = pairs.getLong(0)
+            val bound = k * (graft.operators.Dedup.DfCap - 1L) / 2L
+            if (p > bound)
               System.err.println(
-                s"[graft-metric] WARNING ngram candidate volume $pairs exceeds " +
-                  s"df-cap envelope $bound (kept=$lastKept) — boilerplate explosion?")
+                s"[graft-metric] WARNING ngram candidate volume $p exceeds " +
+                  s"df-cap envelope $bound (kept=$k) — boilerplate explosion?")
           }
         }
         override def onFailure(fn: String,
