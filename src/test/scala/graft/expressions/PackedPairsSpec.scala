@@ -66,6 +66,25 @@ class PackedPairsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("df-cap"))
   }
 
+  test("aborts on duplicate input values instead of emitting a degenerate pair") {
+    val dup = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(3L, 7L, 3L))
+    val e = intercept[IllegalArgumentException](
+      PackedPairs(org.apache.spark.sql.catalyst.expressions.Literal(
+        dup, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+        .eval(null))
+    assert(e.getMessage.contains("duplicate"))
+    // and through codegen too
+    import org.apache.spark.sql.functions._
+    import graft.TestSpark
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, Seq(3L, 7L, 3L))).toDF("g", "ids")
+    val e2 = intercept[Exception](df.select(expr("graft_pairs(ids)")).collect())
+    assert(e2.getMessage.contains("duplicate") ||
+      Option(e2.getCause).exists(_.getMessage.contains("duplicate")))
+  }
+
   test("rejects non-array<bigint> input") {
     import spark.implicits._
     val df = Seq((1L, Seq("x", "y"))).toDF("g", "ids")
