@@ -147,6 +147,68 @@ object TrainingMix {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X58 split_contamination — cross-split leakage audit
+  // ---------------------------------------------------------------------
+
+  /** Leakage gram width. */
+  private val LeakN = 5
+
+  /** Cross-split contamination audit: for every val/test document,
+    * count its distinct [[LeakN]]-gram hashes that ALSO occur anywhere
+    * in the train split — the decontamination report run before an
+    * eval split ships (same failure class `benchmark_contamination`
+    * probes for an EXTERNAL benchmark, here against the pipeline's own
+    * [[datasetSplit]] boundary, same hash-coin rule so the two queries
+    * agree on membership by construction). Only leaked docs emit rows:
+    * the report is the work list for eval-set scrubbing.
+    *
+    * Scale shape: grams are row-local [[graft.expressions.WindowHash]]
+    * hashes (8-byte keys, engines share the definition — identity
+    * comparison, no strings shuffled); the train gram set is a
+    * distinct hash aggregate (map-side combinable) and the probe is a
+    * LEFT SEMI equi-join keyed on the hash — eval side is ~2% of the
+    * corpus by the split rule, train-gram dedup is the only
+    * corpus-scale shuffle, and nothing is ever pairwise. */
+  val splitContamination: Q = (spark, dir) => {
+    val g = Tables.documents(spark, dir)
+      .withColumn("bucket", pmod(h60(concat(lit("split:"), col("doc_id"))), lit(1000)))
+      .withColumn("split",
+        when(col("bucket") < TrainPerMille, "train")
+          .when(col("bucket") < ValPerMille, "val")
+          .otherwise("test"))
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= LeakN)
+      .select(col("doc_id"), col("split"),
+        explode(array_distinct(expr(s"graft_winhash(words, $LeakN)"))).as("g"))
+    val trainGrams = g.filter(col("split") === "train").select("g").distinct()
+    g.filter(col("split") =!= "train")
+      .join(trainGrams, Seq("g"), "left_semi")
+      .groupBy("doc_id", "split")
+      .agg(count(lit(1)).as("n_leaked"))
+      .orderBy("doc_id")
+  }
+  val splitContaminationSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CASE WHEN bucket < $TrainPerMille THEN 'train'
+       |              WHEN bucket < $ValPerMille THEN 'val'
+       |              ELSE 'test' END AS split,
+       |         string_split(text, ' ') AS words
+       |  FROM (SELECT doc_id, text,
+       |               ${h60Duck("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+       |        FROM documents)),
+       |g AS (
+       |  SELECT doc_id, split, unnest(list_distinct(list_transform(
+       |    range(1, len(words) - ${LeakN - 2}),
+       |    i -> ${h60Duck(s"array_to_string(words[i:i+${LeakN - 1}], ' ')")}))) AS g
+       |  FROM d WHERE len(words) >= $LeakN),
+       |t AS (SELECT DISTINCT g FROM g WHERE split = 'train')
+       |SELECT doc_id, split, count(*) AS n_leaked
+       |FROM g JOIN t USING (g)
+       |WHERE split <> 'train'
+       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // 4. epoch_upsample — per-source multi-epoch oversampling
   // ---------------------------------------------------------------------
 
@@ -247,6 +309,7 @@ object TrainingMix {
     "temperature_resample" -> temperatureResample,
     "sequence_pack" -> sequencePack,
     "dataset_split" -> datasetSplit,
+    "split_contamination" -> splitContamination,
     "epoch_upsample" -> epochUpsample,
     "global_row_index" -> globalRowIndex,
   )
@@ -254,6 +317,7 @@ object TrainingMix {
     "temperature_resample" -> temperatureResampleSql,
     "sequence_pack" -> sequencePackSql,
     "dataset_split" -> datasetSplitSql,
+    "split_contamination" -> splitContaminationSql,
     "epoch_upsample" -> epochUpsampleSql,
     "global_row_index" -> globalRowIndexSql,
   )
