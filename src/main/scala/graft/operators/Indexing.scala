@@ -341,10 +341,14 @@ object Indexing {
       val best = pairs
         .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum("freq").as("pf"))
         .orderBy(col("pf").desc, col("a"), col("b")).limit(1)
-      w = w.crossJoin(best)
-        .select(expr("replace(seq, concat('|', a, '||', b, '|'), concat('|', a, b, '|'))")
-          .as("seq"), col("freq"))
-        .localCheckpoint() // cut lineage: round r+1 plans against a leaf
+      // the LAST round's fused vocab has no reader (both consumers need
+      // only the R argmaxes, each lazy over the PREVIOUS round's
+      // checkpoint) — skip its fuse+materialization job entirely
+      if (r < BpeRounds - 1)
+        w = w.crossJoin(best)
+          .select(expr("replace(seq, concat('|', a, '||', b, '|'), concat('|', a, b, '|'))")
+            .as("seq"), col("freq"))
+          .localCheckpoint() // cut lineage: round r+1 plans against a leaf
       best
     }
   }
