@@ -34,7 +34,11 @@ class ScalingSpec extends AnyFunSuite {
   // the layout-composed pipeline (the suite's biggest query)
   private val Queries =
     Seq("minhash_lsh_candidates", "ngram_jaccard_pairs", "near_dup_cluster",
-      "corpus_pipeline", "bpe_train_merges", "bpe_encode", "pipeline_layout")
+      "corpus_pipeline", "bpe_train_merges", "bpe_encode", "pipeline_layout",
+      // r10 gram-hash family: winnow is row-local (explode only),
+      // novelty/split-contamination shuffle gram hashes — all expected
+      // ~linear in the corpus
+      "winnow_fingerprints", "ngram_novelty", "split_contamination")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
