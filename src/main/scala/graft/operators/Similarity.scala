@@ -431,6 +431,50 @@ object Similarity {
        |               / (bb.mxs[i] - bb.mns[i])))) END AS INT)), ',') AS codes
        |FROM e, bb ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X59 embedding_audit — per-dimension vector-store health report
+  // ---------------------------------------------------------------------
+
+  /** Embedding-store QA before any ANN indexing: per dimension, the
+    * value range and the exact-zero / non-finite counts — dead or
+    * exploded dimensions are the classic encoder-regression signals a
+    * vector pipeline checks on every drop (a dimension that went
+    * all-zero halves effective recall silently; one NaN poisons every
+    * cosine it touches). Statistics are deliberately restricted to the
+    * ORDER-FREE exact kind (min / max / counts): a per-dim mean would
+    * be a float sum whose value depends on aggregation order and would
+    * hash-differ across engines — the same house rule the quantizer's
+    * bounds pass follows.
+    *
+    * Scale shape: identical to [[scalarQuantizeEmbeddings]]' bounds
+    * pass — posexplode into ONE map-side-combinable [[Dim]]-group hash
+    * aggregate; vectors are never shuffled, output is Dim rows. */
+  val embeddingAudit: Q = (spark, dir) =>
+    Tables.embeddingsD(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(min("v").as("min_v"), max("v").as("max_v"),
+        sum(when(col("v") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(isnan(col("v")) || col("v") === Double.PositiveInfinity ||
+          col("v") === Double.NegativeInfinity, 1L).otherwise(0L)).as("n_nonfinite"),
+        count(lit(1)).as("n_vals"))
+      .select(col("dim").cast("long").as("dim"), col("min_v"), col("max_v"),
+        col("n_zero"), col("n_nonfinite"), col("n_vals"))
+      .orderBy("dim")
+  val embeddingAuditSql: String =
+    s"""SELECT CAST(i - 1 AS BIGINT) AS dim,
+       |       min(v) AS min_v, max(v) AS max_v,
+       |       CAST(sum(CASE WHEN v = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |       CAST(sum(CASE WHEN isnan(v) OR v = 'infinity'::DOUBLE
+       |                       OR v = '-infinity'::DOUBLE THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_nonfinite,
+       |       count(*) AS n_vals
+       |FROM (
+       |  SELECT unnest(embedding) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM $EmbD)
+       |GROUP BY i ORDER BY dim""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "cosine_topk_bruteforce" -> cosineTopkBruteforce,
     "embedding_cosine_near_dup" -> embeddingCosineNearDup,
@@ -438,6 +482,7 @@ object Similarity {
     "ann_ivf_topk" -> annIvfTopk,
     "random_projection" -> randomProjection,
     "scalar_quantize_embeddings" -> scalarQuantizeEmbeddings,
+    "embedding_audit" -> embeddingAudit,
   )
   val oracles: Map[String, String] = Map(
     "cosine_topk_bruteforce" -> cosineTopkBruteforceSql,
@@ -446,5 +491,6 @@ object Similarity {
     "ann_ivf_topk" -> annIvfTopkSql,
     "random_projection" -> randomProjectionSql,
     "scalar_quantize_embeddings" -> scalarQuantizeEmbeddingsSql,
+    "embedding_audit" -> embeddingAuditSql,
   )
 }
