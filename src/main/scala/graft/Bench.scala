@@ -25,11 +25,19 @@ object Bench {
     def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // a failed run returns +inf so the min-of-N below can never let a
+      // fast FAILURE displace a valid measurement (a transient error's
+      // near-zero elapsed time would otherwise record as a bogus best);
+      // a query failing on every run records +inf — loud in the JSON,
+      // and the correctness gate flags it independently
+      val dt =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Double.PositiveInfinity
+        }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc() // don't charge the next run for this run's garbage
@@ -47,7 +55,9 @@ object Bench {
       val first = run(name, fn)
       var best = math.min(first, run(name, fn))
       if (best > 2.0) best = math.min(best, run(name, fn))
-      name -> best
+      // every run failed → record the parseable -1.0 sentinel ("Infinity"
+      // would break the driver's json.load for the whole record)
+      name -> (if (best.isInfinite) -1.0 else best)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -48,8 +48,11 @@ object Sessions {
     * candidate explosion that stays inside the df-cap's proven
     * envelope. Observation metrics ride the existing aggregates
     * (CollectMetrics): zero extra jobs, zero extra shuffles. */
-  private val metricsHooked = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  // weak keys: a stopped session must stay collectable — a strong set
+  // would pin every session state graph a long-lived JVM ever created
+  private val metricsHooked = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
   def registerMetricsLogger(spark: SparkSession): Unit =
     if (metricsHooked.add(spark)) {
       spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {

@@ -14,28 +14,29 @@ object SparkEntry {
     * may smoke-check with its own): nanos-as-long for the events table
     * and the graft_dot native function ([[graft.expressions.DotProduct]];
     * normally injected via spark.sql.extensions in [[Sessions]]). */
+  /** Every native function the engine's queries use — ONE table shared
+    * by [[ensure]], so a kernel added to
+    * [[graft.expressions.GraftExtensions]] but forgotten here is caught
+    * by EntrySpec instead of failing only on a caller-owned session
+    * (r10 shipped exactly that bug: `graft_winhash` resolved only on
+    * extension-built sessions, breaking 7 queries on the driver's). */
+  private[graft] val nativeFns: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "graft_dot" -> (ch => graft.expressions.DotProduct(ch.head, ch(1))),
+    "graft_doti" -> (ch => graft.expressions.DotProductLong(ch.head, ch(1))),
+    "graft_simhash" -> (ch => graft.expressions.SimHashVotes(ch.head, ch(1))),
+    "graft_topk" -> (ch => graft.expressions.TopKByCount(ch.head, ch(1), ch(2))),
+    "graft_pairs" -> (ch => graft.expressions.PackedPairs(ch.head)),
+    "graft_winhash" -> (ch => graft.expressions.WindowHash(ch.head, ch(1))),
+  )
+
   private def ensure(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot",
-      ch => graft.expressions.DotProduct(ch.head, ch(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_doti",
-      ch => graft.expressions.DotProductLong(ch.head, ch(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash",
-      ch => graft.expressions.SimHashVotes(ch.head, ch(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_topk",
-      ch => graft.expressions.TopKByCount(ch.head, ch(1), ch(2)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_pairs",
-      ch => graft.expressions.PackedPairs(ch.head),
-      "built-in")
+    nativeFns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -49,11 +49,22 @@ object Tables {
     * ~10⁶ partitions and parallelism is free. The rebalance is priced
     * at the scan size, which is by definition small when the condition
     * fires; when the scan already has ≥ cores partitions this is an
-    * exact no-op (no shuffle added at scale). The partition count comes
-    * from the physical scan plan — plan-time metadata, no job. */
+    * exact no-op (no shuffle added at scale).
+    *
+    * The partition probe reads the NON-adaptive physical plan and
+    * bails out (identity) when that plan contains an Exchange: under
+    * AQE, `toRdd` on an exchange-bearing plan would MATERIALIZE its
+    * shuffle stages at DataFrame-construction time — real jobs before
+    * any action — and a post-shuffle relation's parallelism is AQE's
+    * to own anyway. For the exchange-free scans this helper is for,
+    * building the plan's RDD is lazy metadata: no job. */
   def fanout(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions < par) df.repartition(par) else df
+    val plan = df.queryExecution.sparkPlan
+    val hasExchange = plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+    if (!hasExchange && plan.execute().getNumPartitions < par) df.repartition(par)
+    else df
   }
 
   /** Float-math parity: DuckDB's list_cosine_similarity computes in

@@ -405,6 +405,9 @@ object TextAnalysis {
       .filter(size(col("words")) >= NovelN)
       .select(col("doc_id"),
         explode(array_distinct(expr(s"graft_winhash(words, $NovelN)"))).as("g"))
+      // read twice (df agg + join back) but deliberately LAZY — a
+      // localCheckpoint measured SLOWER (0.8 -> 1.2 s at sf0.1); see
+      // split_contamination for the same measured trade
     val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
     grams.join(df, "g")
       .groupBy("doc_id")

@@ -180,6 +180,12 @@ object TrainingMix {
       .filter(size(col("words")) >= LeakN)
       .select(col("doc_id"), col("split"),
         explode(array_distinct(expr(s"graft_winhash(words, $LeakN)"))).as("g"))
+      // read twice (train distinct + eval probe) but deliberately LAZY:
+      // a localCheckpoint measured SLOWER here (1.0-1.2 -> 1.3 s at
+      // sf0.1 — the materialization round-trip exceeds the winhash
+      // re-derivation, unlike the heavier ngram-shingle relations); a
+      // 100 TB campaign persists the gram relation as a stage table
+      // instead of re-scanning the corpus per consumer
     val trainGrams = g.filter(col("split") === "train").select("g").distinct()
     g.filter(col("split") =!= "train")
       .join(trainGrams, Seq("g"), "left_semi")

@@ -54,7 +54,8 @@ object ChatPipeline {
     */
   def start(pages: Dataset[RawPage], now: Instant, msgStorePath: String,
       docStorePath: String, intervalMs: Long = 1000,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None) = {
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      checkpoint: Option[String] = None) = {
     val spark = pages.sparkSession
     import spark.implicits._
     val changed = changedMessages(pages, now)
@@ -65,7 +66,7 @@ object ChatPipeline {
         MergeSink.merge(toDocRows(cached), Seq("room", "id"), docStorePath, MergeSink.Upsert)
       } finally cached.unpersist()
     }
-    changed.writeStream
+    val w = changed.writeStream
       .queryName("chat-pipeline")
       .outputMode("update")
       // default: the reference's fixed poll cadence; AvailableNow for
@@ -73,6 +74,11 @@ object ChatPipeline {
       .trigger(trigger.getOrElse(
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(intervalMs)))
       .foreachBatch(sink)
-      .start()
+    // fail-don't-swallow only buys a REPLAY when the offset/state logs
+    // survive the restart — production deployments pass a durable
+    // checkpoint dir here (same hook as IncrementalStream.start); the
+    // temp-checkpoint default keeps the MemoryStream test harness
+    // unchanged
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 }

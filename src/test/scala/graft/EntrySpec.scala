@@ -10,6 +10,28 @@ class EntrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(TestSpark.spark).count() > 0)
   }
 
+  test("ensure covers every native graft_* expression any registered query resolves to") {
+    // the bug class this pins: a kernel injected via GraftExtensions but
+    // missing from SparkEntry.nativeFns resolves in extension-built
+    // sessions (TestSpark, Sessions) and fails only on a caller-owned
+    // one — collect the actually-resolved graft expressions from every
+    // query's analyzed plan and require ensure to know each of them
+    val spark = TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    val known = SparkEntry.nativeFns.map(_._1).toSet
+    val used = SparkEntry.queries.values.flatMap { fn =>
+      fn(spark, dir).queryExecution.analyzed
+        .flatMap(_.expressions) // every plan node's expression trees
+        .flatMap(_.collect {
+          case e if e.getClass.getPackage != null &&
+            e.getClass.getPackage.getName == "graft.expressions" => e.prettyName
+        })
+    }.toSet
+    assert(used.nonEmpty, "expected native kernels in the registry's plans")
+    assert(used.subsetOf(known),
+      s"native functions used but not registered by ensure: ${used -- known}")
+  }
+
   test("every registered query has either an oracle or a scan prefix") {
     val keys = SparkEntry.queries.keySet
     val withOracle = SparkEntry.oracleSql.keySet
