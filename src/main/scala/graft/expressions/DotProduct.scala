@@ -102,5 +102,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_winhash"),
       new ExpressionInfo(classOf[WindowHash].getName, "graft_winhash"),
       (children: Seq[Expression]) => WindowHash(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_train"),
+      new ExpressionInfo(classOf[BpeTrain].getName, "graft_bpe_train"),
+      (children: Seq[Expression]) => BpeTrain(children.head, children(1))))
   }
 }

@@ -262,105 +262,62 @@ object Indexing {
     * 'm'+'er' at round 5 from round 0's 'e'+'r').
     *
     * Scale shape — the part that matters at 100 TB: the CORPUS is
-    * touched exactly once, by the word-frequency aggregate (full
-    * shuffle parallelism); every merge round runs over the VOCABULARY
-    * relation (Zipf: ~10⁷ rows for a web-scale corpus), weighted by
-    * `freq`. Rounds stay declarative — the argmax is a 1-row
-    * `orderBy.limit(1)` (TakeOrderedAndProject, no driver collect)
-    * cross-joined back, the fusion is one `replace` projection — but
-    * each round's vocab is `localCheckpoint`ed (lineage CUT, exactly
-    * the CC-loop trade in [[Dedup.clusterLabelsOf]]): without the cut,
-    * round r's plan nests r crossJoins and Catalyst re-optimizes the
-    * whole prefix every round, which at R=6 already costs 10× the data
-    * work. The loop relation is also `coalesce(1)`d AFTER the corpus
-    * agg materializes — narrow merge of already-computed blocks, so the
-    * corpus pass keeps its parallelism while the per-round jobs stop
-    * paying 32-task scheduling for a few-thousand-row relation (a
-    * web-scale vocab keeps more partitions: the coalesce target would
-    * scale with |vocab|, e.g. rows/10⁶, not the constant 1 of this
-    * harness-sized corpus; a 30k-round production train additionally
-    * swaps reliable `checkpoint()` in every few hundred rounds).
-    * Checkpoint blocks are harness-scoped ([[Bench]] unpersists them
-    * between queries).
+    * touched exactly once, by the word-counting partial aggregate (full
+    * scan parallelism, map-side combined to one distinct-words map per
+    * task); the merge-round iteration runs over the VOCABULARY — Zipf
+    * metadata-scale (~10⁷ entries web-scale), not data-scale — inside
+    * ONE native aggregate ([[graft.expressions.BpeTrain]]), the
+    * standard production trainer split (distributed count, single-node
+    * vocab iteration). The declarative per-round spelling this replaced
+    * (TakeOrdered argmax + crossJoin fuse + localCheckpoint per round)
+    * had the same asymptotics but paid R × (job + plan + checkpoint)
+    * scheduling constants on a metadata-sized relation — at the R=30k
+    * of a real tokenizer, hours of pure scheduling; the aggregate's
+    * train loop is the same greedy algorithm at memory speed, and its
+    * tie-break order (pf DESC, then UTF-8-binary a, b) is pinned to the
+    * oracle's ORDER BY in [[graft.expressions.BpeTrain.cpCompare]].
     *
-    * Symbol sequences ride in one string column ('|c1||c2||…|' — each
-    * symbol wrapped in its own '|'s, '|' can't occur in tokens) rather
-    * than an array: pair fusion is then a single literal `replace`
-    * ('|a||b|' → '|ab|'), whose left-to-right non-overlapping scan is
-    * EXACTLY greedy BPE application ('a a a' + (a,a) → 'aa a'), and
-    * both engines' `replace` share that contract. BOTH ends of both
-    * symbols are boundary-anchored: the wrap means a pattern can
-    * neither match inside a longer symbol nor match a right symbol
-    * that is a proper PREFIX of the actual neighbor ('aa'+'a' must not
-    * fire on ['aa','aab'] — the single-'|'-separator encoding had
-    * exactly that bug, caught by BpePropSpec's random-case property,
-    * while back-to-back merges still chain because each replacement
-    * re-emits the shared boundary). BpePropSpec holds the executable
-    * form of this argument against a greedy list-fold reference.
+    * The DuckDB oracle keeps the full declarative CTE chain (per-round
+    * argmax + boundary-wrapped literal `replace` fusion), so the
+    * aggregate's semantics — ALL adjacent pairs counted (overlapping
+    * runs included), greedy left-to-right fusion, merged symbol
+    * becoming the new left neighbor — are re-derived independently by
+    * the second engine on every correctness run; BpePropSpec pins the
+    * replace-vs-list-fold equivalence that argument leans on, and
+    * BpeAggSpec pins aggregate-vs-naive-fold parity plus partitioning
+    * invariance on random corpora.
     */
-  /** The train loop itself: per-round 1-row argmax relations (a, b,
-    * pf), each lazy over that round's CHECKPOINTED vocab — shared by
-    * the merge-table query ([[bpeTrainMerges]]) and the tokenizer
-    * application ([[bpeEncode]]), so both derive from the identical
-    * rules by construction. */
-  private def bpeRounds(spark: SparkSession, dir: String): Seq[DataFrame] = {
-    // (?s) dotall: '.' must also wrap newline characters, or an
-    // unwrapped '\n' splices two symbols together. The framing itself
-    // REQUIRES no literal '|' in any token (the wrap is what makes
-    // every rule boundary-anchored) — enforced here on the vocab-sized
-    // aggregate (one branch per distinct word, not per corpus row);
-    // encode inherits the guarantee because its text is exactly these
-    // words space-joined.
-    val words0 = Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(
-        regexp_replace(
-          when(!col("word").contains("|"), col("word"))
-            .otherwise(raise_error(concat(
-              lit("bpe: literal '|' in a token corrupts the symbol framing: "),
-              col("word")))),
-          "(?s)(.)", "|$1|").as("seq"),
-        col("freq"))
-    // corpus agg at full parallelism; the loop runs over a 1-partition
-    // narrow view of the materialized vocab (see bpeTrainMerges Scaladoc)
-    var w = words0.localCheckpoint().coalesce(1)
-    (0 until BpeRounds).map { r =>
-      val pairs = w
-        .withColumn("syms",
-          split(expr("substring(seq, 2, length(seq) - 2)"), "[|][|]"))
-        .filter(size(col("syms")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(syms) - 1)," +
-            " i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))")).as("p"),
-          col("freq"))
-      // best is NOT checkpointed: it re-derives from the (checkpointed,
-      // tiny) vocab wherever read — the fuse job computes it inline and
-      // the final union recomputes all R argmaxes in one job, which is
-      // fewer Spark jobs total than materializing R one-row relations
-      val best = pairs
-        .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum("freq").as("pf"))
-        .orderBy(col("pf").desc, col("a"), col("b")).limit(1)
-      // the LAST round's fused vocab has no reader (both consumers need
-      // only the R argmaxes, each lazy over the PREVIOUS round's
-      // checkpoint) — skip its fuse+materialization job entirely
-      if (r < BpeRounds - 1)
-        w = w.crossJoin(best)
-          .select(expr("replace(seq, concat('|', a, '||', b, '|'), concat('|', a, b, '|'))")
-            .as("seq"), col("freq"))
-          .localCheckpoint() // cut lineage: round r+1 plans against a leaf
-      best
-    }
-  }
+  /** One-row merge-rules relation `rules: array<struct<a,b,pf>>` in
+    * training order — shared by the merge-table query
+    * ([[bpeTrainMerges]]) and the tokenizer application ([[bpeEncode]]),
+    * so both derive from identical rules by construction. The '|' guard
+    * exists because the ENCODE's fusion framing ('|'-wrapped symbols,
+    * see [[bpeEncode]]) requires no literal '|' in any token; training
+    * itself (symbol arrays, no framing) doesn't care, but a corpus that
+    * would corrupt the encode must fail LOUDLY at train time too, not
+    * silently diverge between the pair. */
+  private def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(split(
+        when(!col("text").contains("|"), col("text"))
+          .otherwise(raise_error(concat(
+            lit("bpe: literal '|' in a token corrupts the symbol framing: "),
+            col("text")))),
+        " ").as("toks"))
+      .agg(expr(s"graft_bpe_train(toks, $BpeRounds)").as("rules"))
 
   val bpeTrainMerges: Q = (spark, dir) =>
-    bpeRounds(spark, dir).zipWithIndex.map { case (best, r) =>
-      best.select(lit(r.toLong).as("round"), col("a").as("left_sym"),
-        col("b").as("right_sym"), col("pf").as("pair_freq"))
-    }.reduce(_ unionByName _).orderBy("round")
+    bpeMerges(spark, dir)
+      .select(posexplode(col("rules")).as(Seq("round", "m")))
+      .select(col("round").cast("long").as("round"),
+        col("m.a").as("left_sym"), col("m.b").as("right_sym"),
+        col("m.pf").as("pair_freq"))
+      .orderBy("round")
   /** The train-loop CTE chain (words → w0 → p_r/b_r/w_{r+1} per round)
-    * — shared by the merge-table oracle and the encode oracle, mirroring
-    * [[bpeRounds]] on the Spark side. */
+    * — shared by the merge-table oracle and the encode oracle; the
+    * Spark side derives the same rules in one [[bpeMerges]] aggregate,
+    * so every correctness run re-checks the two derivations against
+    * each other. */
   private def bpeCtePrefix: String = {
     def roundCtes(r: Int): String =
       s"""p$r AS (
@@ -392,13 +349,22 @@ object Indexing {
   }
 
   /** Tokenizer APPLICATION — the other half of the BPE story: encode
-    * every document with the merge rules [[bpeRounds]] just learned
+    * every document with the merge rules [[bpeMerges]] just learned
     * (train→apply in one lineage, the way a tokenizer ships with its
     * corpus statistics) and account tokens per doc. Greedy BPE
-    * application is the same chained literal `replace` over the
-    * '|'-wrapped symbol string as training's fusion step — rules
-    * applied IN TRAINING ORDER — so the encode inherits BpePropSpec's
-    * boundary-anchoring argument verbatim.
+    * application is a chained literal `replace` over the '|'-wrapped
+    * symbol string ('|c1||c2||…|', each symbol wrapped in its own
+    * '|'s) — rules applied IN TRAINING ORDER — whose left-to-right
+    * non-overlapping scan is EXACTLY greedy BPE merge: the wrap anchors
+    * BOTH ends of both pattern symbols at boundaries, so a rule can
+    * neither match inside a longer symbol nor match a right symbol
+    * that is a proper PREFIX of the actual neighbor, while
+    * back-to-back merges still chain because each replacement re-emits
+    * the shared boundary. BpePropSpec holds the executable form of
+    * that argument against a greedy list-fold reference — the same
+    * fold [[graft.expressions.BpeTrain]] runs in training, so
+    * train-side fusion and encode-side application agree by shared
+    * semantics, not coincidence.
     *
     * The WHOLE text is wrapped and encoded in one pass, not
     * word-by-word: training words are space-split, so no learned
@@ -411,17 +377,15 @@ object Indexing {
     * + 1) − (space count), both from length differences — no
     * re-splitting.
     *
-    * Scale shape: the R learned rules are PIVOTED into ONE one-row
-    * relation (max-when over the R-row merge table — R rows of
-    * metadata, never data) and broadcast onto the corpus with a single
+    * Scale shape: [[bpeMerges]] already yields the R learned rules as
+    * ONE one-row relation (R structs of metadata, never data); its
+    * scalar projection is broadcast onto the corpus with a single
     * crossJoin, then ONE row-local projection over the documents scan —
-    * the corpus is touched once for training (word-freq agg) and once
-    * for encoding, and the encode pass adds no data-sized shuffle at
-    * scale ([[Tables.fanout]] rebalances the scan only in the
-    * small-file regime, where the 7-pass string rewrite would
-    * otherwise run on a single core). One broadcast instead of the r9
-    * spelling's R chained 1-row crossJoins: R−1 fewer
-    * broadcast-exchange jobs and one join to plan instead of six. The
+    * the corpus is touched once for training (word-count partial agg)
+    * and once for encoding, and the encode pass adds no data-sized
+    * shuffle at scale ([[Tables.fanout]] rebalances the scan only in
+    * the small-file regime, where the 7-pass string rewrite would
+    * otherwise run on a single core). The
     * rule application stays the STATIC nested-`replace` expression
     * (whole-stage codegen) rather than a higher-order `aggregate` fold
     * over an array of rule structs — lambda folds evaluate on the
@@ -429,19 +393,13 @@ object Indexing {
     * string loop.
     */
   val bpeEncode: Q = (spark, dir) => {
-    val rules = bpeRounds(spark, dir)
-    // recompute all R argmaxes in ONE job over the checkpointed vocab
-    // chain (same shape as bpeTrainMerges' final union), pivoted to a
-    // single row (a0, b0, …, a5, b5)
-    val ruleTable = rules.zipWithIndex.map { case (best, r) =>
-      best.select(lit(r).as("round"), col("a"), col("b"))
-    }.reduce(_ unionByName _)
-    val ruleRow = ruleTable.agg(
-      max(when(col("round") === 0, col("a"))).as("a0"),
+    // the rules relation is already ONE row; project the R struct
+    // entries to scalar columns (a0, b0, …, a5, b5) for the static
+    // nested-replace expression below
+    val ruleRow = bpeMerges(spark, dir).select(
       (0 until BpeRounds).flatMap { r =>
-        val a = if (r == 0) Nil
-          else Seq(max(when(col("round") === r, col("a"))).as(s"a$r"))
-        a :+ max(when(col("round") === r, col("b"))).as(s"b$r")
+        Seq(col("rules").getItem(r).getField("a").as(s"a$r"),
+          col("rules").getItem(r).getField("b").as(s"b$r"))
       }: _*)
     val docs = Tables.fanout(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")))

@@ -219,10 +219,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "the prefix-sum window must read the 256-row cell-count aggregate")
   }
 
-  test("bpe_train_merges: argmax rounds are top-1 take-ordered, never a global sort or collect") {
+  test("bpe_train_merges: one native train aggregate, map-side combined, no join/window") {
     val p = plan("bpe_train_merges")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"per-round argmax must be TakeOrderedAndProject:\n$p")
+    assert(p.contains("graft_bpe_train"),
+      s"training must run inside the native vocab aggregate:\n$p")
+    assert(p.contains("partial_graft_bpe_train"),
+      s"the word-count maps must combine map-side before the exchange:\n$p")
+    assert(!p.contains("Join"), s"no join anywhere in BPE training:\n$p")
     assert(!p.contains("Window"), s"no window needed in BPE training:\n$p")
   }
 
