@@ -29,6 +29,8 @@ object SparkEntry {
     "graft_topk" -> (ch => graft.expressions.TopKByCount(ch.head, ch(1), ch(2))),
     "graft_pairs" -> (ch => graft.expressions.PackedPairs(ch.head)),
     "graft_winhash" -> (ch => graft.expressions.WindowHash(ch.head, ch(1))),
+    "graft_bpe_train" -> (ch => graft.expressions.BpeTrain(ch.head, ch(1))),
+    "graft_minhash" -> (ch => graft.expressions.MinHashSig(ch.head, ch(1))),
   )
 
   private def ensure(spark: SparkSession): Unit = {

@@ -106,5 +106,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bpe_train"),
       new ExpressionInfo(classOf[BpeTrain].getName, "graft_bpe_train"),
       (children: Seq[Expression]) => BpeTrain(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinHashSig(children.head, children(1))))
   }
 }

@@ -135,13 +135,9 @@ object Dedup {
     * path; products stay < 2^62 so the arithmetic is exact and
     * overflow-free in any 64-bit engine — DuckDB checks overflow).
     * A_s/B_s are md5-derived constants, embedded in both engines. */
-  private val MersenneP = 2147483647L
-  private def h60c(s: String): Long =
-    java.lang.Long.parseLong(
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
-  private val HashA: IndexedSeq[Long] = (0 until NumHashes).map(s => h60c(s"A$s") % (MersenneP - 1) + 1)
-  private val HashB: IndexedSeq[Long] = (0 until NumHashes).map(s => h60c(s"B$s") % MersenneP)
+  private val MersenneP = graft.expressions.MinHashSig.MersenneP
+  private val HashA: IndexedSeq[Long] = graft.expressions.MinHashSig.hashA
+  private val HashB: IndexedSeq[Long] = graft.expressions.MinHashSig.hashB
 
   /** MinHash+LSH near-dup candidate pairs.
     *
@@ -158,14 +154,30 @@ object Dedup {
     * `near_dup_cluster`, and the composed `corpus_pipeline` (the pairs
     * are the clustering edge set). Input: (doc_id, text [, ...]). */
   /** The per-doc signature relation (doc_id, mh0..mh11) — shared by
-    * candidate generation and the agreement estimator. */
-  private[operators] def minhashSigOf(docs: DataFrame): DataFrame = {
-    val sh = shingled(docs)
-      .withColumn("h", h60(col("shingle")) % MersenneP)
-    val mins = (0 until NumHashes).map(s =>
-      min((col("h") * HashA(s) + HashB(s)) % MersenneP).as(s"mh$s"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-  }
+    * candidate generation and the agreement estimator.
+    *
+    * Row-LOCAL: a document's shingles live in its own row, so the 12
+    * min-hashes are `array_min` folds over the in-row shingle-hash
+    * array — a pure projection, NO corpus-wide shuffle. (The previous
+    * spelling exploded (doc, shingle) rows and re-grouped them by
+    * doc_id: a full shuffle of the shingle relation plus an extra AQE
+    * stage, recomputing exactly what the row already knew. At 100 TB
+    * the signature pass is now embarrassingly parallel.) `min` over the
+    * shingle multiset equals `min` over the distinct set, so the
+    * explode-side `array_distinct` is gone too; the md5 count per doc
+    * is identical. The hashes run in two fused codegen'd kernels —
+    * [[graft.expressions.WindowHash]] (the 3-gram md5s, shared with
+    * the ExactSubstr/winnowing family) then
+    * [[graft.expressions.MinHashSig]] (k running minima in one array
+    * pass; same h60-derived family constants the oracle SQL
+    * interpolates) — because the interpreted `transform`/`array_min`
+    * spelling measured as the bulk of the whole family's runtime. */
+  private[operators] def minhashSigOf(docs: DataFrame): DataFrame =
+    docs.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .withColumn("sg", expr(s"graft_minhash(graft_winhash(words, 3), $NumHashes)"))
+      .select(col("doc_id") +: (0 until NumHashes).map(s =>
+        col("sg").getItem(s).as(s"mh$s")): _*)
 
   private[operators] def minhashPairsOf(docs: DataFrame): DataFrame =
     minhashPairsFromSig(minhashSigOf(docs))
@@ -175,20 +187,28 @@ object Dedup {
     * can materialize them once instead of re-running the shingle+agg
     * chain per read. */
   private def minhashPairsFromSig(sig: DataFrame): DataFrame = {
+    // grouped enumeration, not a bucket self-join: group the band
+    // buckets and enumerate each bucket's pairs with the codegen'd
+    // [[graft.expressions.PackedPairs]] kernel (ngram_jaccard's
+    // design). Same candidate set and the same Σ_bucket |bucket|²
+    // asymptotics as the self-equi-join, but the signature chain is
+    // scanned ONCE (the join read it once per side) and the per-bucket
+    // work is one fused loop instead of a hash-join probe. The
+    // collect_list state is bounded by the bucket size the tripwire
+    // below polices.
     val bands = (0 until NumHashes / BandRows).map { b =>
       val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"mh$i"))
       struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("sig"))
     }
-    val buckets = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr("graft_pairs(ids)")).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       // candidate-volume tripwire (same rationale as ngram's — see
-      // there): the pre-distinct bucket-join volume is THE quantity an
-      // adversarial corpus inflates; surfaced per run via the
+      // there): the pre-distinct per-bucket pair volume is THE quantity
+      // an adversarial corpus inflates; surfaced per run via the
       // [[graft.Sessions]] metrics listener, zero extra jobs
       .observe("graft_minhash_candidates", count(lit(1)).as("candidate_pairs"))
       .distinct()

@@ -180,16 +180,24 @@ object TrainingMix {
       .filter(size(col("words")) >= LeakN)
       .select(col("doc_id"), col("split"),
         explode(array_distinct(expr(s"graft_winhash(words, $LeakN)"))).as("g"))
-      // read twice (train distinct + eval probe) but deliberately LAZY:
-      // a localCheckpoint measured SLOWER here (1.0-1.2 -> 1.3 s at
-      // sf0.1 — the materialization round-trip exceeds the winhash
-      // re-derivation, unlike the heavier ngram-shingle relations); a
-      // 100 TB campaign persists the gram relation as a stage table
-      // instead of re-scanning the corpus per consumer
-    val trainGrams = g.filter(col("split") === "train").select("g").distinct()
-    g.filter(col("split") =!= "train")
-      .join(trainGrams, Seq("g"), "left_semi")
-      .groupBy("doc_id", "split")
+    // ONE pass over the gram relation instead of two (train distinct +
+    // eval semi-probe previously re-derived the winhash grams twice;
+    // caching measured slower both ways — localCheckpoint pays an extra
+    // materialization job, persist pays block-manager columnar round-
+    // trips that exceed the cheap re-derivation): group by gram, fold
+    // the train-membership flag and the (tiny, ~2% of docs by the split
+    // rule) eval sightings in the same map-side-combinable aggregate,
+    // then keep eval sightings of train grams. Shuffle key is the 8-byte
+    // gram hash; per-gram state is one flag + the eval docs containing
+    // that gram (bounded: gram df × eval fraction).
+    g.groupBy("g")
+      .agg(
+        max(when(col("split") === "train", 1).otherwise(0)).as("in_train"),
+        collect_list(when(col("split") =!= "train",
+          struct(col("doc_id"), col("split")))).as("evals"))
+      .filter(col("in_train") === 1)
+      .select(explode(col("evals")).as("e"))
+      .groupBy(col("e.doc_id").as("doc_id"), col("e.split").as("split"))
       .agg(count(lit(1)).as("n_leaked"))
       .orderBy("doc_id")
   }
