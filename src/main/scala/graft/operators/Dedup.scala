@@ -859,13 +859,35 @@ object Dedup {
     // interpreter, allocating a slice per position. Same (pos, h)
     // relation bit-for-bit; the oracle keeps the per-position
     // array_to_string+md5 spelling, which is the same definition.
+    // ONE pass over the gram relation: group by gram hash collecting
+    // the PACKED occurrence (doc_id·2²¹ + pos — one long, not a
+    // struct: measured ~25% off the whole query, the ObjectHashAgg
+    // state is a primitive array), keep hashes seen ≥ 2 times, unpack.
+    // The previous count-aggregate + equi-join spelling computed the
+    // winhash gram relation TWICE (once per join side) — the join
+    // itself was the duplicate test. Packing bound (ANSI throws on
+    // overflow, so a violation is loud): doc_id < 2^42 (the synthetic
+    // re-key band tops out at 2^41 + id), pos < 2^21 tokens/doc.
+    // Per-hash state is O(df(gram)) — the boilerplate-skew quantity the
+    // observe tripwire below surfaces per run ([[graft.Sessions]]
+    // listener); a campaign whose max_gram_df approaches task memory
+    // swaps the duplicate test back to the streaming count+join form
+    // (same output, one more corpus pass).
     val grams = corpus
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= SpanN)
       .select(col("doc_id"),
         posexplode(expr(s"graft_winhash(words, $SpanN)")).as(Seq("pos", "h")))
-    val dfc = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
-    val rep = grams.join(dfc.filter(col("cnt") >= 2), "h")
+    val rep = grams
+      .select(col("h"), (col("doc_id") * (1L << 21) + col("pos")).as("pk"))
+      .groupBy("h").agg(collect_list(col("pk")).as("occ"))
+      .filter(size(col("occ")) >= 2)
+      .observe("graft_substr_occ",
+        max(size(col("occ"))).cast("long").as("max_gram_df"),
+        count(lit(1)).as("dup_grams"))
+      .select(explode(col("occ")).as("pk"))
+      .select(expr(s"pk div ${1L << 21}").as("doc_id"),
+        (col("pk") % (1L << 21)).as("pos"))
     rep
       .withColumn("grp", col("pos") - row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")))
