@@ -61,8 +61,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // failures are ALSO listed by name so a sign-unaware consumer
+    // (ratio/sum tooling) can't read the -1.0 sentinel as a very fast
+    // valid time; the failed queries' sentinels are excluded from total
+    val failedArr = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedArr,"sf":"$sfDir"}"""
     println(line)
     // The full record above is ~4 KB at the 111-query registry; a log
     // tail capture (the driver keeps the last ~2 KB of stdout) chops its
@@ -71,7 +77,7 @@ object Bench {
     // JSON object; the per-query map stays available in the full line,
     // the stderr echo, and the durable file below.
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failedArr,"sf":"$sfDir"}"""
     // stdout gets truncated in long driver logs; echo on stderr (captured
     // separately) and keep a durable file copy. SPARK_GRAFT_BENCH_OUT
     // overrides the path so concurrent runs don't clobber each other (and

@@ -5,6 +5,8 @@ import org.apache.spark.sql.SparkSession
   * test suites all run with identical semantics-relevant configuration.
   */
 object Sessions {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   def builder(appName: String): SparkSession.Builder = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     SparkSession.builder()
@@ -59,9 +61,14 @@ object Sessions {
         override def onSuccess(fn: String,
             qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit = {
           val ms = qe.observedMetrics
+          // routine per-execution readings go to the logger at INFO
+          // (invisible at Spark's default WARN level — a long-running
+          // streaming job's per-batch executions would otherwise spray
+          // unbounded stderr noise); only the invariant VIOLATION below
+          // stays unconditionally loud
           ms.foreach { case (name, row) =>
-            if (name.startsWith("graft_"))
-              System.err.println(s"[graft-metric] $name = $row")
+            if (name.startsWith("graft_") && log.isInfoEnabled)
+              log.info(s"[graft-metric] $name = $row")
           }
           // both ngram tripwire metrics ride ONE query execution (the
           // observe nodes share a plan), so the invariant check is

@@ -63,7 +63,14 @@ object Tables {
     val plan = df.queryExecution.sparkPlan
     val hasExchange = plan.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
-    if (!hasExchange && plan.execute().getNumPartitions < par) df.repartition(par)
+    // the partition probe below calls execute() on the UNPREPARED plan:
+    // fine for the plain scans this helper exists for, but a plan with
+    // subquery expressions would eagerly run the subquery jobs at
+    // DataFrame-construction time — bail to identity for those too
+    val hasSubquery = plan.exists(_.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
+    if (!hasExchange && !hasSubquery && plan.execute().getNumPartitions < par)
+      df.repartition(par)
     else df
   }
 

@@ -78,7 +78,14 @@ object ChatPipeline {
     // survive the restart — production deployments pass a durable
     // checkpoint dir here (same hook as IncrementalStream.start); the
     // temp-checkpoint default keeps the MemoryStream test harness
-    // unchanged
+    // unchanged, but a transient merge failure then permanently kills
+    // the query with no resumable offsets (an availability divergence
+    // from the reference's keep-running poll loop) — say so loudly
+    if (checkpoint.isEmpty)
+      System.err.println(
+        "[chat-pipeline] WARNING: stateful merge sink started without a " +
+          "durable checkpointLocation — a failed batch cannot be replayed " +
+          "after restart; pass checkpoint=Some(dir) outside tests")
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 }
