@@ -96,4 +96,76 @@ class ScalingSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** The second measured decade (sf0.1 → a synthesized 10× "sfx1"),
+    * pinning the growth trend one order beyond the driver-provided
+    * data — opt-in (`GRAFT_SCALE_SF1=1`) because the large side runs
+    * the composed pipelines at ~50k docs (minutes, not suite-budget).
+    *
+    * The sfx1 corpus is 10 deterministic copies of sf0.1's documents:
+    * copy 0 verbatim, copies 1–9 with every word suffixed `_k` and
+    * doc_id shifted by k·10⁷ (far below the 2^40 synthetic re-key
+    * band). The suffix makes cross-copy text DISJOINT at the
+    * gram/shingle/vocab level, so the decade models a bigger crawl of
+    * NEW content — within-copy duplicate/near-dup structure replicates
+    * exactly, cross-copy structure is nil — rather than a 10-way
+    * exact-duplication blow-up whose candidate pairs would grow ~100×
+    * by DATA design (every doc gaining 9 clones) while the operators
+    * behaved perfectly.
+    */
+  test("dedup-family shuffle volume grows sub-quadratically from sf0.1 to sfx1 (opt-in)") {
+    assume(sys.env.contains("GRAFT_SCALE_SF1"),
+      "set GRAFT_SCALE_SF1=1 for the minutes-long 10x decade")
+    val sfx1 = ScaleData.ensureSfx1(spark, SfBig)
+    val growth = Tables.documents(spark, sfx1).count().toDouble /
+      Tables.documents(spark, SfBig).count()
+    assert(growth >= 9, s"sfx1 should be ~10x sf0.1, got $growth")
+    val bound = math.pow(growth, MaxExponent)
+    val rows = Queries.map { q =>
+      val small = measure(q, SfBig)
+      val big = measure(q, sfx1)
+      val ratio = big.shuffleRows.toDouble / math.max(1L, small.shuffleRows)
+      System.err.println(
+        f"[scaling-sf1] $q%-24s sf0.1: ${small.shuffleRows}%9d rows ${small.secs}%6.2f s | " +
+          f"sfx1: ${big.shuffleRows}%9d rows ${big.secs}%6.2f s | growth $ratio%6.1fx (bound $bound%5.1fx)")
+      assert(ratio <= bound,
+        s"$q shuffle rows grew ${ratio}x for ${growth}x data — super-quadratic-risk " +
+          s"(bound ${bound}x)")
+      (q, small, big, ratio)
+    }
+    System.err.println("| query | sf0.1 shuffle rows | sf0.1 s | sfx1 shuffle rows | sfx1 s | growth |")
+    System.err.println("|---|---|---|---|---|---|")
+    rows.foreach { case (q, s, b, r) =>
+      System.err.println(
+        f"| `$q` | ${s.shuffleRows}%,d | ${s.secs}%.2f | ${b.shuffleRows}%,d | ${b.secs}%.2f | ${r}%.1fx |")
+    }
+  }
+}
+
+/** Deterministic synthetic decade above the largest driver-provided sf
+  * (see the opt-in ScalingSpec test for the design rationale). */
+object ScaleData {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.functions._
+
+  /** Build (once) and return the sfx1 dir: documents = 10 disjoint
+    * content copies of `fromDir`'s table, ~10× the rows. */
+  def ensureSfx1(spark: SparkSession, fromDir: String): String = {
+    val dir = "/tmp/graft-sfx1"
+    val marker = new java.io.File(s"$dir/documents.parquet/_SUCCESS")
+    if (!marker.exists()) {
+      val base = Tables.documents(spark, fromDir)
+      val copies = (0 until 10).map { k =>
+        if (k == 0) base
+        else base.select(
+          (col("doc_id") + k * 10000000L).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit(s"_$k"))), " ").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+      copies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    dir
+  }
 }
