@@ -239,11 +239,13 @@ object Sketches {
   private val CmsPhiInv = 200L
 
   /** (i, pos) sketch-cell coordinates for a `term` column — one row per
-    * (term-occurrence, hash row). Shared by the batch heavy-hitters
-    * query and the streaming twin (SketchStreamSpec): `groupBy(i, pos)
-    * .count` over these cells IS the sketch in either mode, and in
-    * streaming mode its state is bounded at depth·width rows however
-    * long the stream runs. */
+    * (term-occurrence, hash row). This occurrence-exploded form is the
+    * STREAMING spelling (SketchStreamSpec): a stream can't pre-count its
+    * whole input, so each arriving term votes its [[CmsDepth]] cells and
+    * `groupBy(i, pos).count` keeps the sketch as bounded state
+    * (depth·width rows however long the stream runs). The BATCH query
+    * below builds the bit-identical sketch from the weighted vocab
+    * relation instead — see [[cmsHeavyHitters]]. */
   private[graft] def cmsCells(tok: DataFrame): DataFrame = {
     val rows = (0 until CmsDepth).map(i =>
       struct(lit(i).as("i"),
@@ -268,23 +270,39 @@ object Sketches {
     * est ≥ stream/200 — exact_count (one extra hash agg, vocabulary-
     * sized) sits beside the estimate to expose any overestimate, same
     * verifiability contract as [[hllDistinct]].
+    *
+    * Batch build shape: the CMS cell count is LINEAR in term weight —
+    * cell(i, p) = Σ_{terms with h_i(t) = p} count(t) — so the sketch is
+    * derived from the exact (term, count) vocabulary aggregate the query
+    * already computes for its audit column: ONE corpus pass (the vocab
+    * count), then 3 hashes per DISTINCT term with cells weighted by
+    * count, and total = Σ count. Bit-identical to the occurrence-
+    * exploded build ([[cmsCells]], kept as the streaming spelling) but
+    * without 3 md5 evaluations per token occurrence or the two extra
+    * corpus passes the r11 spelling paid (exact counts + stream total).
+    * The (term, count, i, pos) relation is read three ways (sketch
+    * build, estimate probe, total) from ONE shared plan subtree: the
+    * corpus-pass vocab exchange canonicalizes identically under all
+    * three, so ReusedExchange/AQE stage reuse runs it once — no
+    * checkpoint job, no block-manager round-trip (a localCheckpoint
+    * variant measured slower: it pays a separate materialization job).
+    * The 3·1024-cell sketch is an explicit broadcast.
     */
   val cmsHeavyHitters: Q = (spark, dir) => {
     val tok = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("term"))
-    val sketch = cmsCells(tok).groupBy("i", "pos").agg(count(lit(1)).as("cnt"))
-    val terms = tok.groupBy("term").agg(count(lit(1)).as("exact_count"))
-    val tpos = terms.select((col("term") +: col("exact_count") +:
-      (0 until CmsDepth).map(i =>
-        expr(s"pmod(${h60Sql(s"concat('$i:', term)")}, $CmsWidth)").as(s"pos$i"))): _*)
+    val tpos = tok.groupBy("term").agg(count(lit(1)).as("exact_count"))
       .select(col("term"), col("exact_count"),
         explode(array((0 until CmsDepth).map(i =>
-          struct(lit(i).as("i"), col(s"pos$i").as("pos"))): _*)).as("r"))
+          struct(lit(i).as("i"),
+            expr(s"pmod(${h60Sql(s"concat('$i:', term)")}, $CmsWidth)").as("pos"))): _*))
+          .as("r"))
       .select(col("term"), col("exact_count"), col("r.i").as("i"), col("r.pos").as("pos"))
-    val est = tpos.join(sketch, Seq("i", "pos"))
+    val sketch = tpos.groupBy("i", "pos").agg(sum(col("exact_count")).as("cnt"))
+    val est = tpos.join(broadcast(sketch), Seq("i", "pos"))
       .groupBy("term")
       .agg(min(col("exact_count")).as("exact_count"), min(col("cnt")).as("est_count"))
-    val total = tok.agg(count(lit(1)).as("n"))
+    val total = tpos.filter(col("i") === 0).agg(sum(col("exact_count")).as("n"))
     est.crossJoin(total)
       .filter(col("est_count") >= expr(s"n div $CmsPhiInv"))
       .select(col("term"), col("est_count"), col("exact_count"))

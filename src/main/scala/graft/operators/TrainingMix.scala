@@ -170,40 +170,46 @@ object TrainingMix {
     * corpus by the split rule, train-gram dedup is the only
     * corpus-scale shuffle, and nothing is ever pairwise. */
   val splitContamination: Q = (spark, dir) => {
-    val g = Tables.documents(spark, dir)
+    // Per-doc distinct gram hashes with the split bucket still attached;
+    // the split test stays a pushable predicate on `bucket` (a
+    // deterministic projection of doc_id), which is the load-bearing
+    // trick below.
+    val grams = Tables.documents(spark, dir)
       .withColumn("bucket", pmod(h60(concat(lit("split:"), col("doc_id"))), lit(1000)))
-      .withColumn("split",
-        when(col("bucket") < TrainPerMille, "train")
-          .when(col("bucket") < ValPerMille, "val")
-          .otherwise("test"))
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= LeakN)
-      .select(col("doc_id"), col("split"),
+      .select(col("doc_id"), col("bucket"),
         explode(array_distinct(expr(s"graft_winhash(words, $LeakN)"))).as("g"))
-    // ONE pass over the gram relation instead of two (train distinct +
-    // eval semi-probe previously re-derived the winhash grams twice;
-    // caching measured slower both ways — localCheckpoint pays an extra
-    // materialization job, persist pays block-manager columnar round-
-    // trips that exceed the cheap re-derivation): group by gram, fold
-    // the train-membership flag and the (tiny, ~2% of docs by the split
-    // rule) eval sightings in the same map-side-combinable aggregate,
-    // then keep eval sightings of train grams. Shuffle key is the 8-byte
-    // gram hash; per-gram state is one flag + the eval docs containing
-    // that gram (bounded: gram df × eval fraction). Eval sightings are
-    // packed `doc_id·4 + split_code` LONGS, not structs — the aggregate
-    // state stays a primitive array (the measured ~25–30% win the
-    // ngram/exact-substr family already banked); ANSI multiply makes a
-    // doc_id beyond Long.Max/4 loud rather than silently wrapped.
-    g.groupBy("g")
-      .agg(
-        max(when(col("split") === "train", 1).otherwise(0)).as("in_train"),
-        collect_list(when(col("split") =!= "train",
-          col("doc_id") * 4 + when(col("split") === "val", 1).otherwise(2)))
-          .as("evals"))
-      .filter(col("in_train") === 1)
-      .select(explode(col("evals")).as("p"))
-      .groupBy(expr("p div 4").as("doc_id"),
-        when(pmod(col("p"), lit(4)) === 1, "val").otherwise("test").as("split"))
+    // Aggregate SPLIT BY SIDE instead of r11's one-pass collect_list
+    // fold: ~98% of gram rows are train-split and carried list state
+    // they never contributed to, forcing the whole corpus through an
+    // ObjectHashAggregate. Here the train side is a plain `distinct` on
+    // the 8-byte gram hash — primitive state, map-side combinable (the
+    // partial pass collapses within-partition repeats before the
+    // shuffle) — and the eval side (~2% of docs by the split rule) is a
+    // LEFT SEMI probe against it. The eval side is a SECOND reference
+    // to the gram derivation, but its bucket predicate pushes below the
+    // explode, so the "re-derivation" tokenizes only the 2% eval docs —
+    // one full corpus pass total, with the heavy aggregate reduced to a
+    // distinct on longs. (The r10 two-pass shape this supersedes
+    // re-derived ALL grams twice; the r11 fold fixed the passes but
+    // paid object-state aggregation for every row.)
+    //
+    // Join spelling: INNER with the distinct train side on the left,
+    // NOT a left-semi probe from the eval side — a left-semi can only
+    // broadcast its right (build) side, which here is the corpus-scale
+    // train set, so it is forced through a full shuffle join at any
+    // size. The inner form is equivalent (train grams are distinct, so
+    // each eval row matches at most once) and leaves the strategy
+    // AQE-owned: at harness scale stats show the eval side tiny and the
+    // planner broadcasts it; at 100 TB (eval = 2% of corpus — NOT
+    // broadcastable) the same plan falls back to a shuffled join whose
+    // skew is bounded by gram df. No hints, no scale cliff.
+    val trainGrams = grams.filter(col("bucket") < TrainPerMille).select("g").distinct()
+    trainGrams
+      .join(grams.filter(col("bucket") >= TrainPerMille), Seq("g"))
+      .groupBy(col("doc_id"),
+        when(col("bucket") < ValPerMille, "val").otherwise("test").as("split"))
       .agg(count(lit(1)).as("n_leaked"))
       .orderBy("doc_id")
   }

@@ -260,8 +260,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // HLL registers via partial max, CMS cells via partial count
     assert(plan("hll_distinct").contains("partial_max"),
       "HLL register merge must be a partial max aggregate")
-    assert(plan("cms_heavy_hitters").contains("partial_count"),
-      "CMS cell counts must be partial count aggregates")
+    // the batch CMS builds cells as count-weighted partial sums over the
+    // vocab relation — still map-side combinable (sum merges like count)
+    assert(plan("cms_heavy_hitters").contains("partial_sum"),
+      "CMS cell counts must be partial sum aggregates")
   }
 
   test("no UDFs anywhere: every registered query plan is built-in/codegen expressions") {
