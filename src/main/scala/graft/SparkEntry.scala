@@ -31,6 +31,9 @@ object SparkEntry {
     "graft_winhash" -> (ch => graft.expressions.WindowHash(ch.head, ch(1))),
     "graft_bpe_train" -> (ch => graft.expressions.BpeTrain(ch.head, ch(1))),
     "graft_minhash" -> (ch => graft.expressions.MinHashSig(ch.head, ch(1))),
+    "graft_repstats" -> (ch => graft.expressions.RepStats(ch.head)),
+    "graft_quant" -> (ch => graft.expressions.QuantArray(ch.head, ch(1), ch(2))),
+    "graft_mulge" -> (ch => graft.expressions.MulGe(ch.head, ch(1), ch(2), ch(3))),
   )
 
   private def ensure(spark: SparkSession): Unit = {

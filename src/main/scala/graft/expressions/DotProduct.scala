@@ -110,5 +110,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (children: Seq[Expression]) => MinHashSig(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_repstats"),
+      new ExpressionInfo(classOf[RepStats].getName, "graft_repstats"),
+      (children: Seq[Expression]) => RepStats(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_quant"),
+      new ExpressionInfo(classOf[QuantArray].getName, "graft_quant"),
+      (children: Seq[Expression]) => QuantArray(children.head, children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_mulge"),
+      new ExpressionInfo(classOf[MulGe].getName, "graft_mulge"),
+      (children: Seq[Expression]) =>
+        MulGe(children.head, children(1), children(2), children(3))))
   }
 }

@@ -878,8 +878,17 @@ object Dedup {
       .filter(size(col("words")) >= SpanN)
       .select(col("doc_id"),
         posexplode(expr(s"graft_winhash(words, $SpanN)")).as(Seq("pos", "h")))
+    // pos bound is ENFORCED, not assumed: a ~2M-token doc would
+    // otherwise silently corrupt the packed key (and with it the
+    // duplicate-span groups); the doc_id bound is already ANSI-loud via
+    // multiplication overflow, so pos gets the same loudness here
     val rep = grams
-      .select(col("h"), (col("doc_id") * (1L << 21) + col("pos")).as("pk"))
+      .select(col("h"), (col("doc_id") * (1L << 21) +
+        when(col("pos") < (1L << 21), col("pos"))
+          .otherwise(raise_error(concat(
+            lit(s"graft exact_substr: token position >= 2^21 in doc_id="),
+            col("doc_id").cast("string"),
+            lit(" — split docs above 2M tokens before span detection"))))).as("pk"))
       .groupBy("h").agg(collect_list(col("pk")).as("occ"))
       .filter(size(col("occ")) >= 2)
       .observe("graft_substr_occ",

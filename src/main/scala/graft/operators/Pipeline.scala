@@ -100,26 +100,18 @@ object Pipeline {
     val docs3 = docs2.drop("text")
       .join(Dedup.chunkDedupOf(docs2.select("doc_id", "text")), "doc_id")
 
-    // -- 4a. Gopher repetition keep-filter on the cleaned text
+    // -- 4a. Gopher repetition keep-filter on the cleaned text (the
+    //        one-pass graft_repstats kernel — same fused loop as the
+    //        standalone repetition_score query)
     val docs4 = docs3
       .withColumn("words", split(col("clean_text"), " "))
       .filter(size(col("words")) >= 2)
-      .withColumn("rep_n_tokens", size(col("words")).cast("long"))
-      .withColumn("top_term_n", expr(
-        """CAST(aggregate(array_sort(words),
-          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
-          |  (acc, w) -> named_struct(
-          |    'prev', w,
-          |    'run',  IF(w <=> acc.prev, acc.run + 1L, 1L),
-          |    'best', GREATEST(acc.best, IF(w <=> acc.prev, acc.run + 1L, 1L))),
-          |  acc -> acc.best) AS BIGINT)""".stripMargin))
-      .withColumn("bigrams", expr(
-        "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i + 1]))"))
+      .withColumn("rs", expr("graft_repstats(words)"))
       .filter(
-        col("top_term_n").cast("double") / col("rep_n_tokens") <= Curation.TopTermMax &&
-        (size(col("bigrams")) - size(array_distinct(col("bigrams")))).cast("double") /
-          size(col("bigrams")) <= Curation.DupBigramMax)
-      .drop("words", "rep_n_tokens", "top_term_n", "bigrams")
+        col("rs.top_term_n").cast("double") / size(col("words")) <= Curation.TopTermMax &&
+        (col("rs.n_bigrams") - col("rs.n_distinct_bigrams")).cast("double") /
+          col("rs.n_bigrams") <= Curation.DupBigramMax)
+      .drop("words", "rs")
 
     // -- 4b. PII redaction (deterministic injected positives, audit counts)
     val docs5 = docs4

@@ -60,9 +60,8 @@ object Semantic {
     * na − 2·(q·c) + ‖c‖², one fused-loop dot per centroid instead of a
     * per-element interpreted fold. */
   private def quantShifted(vecs: DataFrame): DataFrame =
-    vecs.select(col("vec_id"), expr(
-      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT) + $QShift)")
-      .as("q"))
+    vecs.select(col("vec_id"),
+      expr(s"graft_quant(embedding, ${QScale}L, ${QShift}L)").as("q"))
       .withColumn("na", expr("graft_doti(q, q)"))
 
   /** K seed centroids: the K vectors with the smallest
@@ -79,7 +78,11 @@ object Semantic {
     * them — no shuffle, no join on the corpus. Ties break to the lowest
     * cid (the array is cid-sorted and `array_min` compares (d, cid)). */
   private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val arr = cents.agg(
+    // coalesce(1), not an exchange: cents is K rows (here 8) spread
+    // over the update-agg's shuffle partitions; the narrow merge lets
+    // the collect-to-array agg run partial+final in ONE stage instead
+    // of paying a SinglePartition exchange stage for K rows
+    val arr = cents.coalesce(1).agg(
       sort_array(collect_list(struct(col("cid"), col("c"), col("nc")))).as("cents"))
     vecs.crossJoin(broadcast(arr))
       // Σ(q−c)² expanded to na − 2·q·c + nc: all three terms exact longs,
@@ -93,27 +96,37 @@ object Semantic {
         col("best.cid").as("cid"), col("best.d").as("d"))
   }
 
-  /** Integer-mean centroid update: posexplode to (cid, pos, v), one
-    * map-side-combinable sum/count agg, floor-divide, re-pack. The
-    * shuffle carries K·Dim groups' partial sums per map task — O(1) per
-    * partition however large the corpus. */
-  private def updateCents(asg: DataFrame): DataFrame =
-    asg.select(col("cid"), posexplode(col("q")))
-      .groupBy("cid", "pos").agg(expr("sum(col) div count(1)").as("cv"))
-      .groupBy("cid")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("c"))
+  /** Integer-mean centroid update as ONE map-side-combinable hash
+    * aggregate: Dim elementwise long sums + a count per cid (the shuffle
+    * carries K·(Dim+1) partial-sum slots per map task — O(1) per
+    * partition however large the corpus), then floor-divide and re-pack.
+    * The r12 spelling posexploded to (cid, pos, v) rows — Dim× the
+    * corpus row count through two back-to-back shuffles (cid,pos then
+    * cid); the fused form computes the identical floor-divided means
+    * (`sum(q[i]) div count` ≡ the per-(cid,pos) `sum(col) div count`)
+    * with one shuffle and no row blowup. */
+  private def updateCents(asg: DataFrame): DataFrame = {
+    val sums = (0 until Dim).map(i => sum(col("q").getItem(i)).as(s"s$i"))
+    asg.groupBy("cid")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("cid"),
+        array((0 until Dim).map(i => expr(s"s$i div n")): _*).as("c"))
       .withColumn("nc", expr("graft_doti(c, c)"))
+  }
 
-  /** [[Iters]] assignment rounds over (vec_id, q, na). Multi-consumer
-    * intermediates are persisted (the quantized corpus feeds seeding +
-    * round 1; each round's assignment feeds the centroid update AND the
-    * next round) — computed once, re-read from cache; both harnesses
-    * clearCache after the consuming action. */
+  /** [[Iters]] assignment rounds over (vec_id, q, na). The quantized
+    * corpus is persisted once (it feeds seeding and every round's row
+    * path); each ROUND's assignment is consumed exactly once — only by
+    * the next centroid update — because round i+1's row input is the
+    * corpus itself (an assignment never filters or reorders its input
+    * rows, so `assign(v, ·)` and `assign(assign(v, ·) projected back,
+    * ·)` read the same relation). The r12 shape persisted every round's
+    * assignment for a second consumer that this formulation simply
+    * doesn't have — one cache materialization instead of Iters of them. */
   private def kmeans(vecs: DataFrame): DataFrame = {
     val v = vecs.persist()
     (2 to Iters).foldLeft(assign(v, initCents(v))) { (a, _) =>
-      val r = a.persist()
-      assign(r.select("vec_id", "q", "na"), updateCents(r))
+      assign(v, updateCents(a))
     }
   }
 
@@ -194,24 +207,44 @@ object Semantic {
     * LONG at 64 dims; the cross-multiplied comparison runs in
     * decimal(38,0) / int128). */
   val semdedupPrune: Q = (spark, dir) => {
-    // persisted: feeds both sides of the pair join and the final
-    // anti-join base — three consumers of one kmeans run
+    // Three consumers of one kmeans run (both sides of the pair join
+    // and the final anti-join base) share ONE materialization:
+    // `repartition(cid)` BEFORE the persist, so the cached relation is
+    // already hash-distributed on the self-join key
+    // (InMemoryTableScan preserves the cached plan's output
+    // partitioning) — the pair join adds no exchange on either side,
+    // where the r12 spelling persisted an unpartitioned relation and
+    // paid a shuffle per join input. At 100 TB the persist swaps for
+    // writing the assignment stage-table once per campaign
+    // (docs/SCALE.md); cid balance is K scaling with the corpus plus
+    // AQE skew splitting.
     val asg = kmeans(quantShifted(dupCorpus(spark, dir)))
       .withColumn("qu", expr(s"transform(q, x -> x - $QShift)"))
       .withColumn("nrm", expr("graft_doti(qu, qu)"))
       .select("vec_id", "cid", "qu", "nrm")
+      .repartition(K, col("cid"))
       .persist()
     val a = asg.select(col("cid"), col("vec_id").as("a_id"),
       col("qu").as("a_qu"), col("nrm").as("a_nrm"))
     val b = asg.select(col("cid"), col("vec_id").as("b_id"),
       col("qu").as("b_qu"), col("nrm").as("b_nrm"))
-    val dec: Column => Column = _.cast("decimal(38,0)")
+    // τ = 0.9 as an EXACT integer test with perfect-square constants:
+    // dot²·SimDen ≥ SimNum·|a|²·|b|²  ⇔  (10·dot)² ≥ (9·|a|²)·(9·|b|²)
+    // (SimDen = 10², SimNum = 9²), evaluated by the 128-bit native
+    // compare [[graft.expressions.MulGe]] — the r12 spelling ran three
+    // decimal(38,0) multiplications per candidate pair. Factor bounds:
+    // 10·dot ≤ 10·64·(10^6)² < 2^63, 9·nrm likewise — no overflow
+    // before the kernel's 128-bit products.
     val dropped = a.join(b, "cid")
       .filter(col("a_id") < col("b_id"))
       .withColumn("dot", expr("graft_doti(a_qu, b_qu)"))
       .filter(col("dot") > 0 &&
-        dec(col("dot")) * col("dot") * SimDen >= dec(lit(SimNum)) * col("a_nrm") * col("b_nrm"))
-      .select(col("b_id").as("vec_id")).distinct()
+        expr("graft_mulge(10L * dot, 10L * dot, 9L * a_nrm, 9L * b_nrm)"))
+      // no distinct: the only consumer is a LEFT ANTI join, whose
+      // semantics ignore duplicate build keys — a dedup pass here is a
+      // whole extra shuffle stage for nothing (the oracle keeps its
+      // DISTINCT: NOT IN wants it)
+      .select(col("b_id").as("vec_id"))
     asg.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cid").as("cluster"))
       .orderBy("vec_id")

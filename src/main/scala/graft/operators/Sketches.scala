@@ -302,7 +302,12 @@ object Sketches {
     val est = tpos.join(broadcast(sketch), Seq("i", "pos"))
       .groupBy("term")
       .agg(min(col("exact_count")).as("exact_count"), min(col("cnt")).as("est_count"))
-    val total = tpos.filter(col("i") === 0).agg(sum(col("exact_count")).as("n"))
+    // coalesce: on an empty corpus sum() is NULL where the occurrence
+    // spelling's count(*) was 0 — keep total ≡ count(*) structurally
+    // (NULL would null the φ-threshold filter instead of keeping it a
+    // comparison with 0)
+    val total = tpos.filter(col("i") === 0)
+      .agg(coalesce(sum(col("exact_count")), lit(0L)).as("n"))
     est.crossJoin(total)
       .filter(col("est_count") >= expr(s"n div $CmsPhiInv"))
       .select(col("term"), col("est_count"), col("exact_count"))

@@ -153,6 +153,38 @@ object TrainingMix {
   /** Leakage gram width. */
   private val LeakN = 5
 
+  /** Synthesized-leak marker: appended to every 50th train doc AND to
+    * every even-id val/test doc, so the eval docs provably share the
+    * phrase's interior [[LeakN]]-grams with the train split — the
+    * planted positive that keeps this audit's oracle check exercised
+    * (the sf* docs are unique word soup, so without it the query is
+    * vacuously 0 = 0 rows; `benchmark_contamination` and `pii_redact`
+    * synthesize their positives the same way). 10 distinct words →
+    * 10 − [[LeakN]] + 1 − [[LeakN]] + 1 = 6 interior grams per marked
+    * doc; boundary grams mix each doc's unique tail and stay unleaked,
+    * so unmarked eval docs keep exercising the negative path. */
+  private[operators] val LeakMarker =
+    "sphinx quartz vexing jackdaws blitz fjord glyph nymph wyvern zephyr"
+
+  /** The leak-planted corpus (doc_id, bucket, text): the split bucket
+    * rides along because every downstream predicate is on it. */
+  private def leakedCorpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", pmod(h60(concat(lit("split:"), col("doc_id"))), lit(1000)))
+      .withColumn("text",
+        when((col("bucket") < TrainPerMille && col("doc_id") % 50 === 0) ||
+             (col("bucket") >= TrainPerMille && col("doc_id") % 2 === 0),
+          concat(col("text"), lit(" " + LeakMarker)))
+          .otherwise(col("text")))
+  private def leakedCorpusDuck: String =
+    s"""SELECT doc_id, bucket,
+       |       CASE WHEN (bucket < $TrainPerMille AND doc_id % 50 = 0)
+       |              OR (bucket >= $TrainPerMille AND doc_id % 2 = 0)
+       |            THEN text || ' $LeakMarker' ELSE text END AS text
+       |FROM (SELECT doc_id, text,
+       |             ${h60Duck("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+       |      FROM documents)""".stripMargin
+
   /** Cross-split contamination audit: for every val/test document,
     * count its distinct [[LeakN]]-gram hashes that ALSO occur anywhere
     * in the train split — the decontamination report run before an
@@ -170,12 +202,11 @@ object TrainingMix {
     * corpus by the split rule, train-gram dedup is the only
     * corpus-scale shuffle, and nothing is ever pairwise. */
   val splitContamination: Q = (spark, dir) => {
-    // Per-doc distinct gram hashes with the split bucket still attached;
-    // the split test stays a pushable predicate on `bucket` (a
-    // deterministic projection of doc_id), which is the load-bearing
-    // trick below.
-    val grams = Tables.documents(spark, dir)
-      .withColumn("bucket", pmod(h60(concat(lit("split:"), col("doc_id"))), lit(1000)))
+    // Per-doc distinct gram hashes over the leak-planted corpus, with
+    // the split bucket still attached; the split test stays a pushable
+    // predicate on `bucket` (a deterministic projection of doc_id),
+    // which is the load-bearing trick below.
+    val grams = leakedCorpus(spark, dir)
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= LeakN)
       .select(col("doc_id"), col("bucket"),
@@ -220,9 +251,7 @@ object TrainingMix {
        |              WHEN bucket < $ValPerMille THEN 'val'
        |              ELSE 'test' END AS split,
        |         string_split(text, ' ') AS words
-       |  FROM (SELECT doc_id, text,
-       |               ${h60Duck("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
-       |        FROM documents)),
+       |  FROM ($leakedCorpusDuck)),
        |g AS (
        |  SELECT doc_id, split, unnest(list_distinct(list_transform(
        |    range(1, len(words) - ${LeakN - 2}),

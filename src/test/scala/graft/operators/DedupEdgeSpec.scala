@@ -20,6 +20,22 @@ class DedupEdgeSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("exact_substr packing fails LOUDLY past the 2^21 token-position bound") {
+    import spark.implicits._
+    // 2^21 + 16 tokens: positions past the packing bound must raise,
+    // not silently fold into a neighboring doc's key space
+    val n = (1 << 21) + 16
+    val big = Seq((7L, Array.tabulate(n)(i => "t" + (i % 64)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.substrSpansOf(big).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("2^21")),
+      s"expected the packed-pos guard, got: ${e.getMessage}")
+  }
+
   test("clusterLabelsOf on a single doc labels it with itself") {
     import spark.implicits._
     val one = Seq((42L, "just one document about spark shuffles")).toDF("doc_id", "text")

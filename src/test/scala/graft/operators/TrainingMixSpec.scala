@@ -65,4 +65,24 @@ class TrainingMixSpec extends AnyFunSuite {
       assert(kept.get(l).forall(_._1 <= n))
     }
   }
+
+  test("split_contamination: planted leak yields the golden positive rows") {
+    import spark.implicits._
+    // ids 1..300 under the split hash coin: eval docs are exactly
+    // {53 (val), 59 (val), 211 (test), 274 (val)}; only 274 is even →
+    // marked with the leak phrase, alongside 6 marked train docs
+    // (ids % 50 == 0 in the train split). Every doc's own words are
+    // globally unique, so the ONLY cross-split sharing is the marker's
+    // 6 interior 5-grams: golden expectation (274, 'val', 6), and the
+    // three unmarked eval docs exercise the negative path (no row).
+    val docs = (1 to 300).map { id =>
+      (id.toLong, (0 until 12).map(j => s"w${id}x$j").mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-leak").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = TrainingMix.splitContamination(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    assert(got == List((274L, "val", 6L)), s"got $got")
+  }
 }
