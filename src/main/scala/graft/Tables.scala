@@ -81,4 +81,54 @@ object Tables {
   def embeddingsD(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir)
       .withColumn("embedding", col("embedding").cast("array<double>"))
+
+  // ---------------------------------------------------------------------
+  // session-scoped stage tables
+  // ---------------------------------------------------------------------
+
+  // weak keys, like Sessions.metricsHooked: a stopped session's stage
+  // map must stay collectable
+  private val stageTables =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+
+  /** Session-scoped named stage table: the FIRST `stage(spark, name)`
+    * call builds and persists the relation; every later call in the
+    * same session returns the same cached DataFrame, so a campaign's
+    * shared intermediates (the MinHash signature relation, a gram
+    * table) are computed once per session however many queries consume
+    * them — the multi-query operating mode the per-query registry
+    * otherwise hides. This is the in-session model of the 100 TB
+    * pattern (docs/SCALE.md): a campaign materializes its signature /
+    * gram stage tables to reliable storage once, and every downstream
+    * query reads the stage instead of re-deriving the corpus pass.
+    *
+    * If a harness evicted the cache between queries
+    * (`spark.catalog.clearCache()` — both Bench and Verify do), the
+    * relation is RE-persisted on next access: consumers always read one
+    * materialization per post-eviction epoch, and a bench run that
+    * wiped storage honestly re-pays the build it wiped.
+    *
+    * `name` must fully key the relation's DEFINITION (include the data
+    * dir and any variant parameters): the registry returns whatever was
+    * first staged under the name, so an under-keyed name silently
+    * serves one consumer another consumer's relation.
+    */
+  def stage(spark: SparkSession, name: String)(build: => DataFrame): DataFrame = {
+    val perSession = stageTables.synchronized {
+      var m = stageTables.get(spark)
+      if (m == null) { m = scala.collection.mutable.Map.empty; stageTables.put(spark, m) }
+      m
+    }
+    perSession.synchronized {
+      val df = perSession.getOrElseUpdate(name, build.persist())
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+      df
+    }
+  }
+
+  /** Test seam: how many stage tables this session currently holds. */
+  private[graft] def stagedCount(spark: SparkSession): Int =
+    stageTables.synchronized {
+      Option(stageTables.get(spark)).map(_.size).getOrElse(0)
+    }
 }

@@ -213,8 +213,19 @@ object Dedup {
       .observe("graft_minhash_candidates", count(lit(1)).as("candidate_pairs"))
       .distinct()
   }
+  /** The SESSION-STAGED signature relation over the near-dup corpus
+    * ([[graft.Tables.stage]]): four registered queries
+    * (`minhash_lsh_candidates`, `minhash_jaccard_estimate`,
+    * `near_dup_cluster`, `dedup_resolve`) consume this one relation —
+    * in a campaign session it is computed once, not once per query.
+    * Keyed by dir: the relation is a pure function of (corpus, family
+    * constants). */
+  private def stagedSig(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.stage(spark, s"minhash_sig:$dir")(
+      minhashSigOf(withNearDupes(spark, dir)))
+
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
-    minhashPairsOf(withNearDupes(spark, dir))
+    minhashPairsFromSig(stagedSig(spark, dir))
   val minhashLshCandidates: Q = (spark, dir) =>
     minhashPairs(spark, dir).orderBy("doc_a", "doc_b")
 
@@ -263,11 +274,12 @@ object Dedup {
     * beyond the candidate generation it already shares.
     */
   val minhashJaccardEstimate: Q = (spark, dir) => {
-    val docs = withNearDupes(spark, dir)
     // the signature relation is read three ways (band buckets + both
-    // agreement sides) — materialize the shingle+agg chain ONCE; a
-    // campaign persists this as its signature table
-    val sig = minhashSigOf(docs).localCheckpoint()
+    // agreement sides) and by three sibling queries — the session
+    // stage table materializes the shingle+agg chain ONCE (lazily,
+    // with the consuming action, where the r12 localCheckpoint paid a
+    // separate eager job)
+    val sig = stagedSig(spark, dir)
     val a = sig.select(col("doc_id").as("doc_a") +:
       (0 until NumHashes).map(i => col(s"mh$i").as(s"a$i")): _*)
     val b = sig.select(col("doc_id").as("doc_b") +:
@@ -335,7 +347,8 @@ object Dedup {
     * storage at the cost of a write per iteration — the right trade for
     * a 100 TB campaign whose CC loop runs longer than the executor MTBF.
     */
-  private[operators] def clusterLabelsOf(docs: DataFrame): DataFrame = {
+  private[operators] def clusterLabelsOf(
+      docs: DataFrame, pairsIn: Option[DataFrame] = None): DataFrame = {
     val reliable = docs.sparkSession.conf
       .get("spark.graft.reliableCheckpoints", "false").toBoolean
     def cut(df: DataFrame): DataFrame =
@@ -344,8 +357,10 @@ object Dedup {
     // the materialized blocks: the union's two branches otherwise each
     // re-run the whole minhash chain (shingle → signature agg → band
     // self-join → distinct) — the single most expensive recompute in
-    // the loop's setup (≈2× the CC iterations themselves at sf0.1)
-    val pairs = cut(minhashPairsOf(docs))
+    // the loop's setup (≈2× the CC iterations themselves at sf0.1).
+    // Callers on the near-dup corpus pass pairs built from the staged
+    // signature relation so the chain is shared across sibling queries.
+    val pairs = cut(pairsIn.getOrElse(minhashPairsOf(docs)))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = cut(docs.select(col("doc_id"))
@@ -383,7 +398,8 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
   private[operators] def clusterLabels(spark: SparkSession, dir: String): DataFrame =
-    clusterLabelsOf(withNearDupes(spark, dir))
+    clusterLabelsOf(withNearDupes(spark, dir),
+      Some(minhashPairsFromSig(stagedSig(spark, dir))))
   val nearDupCluster: Q = (spark, dir) =>
     clusterLabels(spark, dir).orderBy("doc_id")
 

@@ -1,0 +1,63 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The session-stage contract ([[Tables.stage]]): one build per
+  * (session, name), shared across consumers, resilient to harness
+  * cache eviction — the in-session model of a campaign's materialized
+  * stage tables. */
+class SessionStageSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val Dir = "/root/testdata/sf0.001"
+
+  test("stage builds once per session and returns the same relation") {
+    val builds = new AtomicInteger(0)
+    def build = {
+      builds.incrementAndGet()
+      Tables.documents(spark, Dir).select("doc_id")
+    }
+    val a = Tables.stage(spark, "spec:once")(build)
+    val b = Tables.stage(spark, "spec:once")(build)
+    assert(builds.get() == 1, "second access must not rebuild")
+    assert(a eq b, "both consumers must share one DataFrame")
+    assert(a.storageLevel != StorageLevel.NONE, "stage must be persisted")
+  }
+
+  test("harness cache eviction re-persists on next access") {
+    val df = Tables.stage(spark, "spec:evict")(
+      Tables.documents(spark, Dir).select("doc_id", "lang"))
+    assert(df.count() > 0)
+    spark.catalog.clearCache() // what Bench/Verify do between queries
+    assert(df.storageLevel == StorageLevel.NONE)
+    val again = Tables.stage(spark, "spec:evict")(
+      fail("evicted stage must re-persist, not rebuild"))
+    assert(again.storageLevel != StorageLevel.NONE)
+    assert(again.count() > 0)
+  }
+
+  test("minhash family shares the staged signature relation across queries") {
+    // prime the stage through one consumer, then every sibling's
+    // ANALYZED plan must read the SAME cached relation (InMemoryRelation
+    // in the executed plan) rather than re-deriving the shingle chain
+    spark.catalog.clearCache()
+    SparkEntry.queries("minhash_lsh_candidates")(spark, Dir)
+      .write.format("noop").mode("overwrite").save()
+    val plan = SparkEntry.queries("minhash_jaccard_estimate")(spark, Dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"jaccard estimate must consume the staged signature relation:\n${plan.take(2000)}")
+    // near_dup_cluster consumes the stage during CONSTRUCTION (its CC
+    // loop checkpoints eagerly, so the returned plan is a post-cut RDD
+    // scan) — assert key reuse instead: the staged relation must
+    // already exist under the family key, not be rebuilt
+    SparkEntry.queries("near_dup_cluster")(spark, Dir).count()
+    val staged = Tables.stage(spark, s"minhash_sig:$Dir")(
+      fail("near_dup_cluster must reuse the staged signature, not rebuild it"))
+    assert(staged.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    val n = SparkEntry.queries("minhash_jaccard_estimate")(spark, Dir).count()
+    assert(n > 0)
+  }
+}
