@@ -22,7 +22,9 @@ import graft.Tables
   *    oracle's `//` agree by construction;
   *  - centroid updates are floor-divided integer means;
   *  - cosine thresholds compare `dot² · 100 ≥ 81 · |a|² · |b|²`
-  *    (τ = 0.9) in decimal/int128 — no sqrt, no doubles, no ulp risk.
+  *    (τ = 0.9) as `(10·dot)² ≥ (9·|a|²)·(9·|b|²)` in exact 128-bit
+  *    integer arithmetic ([[graft.expressions.MulGe]]) — no sqrt, no
+  *    doubles, no ulp risk, no per-pair decimal allocation.
   * Lloyd iterations are FIXED at [[Iters]] assignment rounds and the
   * oracle unrolls the same rounds, so the fixpoint question never
   * arises: both engines run the identical finite computation.

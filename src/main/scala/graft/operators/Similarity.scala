@@ -72,18 +72,22 @@ object Similarity {
   /** Plane q, component i — values like 0.123 are exact in both engines:
     * Scala's k/1000.0 and the SQL decimal literal both resolve to the
     * correctly-rounded double. */
-  private val Planes: IndexedSeq[IndexedSeq[Double]] =
-    (0 until NumTables * SigBits).map(q =>
-      (1 to Dim).map(i => (h60(s"$q,$i") % 2001 - 1000) / 1000.0))
+  private def planes(q: Int): IndexedSeq[Double] =
+    (1 to Dim).map(i => (h60(s"$q,$i") % 2001 - 1000) / 1000.0)
   private def planeLit(q: Int): String =
-    Planes(q).mkString("array(", "D, ", "D)")
+    planes(q).mkString("array(", "D, ", "D)")
   private def planeDuck(q: Int): String =
-    Planes(q).mkString("(CAST([", ", ", "] AS DOUBLE[]))")
+    planes(q).mkString("(CAST([", ", ", "] AS DOUBLE[]))")
 
-  /** SigBits-bit signature for table t: bit p = (dot(v, plane) >= 0). */
-  private def sigSql(v: String, t: Int): String =
-    (0 until SigBits).map { p =>
-      s"(CASE WHEN ${dotSql(v, planeLit(t * SigBits + p))} >= 0 THEN ${1 << p} ELSE 0 END)"
+  /** `bits`-bit signature for table t: bit p = (dot(v, plane) >= 0).
+    * `bits` defaults to [[SigBits]] (the registered-query/oracle value);
+    * the scaled variants below exist because the LSH sizing rule is
+    * bits ≈ log₂N — a corpus decade adds ~3–4 bits to hold bucket
+    * occupancy (and with it the Θ(NumTables·N²/2^bits) candidate
+    * volume) constant. */
+  private def sigSql(v: String, t: Int, bits: Int = SigBits): String =
+    (0 until bits).map { p =>
+      s"(CASE WHEN ${dotSql(v, planeLit(t * bits + p))} >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
   private def sigDuck(v: String, t: Int): String =
     (0 until SigBits).map { p =>
@@ -92,9 +96,9 @@ object Similarity {
 
   /** One row per (vector, table): (vec_id, tbl, sig) — the signature
     * relation every LSH serving path materializes. */
-  private def bucketed(v: DataFrame): DataFrame = {
+  private def bucketed(v: DataFrame, bits: Int = SigBits): DataFrame = {
     val sigs = (0 until NumTables).map(t =>
-      struct(lit(t).as("tbl"), expr(sigSql("embedding", t)).as("sig")))
+      struct(lit(t).as("tbl"), expr(sigSql("embedding", t, bits)).as("sig")))
     v.select(col("vec_id"), explode(array(sigs: _*)).as("b"))
       .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
   }
@@ -208,11 +212,18 @@ object Similarity {
     * correctness check validates bucketing + in-bucket ranking, while
     * recall/cost trade via (SigBits, NumTables) per the object Scaladoc.
     */
-  val annLshBucketTop1: Q = (spark, dir) => {
+  val annLshBucketTop1: Q = annLshTop1WithBits(SigBits)
+
+  /** The ANN query at an explicit signature width — the sizing knob a
+    * campaign turns as the corpus grows (bits ≈ log₂N; see Scaladoc and
+    * docs/SCALE.md). ScalingSpec measures the +4-bit variant on its
+    * synthesized 10× decade to demonstrate the rule holding candidate
+    * growth linear where fixed bits would go quadratic. */
+  private[graft] def annLshTop1WithBits(bits: Int): Q = (spark, dir) => {
     val all = Tables.embeddingsD(spark, dir)
       .withColumn("norm", expr(s"sqrt(${dotSql("embedding", "embedding")})"))
       .cache()
-    val bk = bucketed(all)
+    val bk = bucketed(all, bits)
     val cand = bk.select(col("vec_id").as("id_a"), col("tbl"), col("sig"))
       .join(bk.select(col("vec_id").as("id_b"), col("tbl"), col("sig")), Seq("tbl", "sig"))
       .filter(col("id_a") =!= col("id_b"))

