@@ -6,9 +6,17 @@ object Bench {
     // Warm-up: touch every table once (parquet footers, FS metadata) and
     // run one tiny query end-to-end (codegen/JIT paths), so the first
     // measured query isn't charged for session warm-up.
-    Tables.names.foreach(n => Tables.table(spark, sfDir, n).count())
-    SparkEntry.queries.get("argmax_per_group")
-      .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
+    // Warm-up failures must never zero the whole round: a broken table
+    // or query loses ITS warm-up benefit only; the per-query runner
+    // below records its own failures with the -1.0 sentinel.
+    def warm(what: String)(body: => Unit): Unit =
+      try body
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $what failed: ${e.getMessage}")
+      }
+    Tables.names.foreach(n => warm(s"count $n")(Tables.table(spark, sfDir, n).count()))
+    warm("argmax_per_group")(SparkEntry.queries.get("argmax_per_group")
+      .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save()))
     // noop sink = full evaluation of every row/column (sorts and
     // projections are NOT optimized away, unlike count()), zero I/O cost.
     // Optional args narrow the run to named queries (local iteration).

@@ -18,18 +18,33 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is INT64 TIMESTAMP(NANOS). Spark throws
-    * PARQUET_TYPE_ILLEGAL on it unless nanos are read as raw longs; we
-    * then truncate to microseconds, which matches DuckDB's
-    * `CAST(ts AS TIMESTAMP)` truncation — keeping the oracle comparable.
+  /** `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) (which
+    * Spark's reader rejects outright unless nanos are read as raw
+    * longs) and plain `timestamp[us]` with isAdjustedToUTC=false (which
+    * Spark reads as TIMESTAMP_NTZ). Branch on the SCANNED dtype so the
+    * reader survives either generation of the harness testdata:
     *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` at session
-    * construction (set by [[Sessions.builder]], used in Verify/Bench/tests)
-    * — kept out of here so query functions stay pure.
+    *   - LongType       → nanos-as-long file; truncate to micros, which
+    *                      matches DuckDB's `CAST(ts AS TIMESTAMP)`
+    *                      truncation — keeping the oracle comparable.
+    *   - TimestampNTZ   → micros file; session TZ is UTC (Sessions sets
+    *                      it), so casting to TIMESTAMP is
+    *                      value-preserving and oracle-identical.
+    *   - TimestampType  → already what every query expects; as-is.
+    *
+    * The nanos path requires `spark.sql.legacy.parquet.nanosAsLong=true`
+    * at session construction (set by [[Sessions.builder]]) — harmless on
+    * micros files, kept out of here so query functions stay pure.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
@@ -86,10 +101,21 @@ object Tables {
   // session-scoped stage tables
   // ---------------------------------------------------------------------
 
-  // weak keys, like Sessions.metricsHooked: a stopped session's stage
-  // map must stay collectable
+  // Weak keys alone would be a lie here: a DataFrame value strongly
+  // references its SparkSession, and a value→key strong path defeats
+  // WeakHashMap eviction (unlike Sessions.metricsHooked, whose value is
+  // a Boolean). Values are therefore SoftReferences — the only path
+  // keeping a stopped session reachable is soft, so the JVM clears it
+  // under memory pressure (guaranteed before OutOfMemoryError) and the
+  // weak key then evicts: the map can never hold a dead session's
+  // stage tables to OOM. While memory is healthy, soft refs survive,
+  // so same-session reuse stays deterministic; if one IS cleared, the
+  // rebuild's persist() lands on the same canonicalized plan and the
+  // CacheManager reuses the already-materialized data — compute-once
+  // survives the reference clearing.
   private val stageTables =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, java.lang.ref.SoftReference[DataFrame]]]()
 
   /** Session-scoped named stage table: the FIRST `stage(spark, name)`
     * call builds and persists the relation; every later call in the
@@ -120,15 +146,22 @@ object Tables {
       m
     }
     perSession.synchronized {
-      val df = perSession.getOrElseUpdate(name, build.persist())
+      val df = perSession.get(name).flatMap(r => Option(r.get)).getOrElse {
+        val built = build.persist()
+        perSession(name) = new java.lang.ref.SoftReference(built)
+        built
+      }
       if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
       df
     }
   }
 
-  /** Test seam: how many stage tables this session currently holds. */
+  /** Test seam: how many LIVE stage tables this session currently holds
+    * (soft-cleared entries don't count — their data may still sit in
+    * the CacheManager, but the registry no longer tracks them). */
   private[graft] def stagedCount(spark: SparkSession): Int =
     stageTables.synchronized {
-      Option(stageTables.get(spark)).map(_.size).getOrElse(0)
+      Option(stageTables.get(spark))
+        .map(_.valuesIterator.count(_.get != null)).getOrElse(0)
     }
 }

@@ -7,6 +7,19 @@ object Verify {
     val Array(sfDir, outDir, only @ _*) = args
     val spark = Sessions.get("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // Env-drift forensics: record each table's SCANNED schema in the
+    // driver log, so a regenerated-testdata round (r13 lost 30 queries
+    // to a silent events.ts dtype change) is diagnosable from the log
+    // alone. TestdataContractSpec is the failing tripwire; this is the
+    // evidence trail.
+    Tables.names.foreach { n =>
+      try System.err.println(s"[verify] schema $n: " +
+        Tables.table(spark, sfDir, n).schema.map(f =>
+          s"${f.name}:${f.dataType.simpleString}").mkString(", "))
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] schema $n: UNREADABLE ${e.getMessage}")
+      }
+    }
     val picked = // optional name filter for local iteration; driver passes none
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only.toSet).toMap
