@@ -15,8 +15,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memoized per (session, path): `spark.read.parquet` re-derives the
+    * FileIndex + schema on every call — a listing/footer JOB paid at
+    * query CONSTRUCTION, once per table per query (40 ms × hundreds
+    * across a bench/verify run). The harness testdata is immutable, so
+    * the reader relation is reused like a catalog table would be at
+    * 100 TB (a metastore table's FileIndex is shared, not re-listed per
+    * query). The returned DataFrame is an immutable logical plan —
+    * sharing one across queries is safe; transformations never mutate
+    * it. Same soft-value registry pattern as [[stage]] (see the
+    * stageTables comment for why values must be SoftReferences). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    memo(readers, spark, s"$dir/$name")(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) (which
     * Spark's reader rejects outright unless nanos are read as raw
@@ -113,9 +123,31 @@ object Tables {
   // rebuild's persist() lands on the same canonicalized plan and the
   // CacheManager reuses the already-materialized data — compute-once
   // survives the reference clearing.
-  private val stageTables =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, java.lang.ref.SoftReference[DataFrame]]]()
+  private type Registry =
+    java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, java.lang.ref.SoftReference[DataFrame]]]
+
+  private val stageTables: Registry = new Registry()
+
+  /** Memoized raw readers — no persist, just the reusable relation. */
+  private val readers: Registry = new Registry()
+
+  /** One build per (session, key), soft-held; see stageTables comment. */
+  private def memo(reg: Registry, spark: SparkSession, key: String)
+      (build: => DataFrame): DataFrame = {
+    val perSession = reg.synchronized {
+      var m = reg.get(spark)
+      if (m == null) { m = scala.collection.mutable.Map.empty; reg.put(spark, m) }
+      m
+    }
+    perSession.synchronized {
+      perSession.get(key).flatMap(r => Option(r.get)).getOrElse {
+        val built = build
+        perSession(key) = new java.lang.ref.SoftReference(built)
+        built
+      }
+    }
+  }
 
   /** Session-scoped named stage table: the FIRST `stage(spark, name)`
     * call builds and persists the relation; every later call in the
@@ -140,20 +172,9 @@ object Tables {
     * serves one consumer another consumer's relation.
     */
   def stage(spark: SparkSession, name: String)(build: => DataFrame): DataFrame = {
-    val perSession = stageTables.synchronized {
-      var m = stageTables.get(spark)
-      if (m == null) { m = scala.collection.mutable.Map.empty; stageTables.put(spark, m) }
-      m
-    }
-    perSession.synchronized {
-      val df = perSession.get(name).flatMap(r => Option(r.get)).getOrElse {
-        val built = build.persist()
-        perSession(name) = new java.lang.ref.SoftReference(built)
-        built
-      }
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
-      df
-    }
+    val df = memo(stageTables, spark, name)(build.persist())
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+    df
   }
 
   /** Test seam: how many LIVE stage tables this session currently holds

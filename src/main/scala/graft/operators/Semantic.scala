@@ -66,26 +66,37 @@ object Semantic {
       expr(s"graft_quant(embedding, ${QScale}L, ${QShift}L)").as("q"))
       .withColumn("na", expr("graft_doti(q, q)"))
 
-  /** K seed centroids: the K vectors with the smallest
-    * `md5(vec_id)` — a deterministic pseudo-random draw (same trick as
-    * the hash-coin samplers), ids 0..K-1 in md5 order. */
-  private def initCents(vecs: DataFrame): DataFrame =
+  /** K seed centroids as the one-row cents ARRAY directly: the K
+    * vectors with the smallest `md5(vec_id)` — a deterministic
+    * pseudo-random draw (same trick as the hash-coin samplers), ids
+    * 0..K-1 in md5 order (sort_array on md5-keyed structs = md5 order,
+    * array positions = cids). Building the array here skips the
+    * row_number Window's SinglePartition exchange the r13 spelling
+    * paid just to number 8 rows. */
+  private def seedArr(vecs: DataFrame): DataFrame =
     vecs.withColumn("mh", md5(col("vec_id").cast("string")))
       .orderBy("mh").limit(K)
-      .withColumn("cid", (row_number().over(Window.orderBy("mh")) - 1).cast("long"))
-      .select(col("cid"), col("q").as("c"), col("na").as("nc"))
+      .agg(sort_array(collect_list(struct(col("mh"), col("q"), col("na")))).as("seeds"))
+      .select(expr(
+        s"""transform(sequence(0, ${K - 1}), i -> named_struct(
+           |  'cid', CAST(i AS BIGINT), 'c', seeds[i].q, 'nc', seeds[i].na))"""
+          .stripMargin).as("cents"))
+
+  /** (cid, c, nc) rows → the one-row cid-sorted cents array.
+    * coalesce(1), not an exchange: cents is K rows (here 8) spread
+    * over the update-agg's shuffle partitions; the narrow merge lets
+    * the collect-to-array agg run partial+final in ONE stage instead
+    * of paying a SinglePartition exchange stage for K rows. */
+  private def centsArr(cents: DataFrame): DataFrame =
+    cents.coalesce(1).agg(
+      sort_array(collect_list(struct(col("cid"), col("c"), col("nc")))).as("cents"))
 
   /** Nearest-centroid assignment as a PURE PROJECTION: the K centroids
-    * ride along as a one-row broadcast array and each row folds over
-    * them — no shuffle, no join on the corpus. Ties break to the lowest
-    * cid (the array is cid-sorted and `array_min` compares (d, cid)). */
-  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    // coalesce(1), not an exchange: cents is K rows (here 8) spread
-    // over the update-agg's shuffle partitions; the narrow merge lets
-    // the collect-to-array agg run partial+final in ONE stage instead
-    // of paying a SinglePartition exchange stage for K rows
-    val arr = cents.coalesce(1).agg(
-      sort_array(collect_list(struct(col("cid"), col("c"), col("nc")))).as("cents"))
+    * ride along as a one-row broadcast array (`arr`: from [[seedArr]]
+    * or [[centsArr]]) and each row folds over them — no shuffle, no
+    * join on the corpus. Ties break to the lowest cid (the array is
+    * cid-sorted and `array_min` compares (d, cid)). */
+  private def assign(vecs: DataFrame, arr: DataFrame): DataFrame = {
     vecs.crossJoin(broadcast(arr))
       // Σ(q−c)² expanded to na − 2·q·c + nc: all three terms exact longs,
       // identical to the folded form, but the per-centroid cost is one
@@ -127,8 +138,8 @@ object Semantic {
     * doesn't have — one cache materialization instead of Iters of them. */
   private def kmeans(vecs: DataFrame): DataFrame = {
     val v = vecs.persist()
-    (2 to Iters).foldLeft(assign(v, initCents(v))) { (a, _) =>
-      assign(v, updateCents(a))
+    (2 to Iters).foldLeft(assign(v, seedArr(v))) { (a, _) =>
+      assign(v, centsArr(updateCents(a)))
     }
   }
 
@@ -210,22 +221,28 @@ object Semantic {
     * decimal(38,0) / int128). */
   val semdedupPrune: Q = (spark, dir) => {
     // Three consumers of one kmeans run (both sides of the pair join
-    // and the final anti-join base) share ONE materialization:
-    // `repartition(cid)` BEFORE the persist, so the cached relation is
-    // already hash-distributed on the self-join key
-    // (InMemoryTableScan preserves the cached plan's output
-    // partitioning) — the pair join adds no exchange on either side,
-    // where the r12 spelling persisted an unpartitioned relation and
-    // paid a shuffle per join input. At 100 TB the persist swaps for
-    // writing the assignment stage-table once per campaign
-    // (docs/SCALE.md); cid balance is K scaling with the corpus plus
-    // AQE skew splitting.
-    val asg = kmeans(quantShifted(dupCorpus(spark, dir)))
-      .withColumn("qu", expr(s"transform(q, x -> x - $QShift)"))
-      .withColumn("nrm", expr("graft_doti(qu, qu)"))
-      .select("vec_id", "cid", "qu", "nrm")
-      .repartition(K, col("cid"))
-      .persist()
+    // and the final anti-join base) share ONE materialization, held as
+    // a session STAGE table (like the MinHash signature): a campaign
+    // that prunes repeatedly in one session pays the Lloyd rounds
+    // once. The pre-persist `repartition(cid)` is NOT consumer
+    // co-location — Spark 4 compiles cached plans adaptively, so
+    // InMemoryTableScan reports unknown partitioning and consumers
+    // re-shuffle regardless (measured) — but it still pays for itself
+    // as the cache's COMPUTE layout: without it the relation keeps the
+    // 2-partition union-of-scans layout and every consumer's first
+    // stage runs 2-wide (measured +0.3 s at sf0.1). At 100 TB the
+    // persist swaps for writing the assignment stage-table once per
+    // campaign, cid-bucketed so downstream joins ARE co-located
+    // (docs/SCALE.md — a parquet/bucketed stage table, unlike Spark's
+    // in-memory cache, does expose its partitioning); cid balance is K
+    // scaling with the corpus plus AQE skew splitting.
+    val asg = Tables.stage(spark, s"semdedup_assign:$dir") {
+      kmeans(quantShifted(Tables.fanout(dupCorpus(spark, dir))))
+        .withColumn("qu", expr(s"transform(q, x -> x - $QShift)"))
+        .withColumn("nrm", expr("graft_doti(qu, qu)"))
+        .select("vec_id", "cid", "qu", "nrm")
+        .repartition(K, col("cid"))
+    }
     val a = asg.select(col("cid"), col("vec_id").as("a_id"),
       col("qu").as("a_qu"), col("nrm").as("a_nrm"))
     val b = asg.select(col("cid"), col("vec_id").as("b_id"),
@@ -246,8 +263,15 @@ object Semantic {
       // semantics ignore duplicate build keys — a dedup pass here is a
       // whole extra shuffle stage for nothing (the oracle keeps its
       // DISTINCT: NOT IN wants it)
-      .select(col("b_id").as("vec_id"))
-    asg.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("cid"), col("b_id").as("vec_id"))
+    // anti join on (cid, vec_id), not vec_id alone: a dropped b_id's
+    // pair lives in b's OWN cluster, so its asg row carries the same
+    // cid — the extra key changes nothing semantically but lets the
+    // cid-hash partitioning both sides already have satisfy the join's
+    // distribution (HashPartitioning(cid) clusters any (cid, …) key
+    // set): zero exchanges here, where the vec_id-only spelling
+    // re-shuffled BOTH sides of the corpus
+    asg.join(dropped, Seq("cid", "vec_id"), "left_anti")
       .select(col("vec_id"), col("cid").as("cluster"))
       .orderBy("vec_id")
   }
