@@ -84,15 +84,22 @@ object Chunking {
   val cdcChunks: Q = (spark, dir) =>
     Tables.fanout(Tables.documents(spark, dir))
       .withColumn("words", split(col("text"), " "))
-      // hoisted OUT of the lambda below: a lambda body re-evaluates its
-      // expressions per element, so inlining the kernel there would
-      // re-hash the whole doc per position (O(tokens²))
-      .withColumn("hs", expr(s"graft_winhash(words, $CdcWindow)"))
+      // The winhash array is the DIRECT input of transform, never a
+      // lambda-body reference: an alias referenced once gets inlined by
+      // CollapseProject, and an expression inside a lambda body
+      // re-evaluates per ELEMENT — the r13 spelling hoisted `hs` into
+      // its own column only to have the optimizer inline it back into
+      // `filter`'s lambda as `element_at(graft_winhash(words), p)`,
+      // re-hashing the whole doc per position: O(tokens²) md5, measured
+      // 24 s of CPU at sf0.1 for a 270k-token corpus. A HOF's input
+      // child is evaluated once per ROW wherever it ends up, so the
+      // boundary scan stays O(tokens): hs[i] ≡ window starting at
+      // token i ⇒ boundary after token p = i + W − 1 when hs[i] % M = 0
+      // (empty hs for docs shorter than W subsumes the old size guard).
       .withColumn("bnd", expr(
-        s"""CASE WHEN size(words) >= $CdcWindow THEN
-           |  filter(sequence($CdcWindow - 1, size(words) - 1),
-           |         p -> element_at(hs, p - ${CdcWindow - 1} + 1) % $CdcMod = 0)
-           |ELSE array() END""".stripMargin))
+        s"""filter(transform(graft_winhash(words, $CdcWindow),
+           |         (h, i) -> IF(h % $CdcMod = 0, i + ${CdcWindow - 1}, -1)),
+           |       p -> p != -1)""".stripMargin))
       .select(col("doc_id"), posexplode(expr(
         """filter(
           |  zip_with(concat(array(0), transform(bnd, b -> b + 1)),

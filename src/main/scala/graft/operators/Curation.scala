@@ -214,7 +214,9 @@ object Curation {
     * carries its own audit trail.
     */
   val piiRedact: Q = (spark, dir) =>
-    Tables.documents(spark, dir)
+    // fanout: two regexp_extract_all + two regexp_replace per doc —
+    // the heaviest per-row pass in the curation family (no-op at scale)
+    Tables.fanout(Tables.documents(spark, dir))
       .withColumn("text",
         when(col("doc_id") % 10 === 0,
           concat(col("text"), lit(" reach user"), col("doc_id"),

@@ -37,6 +37,8 @@ object Featurize {
     * array-lambda spelling (`transform(words, w -> md5...)`) evaluates
     * the hash interpreted per element and was ~10× slower at sf0.1. */
   private def tokenHashes(spark: SparkSession, dir: String): DataFrame =
+    // no fanout: measured neutral — the hash fold pipelines into the
+    // consumers' aggregation shuffles, which set the critical path
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), expr(s"pmod(${h60Sql("w")}, $Dim)").as("h"))

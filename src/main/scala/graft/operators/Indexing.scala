@@ -50,6 +50,10 @@ object Indexing {
     * small-file fanout: measured slower for this multi-stage family at
     * sf0.1, same task-count effect recorded in `Dedup.withExactDupes`.) */
   private def tfRel(spark: SparkSession, dir: String): DataFrame =
+    // NO fanout here: the explode feeds map-side-combinable aggregates
+    // whose shuffles dominate — measured +0.35 s at sf0.1 from the
+    // extra exchange/AQE stage, for compute that pipelines into the
+    // shuffle write anyway
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

@@ -93,7 +93,9 @@ object Scalars {
     * parsed times share a zone.
     */
   val toTimestampAmPm: Q = (spark, dir) => {
-    val ev = Tables.events(spark, dir).filter(month(col("ts")) === 1)
+    // fanout: format+parse round-trip is the dominant per-row cost;
+    // the small-file scan leaves it serial without the rebalance
+    val ev = Tables.fanout(Tables.events(spark, dir)).filter(month(col("ts")) === 1)
     // Render what the game server would show (it displays America/Chicago).
     val shown = date_format(from_utc_timestamp(col("ts"), "America/Chicago"),
       "MMM dd, hh:mm:ss a")

@@ -155,7 +155,8 @@ object TextAnalysis {
     * fingerprinting builds on at scale.
     */
   val docFingerprint: Q = (spark, dir) =>
-    Tables.documents(spark, dir)
+    // fanout: per-token md5 fold — serial on the small-file scan
+    Tables.fanout(Tables.documents(spark, dir))
       .select(col("doc_id"),
         expr("aggregate(split(text, ' '), 0L," +
           s" (acc, w) -> (acc * 31 + ${h60Sql("w")} % $Mod) % $Mod)").as("fingerprint"),
@@ -289,9 +290,17 @@ object TextAnalysis {
     val bi = Tables.documents(spark, dir)
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 2)
+      // zip_with(words, tail) rather than element_at(words, i) inside
+      // the lambda: the `words` alias inlines to `split(text)` wherever
+      // it's referenced, and a lambda-body reference re-evaluates it
+      // per ELEMENT (O(tokens²) splitting — the cdc_chunks disease,
+      // Chunking.scala). As direct HOF inputs both arrays evaluate once
+      // per row; zip_with pads the shorter side with nulls, so the one
+      // (last, null) pair is filtered — split() tokens are never null.
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(words) - 1)," +
-          " i -> struct(element_at(words, i) AS w1, element_at(words, i + 1) AS w2))")).as("b"))
+        """filter(zip_with(words, slice(words, 2, size(words)),
+          |         (a, b) -> struct(a AS w1, b AS w2)),
+          |       p -> p.w2 IS NOT NULL)""".stripMargin)).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
