@@ -325,20 +325,15 @@ object Pipeline {
         when(col("doc_id") % 40 === JunkMod, lit(JunkText)).otherwise(col("new_text")))
       .withColumn("words", split(col("qtext"), " "))
       .filter(size(col("words")) >= 2)
-      .withColumn("top_term_n", expr(
-        """CAST(aggregate(array_sort(words),
-          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
-          |  (acc, w) -> named_struct(
-          |    'prev', w,
-          |    'run',  IF(w <=> acc.prev, acc.run + 1L, 1L),
-          |    'best', GREATEST(acc.best, IF(w <=> acc.prev, acc.run + 1L, 1L))),
-          |  acc -> acc.best) AS BIGINT)""".stripMargin))
-      .withColumn("bigrams", expr(
-        "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i + 1]))"))
+      // the fused graft_repstats kernel, as in Curation.repetitionScore:
+      // the r13 spelling ran the interpreted aggregate fold + bigram
+      // transform + array_distinct per row — measured the dominant CPU
+      // of the delta stage at sf0.1 (same parity contract, same values)
+      .withColumn("rs", expr("graft_repstats(words)"))
       .filter(
-        col("top_term_n").cast("double") / size(col("words")) <= Curation.TopTermMax &&
-        (size(col("bigrams")) - size(array_distinct(col("bigrams")))).cast("double") /
-          size(col("bigrams")) <= Curation.DupBigramMax)
+        col("rs.top_term_n").cast("double") / size(col("words")) <= Curation.TopTermMax &&
+        (col("rs.n_bigrams") - col("rs.n_distinct_bigrams")).cast("double") /
+          col("rs.n_bigrams") <= Curation.DupBigramMax)
       .withColumn("ptext",
         when(col("doc_id") % 4 === 0,
           concat(col("qtext"), lit(" reach user"), col("doc_id"),
