@@ -13,6 +13,18 @@ class SessionStageSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val Dir = "/root/testdata/sf0.001"
 
+  test("table readers are memoized per (session, path)") {
+    // spark.read.parquet re-derives FileIndex+schema as a job per call;
+    // the memo returns one reader relation per table per session (the
+    // catalog-table model — see Tables.table scaladoc)
+    val a = Tables.table(spark, Dir, "documents")
+    val b = Tables.table(spark, Dir, "documents")
+    assert(a eq b, "same (session, path) must reuse one reader relation")
+    val other = Tables.table(spark, "/root/testdata/sf0.1", "documents")
+    assert(!(other eq a), "different dirs must not share a reader")
+    assert(a.count() == 500 && other.count() == 5000) // and they read the right files
+  }
+
   test("stage builds once per session and returns the same relation") {
     val builds = new AtomicInteger(0)
     def build = {
