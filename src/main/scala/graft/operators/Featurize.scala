@@ -57,9 +57,16 @@ object Featurize {
       .agg(map_from_entries(collect_list(struct(col("h"), col("cnt")))).as("m"))
       .withColumn("cnts", expr(
         s"transform(sequence(0, ${Dim - 1}), i -> coalesce(m[CAST(i AS BIGINT)], 0L))"))
+      // nnz = size(m), not a filter over cnts: counts are ≥ 1, so the
+      // map's key count IS the nonzero count — and the second reference
+      // to `m` keeps CollapseProject from inlining the
+      // map_from_entries(collect_list(…)) into the transform's lambda,
+      // where it would REBUILD the map per dense position (Dim× per
+      // doc — the loop-invariant-lambda class LambdaInvariantSpec
+      // guards; this query was its first real catch)
       .select(col("doc_id"),
         array_join(col("cnts"), ",").as("emb"),
-        expr("CAST(size(filter(cnts, c -> c > 0L)) AS BIGINT)").as("nnz"))
+        size(col("m")).cast("long").as("nnz"))
       .orderBy("doc_id")
   val hashEmbedSql: String = {
     val h = h60Duck("w")

@@ -34,7 +34,11 @@ class LambdaInvariantSpec extends AnyFunSuite {
     "split", "sort_array", "array_sort", "array_distinct",
     "regexp_extract", "regexp_extract_all", "regexp_replace",
     "aggregate", "transform", "filter", "zip_with", "array_join",
-    "concat_ws", "to_json", "from_json")
+    "concat_ws", "to_json", "from_json",
+    // array constructors/traversals: loop-invariant inside a lambda
+    // they rebuild a whole array per element
+    "sequence", "slice", "flatten", "array_repeat", "arrays_zip",
+    "map_from_entries", "array_union", "array_intersect", "array_except")
 
   private def isExpensive(e: Expression): Boolean =
     (e.getClass.getPackage != null &&
