@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-wide scale guard: NO query may plan an unbounded
+  * nested-loop or cartesian join. PlanShapeSpec spot-asserts this for
+  * the dedup/similarity family; this sweep covers every registered
+  * query, so a future operator (or a refactor that breaks an equi-join
+  * condition into a non-equi one) cannot silently reintroduce the one
+  * join strategy that cannot survive a 100 TB input.
+  *
+  * The legitimate exception is the ONE-ROW scalar attach: a global
+  * (grouping-free) aggregate — corpus count, moments, bounds arrays,
+  * centroid arrays — broadcast-crossed onto a relation. Spark plans
+  * that as BroadcastNestedLoopJoin, but the build side is guaranteed
+  * a single row by the aggregate's own semantics, so the "nested loop"
+  * is one pass over the stream side. The check therefore allows a
+  * BNLJ exactly when either side is a projection over a global
+  * aggregate (wrappers like Exchange/WholeStageCodegen stripped), and
+  * flags everything else — including every CartesianProduct.
+  */
+class NestedLoopSweepSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val Dir = "/root/testdata/sf0.001"
+
+  /** True iff this subtree trivially produces at most one row: a
+    * grouping-free aggregate, possibly under projections/exchanges/
+    * codegen wrappers (each of which preserves row count or reduces
+    * it). A join/generate/scan below the aggregate doesn't matter —
+    * the AGGREGATE is what bounds the output. */
+  private def oneRowBounded(p: SparkPlan): Boolean = p match {
+    case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+    case other =>
+      // wrappers that never increase the row count of their ONLY child
+      val passThrough = other.getClass.getSimpleName match {
+        case "ProjectExec" | "FilterExec" | "WholeStageCodegenExec" |
+             "InputAdapter" | "BroadcastExchangeExec" | "ShuffleExchangeExec" |
+             "CoalesceExec" | "SortExec" | "ColumnarToRowExec" |
+             "AQEShuffleReadExec" | "ShuffleQueryStageExec" |
+             "BroadcastQueryStageExec" | "ReusedExchangeExec" |
+             "InMemoryTableScanExec" | "TableCacheQueryStageExec" |
+             "AdaptiveSparkPlanExec" | "ResultQueryStageExec" => true
+        case _ => false
+      }
+      passThrough && other.children.size <= 1 &&
+        (other.children.headOption.exists(oneRowBounded) ||
+          // cached one-row relations: look through the cached plan
+          (other match {
+            case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+              oneRowBounded(im.relation.cachedPlan)
+            case _ => false
+          }))
+  }
+
+  /** BNLJs whose build side is bounded by CONSTRUCTION rather than by a
+    * global aggregate — each justified at its call site and in
+    * docs/SCALE.md ("No forced broadcasts on scaling join sides"):
+    *  - `cosine_topk_bruteforce`: the hinted query set is
+    *    `vec_id < NumQueries` (10 rows at any corpus size);
+    *  - `ann_ivf_topk`: `crossJoin(broadcast(cent))`, cent ≤ IvfK rows
+    *    by the stride rule (K constant in corpus size); the shared
+    *    relation plans twice (assignment + probe side).
+    * Counted, not blanket: a NEW nested loop in these queries still
+    * fails. */
+  private val BoundedByConstruction = Map(
+    "cosine_topk_bruteforce" -> 1,
+    "ann_ivf_topk" -> 2)
+
+  test("no registered query plans an unbounded nested-loop or cartesian join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, Dir).queryExecution.sparkPlan
+      val bnlj = plan.collect {
+        case j: BroadcastNestedLoopJoinExec
+            if !oneRowBounded(j.left) && !oneRowBounded(j.right) => j
+      }
+      val cartesian = plan.collect { case c: CartesianProductExec => c }
+      val allowed = BoundedByConstruction.getOrElse(name, 0)
+      (if (bnlj.size > allowed)
+        Seq(s"$name: ${bnlj.size} BroadcastNestedLoopJoin(s), $allowed allowed")
+      else Nil) ++ cartesian.map(_ => s"$name: CartesianProduct")
+    }
+    assert(offenders.isEmpty,
+      "\nUnbounded nested-loop/cartesian joins (the one join strategy that cannot" +
+        " survive a 100 TB side):\n  " + offenders.distinct.mkString("\n  ") +
+        "\n  Re-express as an equi-join (bucketed keys, band join, bounded probe set)," +
+        " bound one side with a grouping-free aggregate, or — only for a" +
+        " provably corpus-size-independent build side — extend the counted allowlist.")
+  }
+}
