@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-wide scale guard #2: an UNPARTITIONED window moves every
+  * input row to one partition and sorts it on a single thread — fine
+  * over a provably bounded relation, fatal over the corpus. The
+  * engine's three legitimate uses are prefix sums over aggregate
+  * relations whose cardinality is corpus-size-independent (or grows
+  * as √corpus), each documented in docs/SCALE.md:
+  *  - `vocab_build`: offsets over the per-count DISTINCT-count
+  *    aggregate (O(√tokens) rows by Zipf/Heaps);
+  *  - `global_row_index`: bucket offsets over the bucket-count
+  *    aggregate (fixed bucket count);
+  *  - `zorder_layout` / `pipeline_layout`: file offsets over the
+  *    Z-cell manifest (bounded cell count).
+  * Counted per query, so a NEW global window — the classic
+  * `row_number().over(Window.orderBy(...))` over a corpus relation —
+  * fails here before it ships.
+  */
+class GlobalWindowSweepSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val Dir = "/root/testdata/sf0.001"
+
+  /** query → allowed unpartitioned-window count (bounded prefix sums). */
+  private val BoundedPrefixSums = Map(
+    "vocab_build" -> 1,
+    "global_row_index" -> 1,
+    "zorder_layout" -> 1,
+    "pipeline_layout" -> 1)
+
+  test("no registered query plans an unpartitioned window over an unbounded relation") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, Dir).queryExecution.sparkPlan
+      val global = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      val allowed = BoundedPrefixSums.getOrElse(name, 0)
+      if (global.size > allowed)
+        Seq(s"$name: ${global.size} unpartitioned Window(s), $allowed allowed")
+      else Nil
+    }
+    assert(offenders.isEmpty,
+      "\nUnpartitioned windows (single-partition sort of the whole input):\n  " +
+        offenders.distinct.mkString("\n  ") +
+        "\n  Partition the window by a key, rank via a bounded-heap aggregate" +
+        " (graft_topk), or — only for a provably bounded input relation —" +
+        " extend the counted allowlist with its justification.")
+  }
+}
