@@ -1,0 +1,83 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-wide scale guard #3: building a query's DataFrame must be
+  * LAZY — a `collect`/`count`/eager checkpoint inside a query function
+  * runs corpus-scale jobs at CONSTRUCTION time, before the caller ever
+  * asks for rows, and is also how driver-side loops over data sneak
+  * in. The sweep counts Spark jobs started while each registry entry
+  * is constructed (no action invoked).
+  *
+  * Documented eager constructions are allowlisted by name with their
+  * justification; anything else that starts a job at build time fails.
+  * The allowance is `>= 0` jobs but NO LIMIT for listed queries —
+  * their loops are iteration-count-bounded by operator semantics, and
+  * pinning exact job counts would couple the spec to AQE internals.
+  */
+class ConstructionJobSweepSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val Dir = "/root/testdata/sf0.001"
+
+  /** Queries whose CONSTRUCTION legitimately runs jobs:
+    *  - the CC family (`near_dup_cluster`, `dedup_resolve`,
+    *    `corpus_pipeline`, `pipeline_layout`, `corpus_chunk_dedup` via
+    *    shared stages): the label loop materializes each round
+    *    (checkpoint lineage cut) and its round count is data-dependent
+    *    — the loop must run to know the fixpoint;
+    *  - `bpe_train_merges` / `bpe_encode` / `vocab_coverage` /
+    *    `sequence_pack`-composed pipelines that embed the trained
+    *    artifact: the merge loop picks each round's best pair with a
+    *    bounded TakeOrdered action (rounds = NumMerges, a constant);
+    *  - `ann_ivf_topk`: the IVF "training step" — one scalar count to
+    *    derive the centroid stride (every real IVF build runs it);
+    *  - `minhash_*`/`ann_lsh_*`/`semdedup_prune`/`exact_substr_*`:
+    *    stage/signature relations localCheckpoint or persist eagerly
+    *    so one materialization is shared across consumers.
+    */
+  private val EagerByDesign: Set[String] = Set(
+    "near_dup_cluster", "dedup_resolve", "corpus_pipeline",
+    "pipeline_layout", "corpus_chunk_dedup",
+    "bpe_train_merges", "bpe_encode", "vocab_coverage",
+    "ann_ivf_topk",
+    "minhash_lsh_candidates", "minhash_jaccard_estimate",
+    "ann_lsh_bucket_top1", "semdedup_prune", "ngram_jaccard_pairs",
+    "exact_substr_spans", "exact_substr_cut")
+
+  test("query construction is lazy (no jobs before the first action)") {
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    def drain(): Unit = org.apache.spark.GraftBusDrain.drain(spark.sparkContext)
+    // Warm the per-session reader memo first: the FIRST access to each
+    // table runs its one FileIndex/schema job (Tables.table scaladoc) —
+    // a once-per-session catalog cost, not a per-query eagerness bug.
+    Tables.names.foreach(n => Tables.table(spark, Dir, n))
+    drain()
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      drain()
+      jobs.set(0)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        fn(spark, Dir) // construct ONLY — no action
+        drain()
+        val n = jobs.get()
+        if (n > 0 && !EagerByDesign.contains(name))
+          Seq(s"$name: $n job(s) at construction")
+        else Nil
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      }
+    }
+    assert(offenders.isEmpty,
+      "\nQueries running Spark jobs at CONSTRUCTION time (eager action in the" +
+        " query path):\n  " + offenders.distinct.mkString("\n  ") +
+        "\n  Make the plan lazy, or — for a bounded training/fixpoint loop —" +
+        " add the query to EagerByDesign with its justification.")
+  }
+}
