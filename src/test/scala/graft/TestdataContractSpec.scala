@@ -67,13 +67,20 @@ class TestdataContractSpec extends AnyFunSuite {
     }
   }
 
-  test("testdata contract: raw events.ts dtype is a handled generation") {
-    // the adaptive reader in Tables.events handles exactly these three
-    // raw spellings; a FOURTH generation must fail here by name, not as
-    // thirty downstream analysis errors
-    val raw = Tables.table(TestSpark.spark, dir, "events").schema("ts").dataType
-    assert(Seq(LongType, TimestampNTZType, TimestampType).contains(raw),
-      s"events.ts scanned as ${raw.simpleString} — not a generation Tables.events handles; " +
-        "extend the dtype branch in Tables.scala:events")
+  // every sf the harness exercises: Verify runs sf0.01, Bench sf0.1 —
+  // a regeneration that changed only ONE sf's dtype would pass a
+  // single-dir check and still break a gate
+  for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+    test(s"testdata contract: raw events.ts dtype is a handled generation ($sfDir)") {
+      // the adaptive reader in Tables.events handles exactly these three
+      // raw spellings; a FOURTH generation must fail here by name, not as
+      // thirty downstream analysis errors
+      val raw = Tables.table(TestSpark.spark, sfDir, "events").schema("ts").dataType
+      assert(Seq(LongType, TimestampNTZType, TimestampType).contains(raw),
+        s"events.ts scanned as ${raw.simpleString} — not a generation Tables.events handles; " +
+          "extend the dtype branch in Tables.scala:events")
+      assert(Tables.events(TestSpark.spark, sfDir).schema("ts").dataType == TimestampType,
+        "Tables.events must normalize ts to TIMESTAMP for every sf")
+    }
   }
 }
