@@ -14,9 +14,11 @@ object Sessions {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS); read nanos as raw longs
-      // (Tables.events truncates to micros). Session-level so query
-      // functions stay pure.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some
+      // testdata generations; read nanos as raw longs so the scan never
+      // throws (Tables.events branches on the scanned dtype and repairs
+      // to TIMESTAMP). Harmless on micros-typed generations.
+      // Session-level so query functions stay pure.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // ObjectHashAggregate (collect_list/typed-imperative aggs: the
