@@ -8,10 +8,12 @@ object Bench {
     // measured query isn't charged for session warm-up.
     // Warm-up failures must never zero the whole round: a broken table
     // or query loses ITS warm-up benefit only; the per-query runner
-    // below records its own failures with the -1.0 sentinel.
+    // below records its own failures with the -1.0 sentinel. NonFatal
+    // only — an OutOfMemoryError/LinkageError here means the JVM is
+    // already corrupted, and measuring in it would record garbage.
     def warm(what: String)(body: => Unit): Unit =
       try body
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warm-up $what failed: ${e.getMessage}")
       }
     Tables.names.foreach(n => warm(s"count $n")(Tables.table(spark, sfDir, n).count()))
@@ -98,6 +100,18 @@ object Bench {
     java.nio.file.Files.write(out,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     System.err.println(s"[bench] wrote $out")
+    // Durable in-repo copy: the driver's log-tail capture truncates the
+    // full per-query line (r14 lost the first ~55 entries of the
+    // committed record), so the committed history must not depend on
+    // stdout at all. Full-registry runs only — a narrowed local
+    // iteration run must not overwrite the last complete record.
+    if (args.isEmpty) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
+      }
+    }
     println(compact) // keep LAST on stdout (Spark logs go to stderr)
     spark.stop()
   }

@@ -34,6 +34,7 @@ object SparkEntry {
     "graft_repstats" -> (ch => graft.expressions.RepStats(ch.head)),
     "graft_quant" -> (ch => graft.expressions.QuantArray(ch.head, ch(1), ch(2))),
     "graft_mulge" -> (ch => graft.expressions.MulGe(ch.head, ch(1), ch(2), ch(3))),
+    "graft_semdedup_keep" -> (ch => graft.expressions.SemDedupKeep(ch.head)),
   )
 
   private def ensure(spark: SparkSession): Unit = {

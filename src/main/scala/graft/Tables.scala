@@ -177,6 +177,30 @@ object Tables {
     df
   }
 
+  /** Recovery seam for long-lived ad-hoc sessions: drop this session's
+    * memoized readers and stage tables so the next access re-derives
+    * FileIndex/schema and re-builds stages. The memo serves STALE file
+    * listings if the underlying parquet is replaced while a session is
+    * alive (the harness testdata contract says it never is, but nothing
+    * enforces that for arbitrary callers); this is the documented way
+    * out short of a session restart. Staged relations are unpersisted
+    * so the CacheManager doesn't keep serving the old data under the
+    * same canonicalized plan. */
+  private[graft] def invalidate(spark: SparkSession): Unit = {
+    stageTables.synchronized {
+      Option(stageTables.get(spark)).foreach { m =>
+        m.valuesIterator.flatMap(r => Option(r.get)).foreach { df =>
+          try df.unpersist()
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        m.clear()
+      }
+    }
+    readers.synchronized {
+      Option(readers.get(spark)).foreach(_.clear())
+    }
+  }
+
   /** Test seam: how many LIVE stage tables this session currently holds
     * (soft-cleared entries don't count — their data may still sit in
     * the CacheManager, but the registry no longer tracks them). */

@@ -16,7 +16,7 @@ object Verify {
       try System.err.println(s"[verify] schema $n: " +
         Tables.table(spark, sfDir, n).schema.map(f =>
           s"${f.name}:${f.dataType.simpleString}").mkString(", "))
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] schema $n: UNREADABLE ${e.getMessage}")
       }
     }

@@ -119,6 +119,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[QuantArray].getName, "graft_quant"),
       (children: Seq[Expression]) => QuantArray(children.head, children(1), children(2))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_semdedup_keep"),
+      new ExpressionInfo(classOf[SemDedupKeep].getName, "graft_semdedup_keep"),
+      (children: Seq[Expression]) => SemDedupKeep(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_mulge"),
       new ExpressionInfo(classOf[MulGe].getName, "graft_mulge"),
       (children: Seq[Expression]) =>

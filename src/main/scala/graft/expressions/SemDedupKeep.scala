@@ -1,0 +1,106 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Per-cluster SemDeDup prune in ONE pass (Abbas et al. 2023,
+  * arXiv:2303.09540): given a cluster's members as
+  * `array<struct<vec_id bigint, qu array<bigint>, nrm bigint>>`,
+  * return the ascending vec_ids that SURVIVE pruning — a member is
+  * dropped iff ANY earlier-id member of the same cluster (dropped or
+  * not, exactly like the pair-join spelling) has cosine ≥ τ with it.
+  *
+  * The τ = 0.9 test is the same exact integer comparison the join
+  * spelling ran per candidate pair: dot > 0 and
+  * (10·dot)² ≥ (9·|a|²)·(9·|b|²) in 128-bit arithmetic
+  * ([[MulGe.compute]] — shared, so the two spellings cannot diverge).
+  *
+  * Why a kernel instead of the self-join + anti-join: the pairwise
+  * work is IDENTICAL (cluster-bounded, N²/K candidates — the kernel
+  * even does less via the per-member early exit), but the relational
+  * spelling costs two shuffles and ~5 adaptive query stages whose
+  * per-stage driver re-planning dominated the measured wall time at
+  * small scale. Here the whole prune is: one hash aggregate keyed by
+  * cid (map-side combinable collect_list) → this projection → done.
+  *
+  * Memory contract: one cluster's vectors are materialized per group
+  * (m·Dim longs). That is the SemDeDup design point — K grows with the
+  * corpus precisely so cluster sizes stay bounded (50k clusters for
+  * LAION in the paper) — and the same bound the join spelling's
+  * per-key hash build already implied. Inputs are materialized into
+  * primitive arrays once, so the O(m²/2·Dim) inner loop runs on flat
+  * longs, not ArrayData accessors.
+  *
+  * Evaluated once per CLUSTER (K rows per query), so codegen would buy
+  * nothing: CodegenFallback is deliberate.
+  */
+case class SemDedupKeep(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(StructType(Array(a, b, c)), _) =>
+      a.dataType == LongType &&
+        b.dataType.isInstanceOf[ArrayType] &&
+        b.dataType.asInstanceOf[ArrayType].elementType == LongType &&
+        c.dataType == LongType
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_semdedup_keep requires array<struct<bigint, array<bigint>, bigint>>, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_semdedup_keep"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val ids = new Array[Long](m)
+    val qus = new Array[Array[Long]](m)
+    val nrms = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val row = arr.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      qus(i) = row.getArray(1).toLongArray()
+      nrms(i) = row.getLong(2)
+      i += 1
+    }
+    // ascending vec_id defines "earlier": collect_list order is
+    // arbitrary, so sort an index permutation here (deterministic
+    // regardless of shuffle arrival order; vec_ids are distinct)
+    val order = (0 until m).sortBy(ids(_)).toArray
+    val kept = Array.newBuilder[Long]
+    var jj = 0
+    while (jj < m) {
+      val j = order(jj)
+      val qj = qus(j)
+      var ii = 0
+      var drop = false
+      while (ii < jj && !drop) {
+        val a = order(ii)
+        val qa = qus(a)
+        val n = math.min(qa.length, qj.length)
+        var dot = 0L
+        var k = 0
+        while (k < n) { dot += qa(k) * qj(k); k += 1 }
+        if (dot > 0 && MulGe.compute(10L * dot, 10L * dot, 9L * nrms(a), 9L * nrms(j)))
+          drop = true
+        ii += 1
+      }
+      if (!drop) kept += ids(j)
+      jj += 1
+    }
+    new GenericArrayData(kept.result())
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SemDedupKeep =
+    copy(child = newChild)
+}

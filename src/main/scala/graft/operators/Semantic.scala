@@ -66,45 +66,27 @@ object Semantic {
       expr(s"graft_quant(embedding, ${QScale}L, ${QShift}L)").as("q"))
       .withColumn("na", expr("graft_doti(q, q)"))
 
-  /** K seed centroids as the one-row cents ARRAY directly: the K
-    * vectors with the smallest `md5(vec_id)` — a deterministic
-    * pseudo-random draw (same trick as the hash-coin samplers), ids
-    * 0..K-1 in md5 order (sort_array on md5-keyed structs = md5 order,
-    * array positions = cids). Building the array here skips the
-    * row_number Window's SinglePartition exchange the r13 spelling
-    * paid just to number 8 rows. */
-  private def seedArr(vecs: DataFrame): DataFrame =
-    vecs.withColumn("mh", md5(col("vec_id").cast("string")))
-      .orderBy("mh").limit(K)
-      .agg(sort_array(collect_list(struct(col("mh"), col("q"), col("na")))).as("seeds"))
-      .select(expr(
-        s"""transform(sequence(0, ${K - 1}), i -> named_struct(
-           |  'cid', CAST(i AS BIGINT), 'c', seeds[i].q, 'nc', seeds[i].na))"""
-          .stripMargin).as("cents"))
-
-  /** (cid, c, nc) rows → the one-row cid-sorted cents array.
-    * coalesce(1), not an exchange: cents is K rows (here 8) spread
-    * over the update-agg's shuffle partitions; the narrow merge lets
-    * the collect-to-array agg run partial+final in ONE stage instead
-    * of paying a SinglePartition exchange stage for K rows. */
-  private def centsArr(cents: DataFrame): DataFrame =
-    cents.coalesce(1).agg(
-      sort_array(collect_list(struct(col("cid"), col("c"), col("nc")))).as("cents"))
-
   /** Nearest-centroid assignment as a PURE PROJECTION: the K centroids
-    * ride along as a one-row broadcast array (`arr`: from [[seedArr]]
-    * or [[centsArr]]) and each row folds over them — no shuffle, no
-    * join on the corpus. Ties break to the lowest cid (the array is
-    * cid-sorted and `array_min` compares (d, cid)). */
-  private def assign(vecs: DataFrame, arr: DataFrame): DataFrame = {
-    vecs.crossJoin(broadcast(arr))
-      // Σ(q−c)² expanded to na − 2·q·c + nc: all three terms exact longs,
-      // identical to the folded form, but the per-centroid cost is one
-      // codegen'd graft_doti loop instead of an interpreted element fold
-      .withColumn("best", expr(
-        """array_min(transform(cents, cc -> named_struct(
-          |  'd', na - 2L * graft_doti(q, cc.c) + cc.nc,
-          |  'cid', cc.cid)))""".stripMargin))
+    * are driver-held constants, so each centroid's squared distance is
+    * its own TOP-LEVEL column — `na − 2·graft_doti(q, <literal array>)
+    * + nc` — evaluated by the kernel's generated code inside the
+    * whole-stage span. (The r14 spelling folded over a centroid ARRAY
+    * column inside a `transform` lambda; higher-order lambdas evaluate
+    * interpreted, and the K·Dim interpreted multiplies per row were
+    * what forced the small-file `fanout` exchange this shape no longer
+    * needs.) No shuffle, no join, no broadcast. Ties break to the
+    * lowest cid (`array_min` compares (d, cid); the K-element struct
+    * array is cid-ordered, and all the arithmetic below it is codegen). */
+  private def assign(vecs: DataFrame, cents: Seq[(Long, Seq[Long], Long)]): DataFrame = {
+    // Σ(q−c)² expanded to na − 2·q·c + nc: all three terms exact longs,
+    // identical to the folded form
+    val ds = cents.sortBy(_._1).map { case (cid, c, nc) =>
+      struct(
+        (col("na") - lit(2L) * expr(s"graft_doti(q, array(${c.map(v => s"${v}L").mkString(",")}))")
+          + lit(nc)).as("d"),
+        lit(cid).as("cid"))
+    }
+    vecs.withColumn("best", array_min(array(ds: _*)))
       .select(col("vec_id"), col("q"), col("na"),
         col("best.cid").as("cid"), col("best.d").as("d"))
   }
@@ -127,20 +109,37 @@ object Semantic {
       .withColumn("nc", expr("graft_doti(c, c)"))
   }
 
-  /** [[Iters]] assignment rounds over (vec_id, q, na). The quantized
-    * corpus is persisted once (it feeds seeding and every round's row
-    * path); each ROUND's assignment is consumed exactly once — only by
-    * the next centroid update — because round i+1's row input is the
-    * corpus itself (an assignment never filters or reorders its input
-    * rows, so `assign(v, ·)` and `assign(assign(v, ·) projected back,
-    * ·)` read the same relation). The r12 shape persisted every round's
-    * assignment for a second consumer that this formulation simply
-    * doesn't have — one cache materialization instead of Iters of them. */
+  /** [[Iters]] assignment rounds over (vec_id, q, na), with centroids
+    * COLLECTED to the driver between rounds — the Lloyd-loop shape
+    * Spark's own MLlib KMeans uses (`runAlgorithmWithWeight` collects
+    * each round's cluster sums): the per-round state is K·Dim longs, a
+    * few KiB at any corpus size, so shipping it through the driver is
+    * O(1) while the per-row work stays fully distributed. Each round is
+    * then ONE job (the update shuffle + its K-row collect) instead of
+    * the r14 broadcast-subtree cascade — seed limit job, per-round
+    * broadcast materializations, and the final coalesce(1) agg each
+    * scheduled separately (18 jobs/19 stages at sf0.1; the job
+    * CONSTANTS, not compute, dominated the measured 1.4 s).
+    *
+    * Seeding: the K vectors with the smallest `md5(vec_id)` — a
+    * deterministic pseudo-random draw (same trick as the hash-coin
+    * samplers), cids 0..K-1 in md5 order via TakeOrdered. A corpus
+    * with fewer than K vectors yields fewer seeds — and fewer
+    * centroids, exactly like the oracle's `LIMIT K` (the r14 spelling
+    * padded to K with null structs and corrupted degenerate inputs).
+    *
+    * The quantized corpus is persisted once: it feeds the seed draw,
+    * each round's update aggregate, and the final assignment. */
   private def kmeans(vecs: DataFrame): DataFrame = {
     val v = vecs.persist()
-    (2 to Iters).foldLeft(assign(v, seedArr(v))) { (a, _) =>
-      assign(v, centsArr(updateCents(a)))
+    val seeds = v.withColumn("mh", md5(col("vec_id").cast("string")))
+      .orderBy("mh").limit(K).select("q", "na").collect().toSeq
+      .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](0), r.getLong(1)) }
+    val cents = (2 to Iters).foldLeft(seeds) { (cs, _) =>
+      updateCents(assign(v, cs)).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
     }
+    assign(v, cents)
   }
 
   /** The same rounds as DuckDB CTEs over `rel(vec_id, embedding)`
@@ -220,59 +219,36 @@ object Semantic {
     * LONG at 64 dims; the cross-multiplied comparison runs in
     * decimal(38,0) / int128). */
   val semdedupPrune: Q = (spark, dir) => {
-    // Three consumers of one kmeans run (both sides of the pair join
-    // and the final anti-join base) share ONE materialization, held as
-    // a session STAGE table (like the MinHash signature): a campaign
-    // that prunes repeatedly in one session pays the Lloyd rounds
-    // once. The pre-persist `repartition(cid)` is NOT consumer
-    // co-location — Spark 4 compiles cached plans adaptively, so
-    // InMemoryTableScan reports unknown partitioning and consumers
-    // re-shuffle regardless (measured) — but it still pays for itself
-    // as the cache's COMPUTE layout: without it the relation keeps the
-    // 2-partition union-of-scans layout and every consumer's first
-    // stage runs 2-wide (measured +0.3 s at sf0.1). At 100 TB the
-    // persist swaps for writing the assignment stage-table once per
-    // campaign, cid-bucketed so downstream joins ARE co-located
-    // (docs/SCALE.md — a parquet/bucketed stage table, unlike Spark's
-    // in-memory cache, does expose its partitioning); cid balance is K
-    // scaling with the corpus plus AQE skew splitting.
-    val asg = Tables.stage(spark, s"semdedup_assign:$dir") {
-      kmeans(quantShifted(Tables.fanout(dupCorpus(spark, dir))))
-        .withColumn("qu", expr(s"transform(q, x -> x - $QShift)"))
-        .withColumn("nrm", expr("graft_doti(qu, qu)"))
-        .select("vec_id", "cid", "qu", "nrm")
-        .repartition(K, col("cid"))
-    }
-    val a = asg.select(col("cid"), col("vec_id").as("a_id"),
-      col("qu").as("a_qu"), col("nrm").as("a_nrm"))
-    val b = asg.select(col("cid"), col("vec_id").as("b_id"),
-      col("qu").as("b_qu"), col("nrm").as("b_nrm"))
-    // τ = 0.9 as an EXACT integer test with perfect-square constants:
-    // dot²·SimDen ≥ SimNum·|a|²·|b|²  ⇔  (10·dot)² ≥ (9·|a|²)·(9·|b|²)
-    // (SimDen = 10², SimNum = 9²), evaluated by the 128-bit native
-    // compare [[graft.expressions.MulGe]] — the r12 spelling ran three
-    // decimal(38,0) multiplications per candidate pair. Factor bounds:
-    // 10·dot ≤ 10·64·(10^6)² < 2^63, 9·nrm likewise — no overflow
-    // before the kernel's 128-bit products.
-    val dropped = a.join(b, "cid")
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("dot", expr("graft_doti(a_qu, b_qu)"))
-      .filter(col("dot") > 0 &&
-        expr("graft_mulge(10L * dot, 10L * dot, 9L * a_nrm, 9L * b_nrm)"))
-      // no distinct: the only consumer is a LEFT ANTI join, whose
-      // semantics ignore duplicate build keys — a dedup pass here is a
-      // whole extra shuffle stage for nothing (the oracle keeps its
-      // DISTINCT: NOT IN wants it)
-      .select(col("cid"), col("b_id").as("vec_id"))
-    // anti join on (cid, vec_id), not vec_id alone: a dropped b_id's
-    // pair lives in b's OWN cluster, so its asg row carries the same
-    // cid — the extra key changes nothing semantically but lets the
-    // cid-hash partitioning both sides already have satisfy the join's
-    // distribution (HashPartitioning(cid) clusters any (cid, …) key
-    // set): zero exchanges here, where the vec_id-only spelling
-    // re-shuffled BOTH sides of the corpus
-    asg.join(dropped, Seq("cid", "vec_id"), "left_anti")
-      .select(col("vec_id"), col("cid").as("cluster"))
+    // Assignment + prune FUSED into one pass over the per-cluster
+    // relation: group each cluster's members (one map-side-combinable
+    // hash aggregate on cid — the query's only shuffle) and run the
+    // whole pairwise prune inside [[graft.expressions.SemDedupKeep]],
+    // which applies the identical exact integer τ-test per candidate
+    // pair ([[graft.expressions.MulGe.compute]], shared code) with an
+    // early exit per member. The r14 self-join + anti-join spelling
+    // did the same N²/K candidate work but paid two corpus shuffles
+    // and ~5 adaptive stages whose per-stage driver re-planning
+    // dominated wall time at sf0.1 (measured: ~50% of elapsed was
+    // inter-job driver gaps). Candidate volume is unchanged —
+    // cluster-bounded by K scaling with the corpus, which also bounds
+    // the per-group state the collect_list materializes (the SemDeDup
+    // design point: cluster sizes stay ~constant as N grows).
+    //
+    // No persist and no stage table: the assignment has exactly ONE
+    // consumer now, and the driver-collected centroids are baked into
+    // the plan as literals at build time, so a cross-query memo would
+    // let a cache-wiping harness's second run skip the Lloyd rounds it
+    // claims to measure. At 100 TB the assignment is still worth a
+    // campaign stage table written once and cid-bucketed
+    // (docs/SCALE.md); this query prices the single-campaign path.
+    kmeans(quantShifted(dupCorpus(spark, dir)))
+      .withColumn("qu", expr(s"transform(q, x -> x - $QShift)"))
+      .withColumn("nrm", expr("graft_doti(qu, qu)"))
+      .groupBy("cid")
+      .agg(collect_list(struct(col("vec_id"), col("qu"), col("nrm"))).as("members"))
+      .select(col("cid").as("cluster"),
+        explode(expr("graft_semdedup_keep(members)")).as("vec_id"))
+      .select("vec_id", "cluster")
       .orderBy("vec_id")
   }
   val semdedupPruneSql: String =

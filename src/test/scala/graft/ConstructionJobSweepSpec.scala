@@ -33,6 +33,10 @@ class ConstructionJobSweepSpec extends AnyFunSuite {
     *    bounded TakeOrdered action (rounds = NumMerges, a constant);
     *  - `ann_ivf_topk`: the IVF "training step" — one scalar count to
     *    derive the centroid stride (every real IVF build runs it);
+    *  - `kmeans_assign` / `semdedup_prune`: the Lloyd loop collects
+    *    K·Dim centroid longs per round (MLlib's own KMeans shape) —
+    *    rounds = Iters, a constant; per-round state is KiB-sized at any
+    *    corpus size;
     *  - `minhash_*`/`ann_lsh_*`/`semdedup_prune`/`exact_substr_*`:
     *    stage/signature relations localCheckpoint or persist eagerly
     *    so one materialization is shared across consumers.
@@ -41,7 +45,7 @@ class ConstructionJobSweepSpec extends AnyFunSuite {
     "near_dup_cluster", "dedup_resolve", "corpus_pipeline",
     "pipeline_layout", "corpus_chunk_dedup",
     "bpe_train_merges", "bpe_encode", "vocab_coverage",
-    "ann_ivf_topk",
+    "ann_ivf_topk", "kmeans_assign",
     "minhash_lsh_candidates", "minhash_jaccard_estimate",
     "ann_lsh_bucket_top1", "semdedup_prune", "ngram_jaccard_pairs",
     "exact_substr_spans", "exact_substr_cut")
@@ -60,6 +64,13 @@ class ConstructionJobSweepSpec extends AnyFunSuite {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       drain()
       jobs.set(0)
+      // Cleanup is scoped to storage THIS construction creates (diff of
+      // persistent RDD ids before/after): the shared TestSpark session
+      // may hold sibling specs' caches, and a blanket clearCache here
+      // would drop them mid-run — order-dependent behavior in whichever
+      // spec runs next. Storage accumulated across the sweep itself is
+      // what the per-query unpersist bounds.
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       spark.sparkContext.addSparkListener(listener)
       try {
         fn(spark, Dir) // construct ONLY — no action
@@ -70,8 +81,9 @@ class ConstructionJobSweepSpec extends AnyFunSuite {
         else Nil
       } finally {
         spark.sparkContext.removeSparkListener(listener)
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        spark.sparkContext.getPersistentRDDs
+          .filter { case (id, _) => !before.contains(id) }
+          .values.foreach(_.unpersist(true))
       }
     }
     assert(offenders.isEmpty,

@@ -38,9 +38,13 @@ class SemanticSpec extends AnyFunSuite {
       .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
     assert(!p.contains("CartesianProduct"),
       s"no unconditioned all-pairs join anywhere in the plan:\n$p")
-    val equiOnCid = p.linesIterator.exists(l =>
-      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
-        l.contains("BroadcastHashJoin")) && l.contains("cid#"))
-    assert(equiOnCid, s"the pairwise search must equi-join on the cluster id:\n$p")
+    // the pairwise prune runs inside the per-cluster kernel, fed by an
+    // aggregate KEYED on the cluster id — candidates stay N²/K by plan
+    // shape, never corpus-wide
+    assert(p.contains("graft_semdedup_keep"),
+      s"the prune must run in the fused per-cluster kernel:\n$p")
+    val groupedOnCid = p.linesIterator.exists(l =>
+      l.contains("Aggregate") && l.contains("keys=[cid#"))
+    assert(groupedOnCid, s"the member grouping must key on the cluster id:\n$p")
   }
 }
