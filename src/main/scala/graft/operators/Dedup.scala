@@ -774,28 +774,54 @@ object Dedup {
     * (doc_id, n_chunks, n_removed, clean_text), one row per input doc —
     * shared by `corpus_chunk_dedup` and the composed `corpus_pipeline`. */
   private[operators] def chunkDedupOf(input: DataFrame): DataFrame = {
+    // token count WITHOUT materializing the split: for a single-space
+    // separator with trailing empties kept (Spark split limit -1 and
+    // DuckDB string_split agree), size(split(text,' ')) ≡ #spaces+1 —
+    // two codegen'd string passes, no token-array allocation
     val docs = input
       .withColumn("words", split(col("text"), " "))
-      .withColumn("n_chunks", expr(s"CAST(size(words) div $ChunkW AS BIGINT)"))
-    val chunks = docs.filter(col("n_chunks") > 0)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, CAST(n_chunks AS INT) - 1), " +
-          s"i -> struct(CAST(i AS BIGINT) AS idx, " +
-          s"concat_ws(' ', slice(words, i * $ChunkW + 1, $ChunkW)) AS chunk))")).as("c"))
-      .select(col("doc_id"), col("c.idx").as("idx"), col("c.chunk").as("chunk"))
-    val common = chunks.groupBy("chunk").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select("chunk")
-    val kept = chunks.join(common, Seq("chunk"), "left_anti")
-    val rebuilt = kept.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(expr(
-          "transform(sort_array(collect_list(struct(idx, chunk))), s -> s.chunk)"),
-          " ").as("clean_text"))
-    docs.select(col("doc_id"), col("n_chunks"))
-      .join(rebuilt, Seq("doc_id"), "left")
+      .withColumn("n_chunks", expr(
+        s"CAST((length(text) - length(translate(text, ' ', '')) + 1) div $ChunkW AS BIGINT)"))
+    // ONE exploded relation carries every doc: chunk rows for chunked
+    // docs, a single null-chunk row (explode_outer of the null guard)
+    // for docs under one chunk — so the REBUILD aggregate below covers
+    // all docs and the r14 final docs⋈rebuilt join (with its broadcast
+    // build and coalesce patch-up) disappears from the plan entirely.
+    // Persisted: it feeds the corpus-wide df aggregate and the flag
+    // join — without the cache the full segmentation runs twice
+    // (measured ~half the query at sf0.1). Cache lifecycle belongs to
+    // the consuming action, same contract as corpus_pipeline's
+    // persisted stages. At 100 TB this is the chunk stage table a
+    // campaign writes once (docs/SCALE.md).
+    val chunks = docs
+      .select(col("doc_id"), col("n_chunks"), explode_outer(expr(
+        s"""CASE WHEN n_chunks > 0 THEN
+           |  transform(sequence(0, CAST(n_chunks AS INT) - 1),
+           |    i -> struct(CAST(i AS BIGINT) AS idx,
+           |                concat_ws(' ', slice(words, i * $ChunkW + 1, $ChunkW)) AS chunk))
+           |END""".stripMargin)).as("c"))
       .select(col("doc_id"), col("n_chunks"),
-        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        col("c.idx").as("idx"), col("c.chunk").as("chunk"))
+      .persist()
+    val common = chunks.filter(col("chunk").isNotNull)
+      .groupBy("chunk").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("chunk").as("cchunk"))
+    // LEFT join against the (small, AQE-broadcast) common set instead
+    // of an anti join: the rebuild aggregate then computes kept counts
+    // AND the cleaned text in the same grouped pass — common chunks
+    // contribute nothing (CASE → null, and collect_list/count skip
+    // nulls), null-chunk rows keep their doc in the group
+    chunks.join(common, col("chunk") === col("cchunk"), "left")
+      .groupBy("doc_id")
+      .agg(max(col("n_chunks")).as("n_chunks"),
+        count(when(col("cchunk").isNull && col("chunk").isNotNull, 1)).as("n_kept"),
+        array_join(expr(
+          """transform(sort_array(collect_list(
+            |  CASE WHEN cchunk IS NULL AND chunk IS NOT NULL
+            |       THEN struct(idx, chunk) END)), s -> s.chunk)""".stripMargin),
+          " ").as("clean_text"))
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - col("n_kept")).as("n_removed"), col("clean_text"))
   }
   val corpusChunkDedup: Q = (spark, dir) =>
     // no fanout: measured +0.45 s at sf0.1 — the chunk df aggregate and

@@ -280,11 +280,17 @@ object TextAnalysis {
     * never-seen-in-corpus transitions scores ~0, formulaic text scores
     * high), deterministic across engines.
     *
-    * Plan: bigram explode (lag via the token index, no self-join) →
-    * count aggregate for the model (vocab²-bounded, Zipf-sparse) →
-    * occurrence⋈model join (AQE-owned side choice) → per-doc mean. Two
-    * shuffles past the model build; the model relation is what a real
-    * deployment broadcasts after training it once.
+    * Plan: ONE bigram explode (lag via zip_with, no self-join),
+    * persisted — it feeds the model count and the scoring join. The
+    * unigram context count c₁ is ROLLED UP from the bigram count
+    * (c₁(w₁) = Σ_{w₂} c₂(w₁,w₂), exactly the occurrences-as-first-word
+    * count the direct aggregate computed): the rollup aggregates the
+    * vocab²-bounded, Zipf-sparse model relation instead of re-counting
+    * the corpus — one corpus-sized explode+shuffle fewer than the r14
+    * spelling. The two counts then FUSE into one model relation
+    * carrying the pre-divided p, so the corpus joins the model once,
+    * not twice (AQE owns the side choice; a real deployment broadcasts
+    * the trained model).
     */
   val bigramLmScore: Q = (spark, dir) => {
     val bi = Tables.documents(spark, dir)
@@ -302,10 +308,18 @@ object TextAnalysis {
           |         (a, b) -> struct(a AS w1, b AS w2)),
           |       p -> p.w2 IS NOT NULL)""".stripMargin)).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist()
+    // c₁ as a w₁-partitioned window sum over the model relation itself:
+    // a separate c₁ aggregate + equi-join produces TWO copies of the c₂
+    // subtree in the physical plan (the join pushes different
+    // non-null filters into each, defeating exchange reuse — measured:
+    // both corpus-fed aggregates ran). The window spelling builds the
+    // model in one subtree; its partition is a single w₁'s distinct
+    // successors, vocabulary-bounded by Zipf, never corpus-sized.
     val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-    bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-      .withColumn("p", expr("(c2 * 1000000L) div c1"))
+    val model = c2.select(col("w1"), col("w2"),
+      expr("(c2 * 1000000L) div (sum(c2) OVER (PARTITION BY w1))").as("p"))
+    bi.join(model, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("psum"))
       .select(col("doc_id"), col("n_bigrams"),
