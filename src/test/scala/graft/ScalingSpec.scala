@@ -47,7 +47,18 @@ class ScalingSpec extends AnyFunSuite {
       // K = 8 grows ~g², which is exactly why production scales K with
       // the corpus (docs/SCALE.md); wall times below surface that
       "ann_lsh_bucket_top1", "semdedup_prune", "tfidf_topk", "bm25_topk",
-      "cms_heavy_hitters")
+      "cms_heavy_hitters",
+      // r15 window/temporal family over `events` (the last oracle
+      // family without decade rows): the session window is one
+      // (session_window, user) hash agg; asof is the union + running-
+      // last window (one shuffle, zero join fanout); the range join is
+      // the bucketed equi-join (probe ×2 explode); bloom's sketch
+      // relation is fixed-size. All expected ~linear in events —
+      // the sfx1 decade shifts user_id per copy, so per-user session/
+      // as-of/range structure replicates within copies (10× users,
+      // same per-user density) instead of densifying hot users
+      "session_window_agg", "asof_join", "range_join_count",
+      "bloom_prefilter")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
@@ -206,6 +217,24 @@ object ScaleData {
       }
       copies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    if (!new java.io.File(s"$dir/events.parquet/_SUCCESS").exists()) {
+      // events decade: user_id shifted per copy → 10× USERS at the same
+      // per-user event density (sessions, as-of chains, and range
+      // windows replicate within copies, never merge across them —
+      // the linear-growth regime these operators are designed for);
+      // event_id shifted to stay unique; timestamps unchanged (a 10×
+      // service sees more concurrent users, not a longer day)
+      val base = Tables.events(spark, fromDir)
+      val copies = (0 until 10).map { k =>
+        if (k == 0) base
+        else base.select(
+          (col("event_id") + k * 1000000000L).as("event_id"), col("ts"),
+          (col("user_id") + k * 10000000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }
+      copies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
     }
     dir
   }

@@ -33,6 +33,28 @@ class SemanticSpec extends AnyFunSuite {
     assert(kept.nonEmpty && kept.size <= n)
   }
 
+  test("degenerate corpus smaller than K: fewer centroids, no fabricated ones") {
+    // r14 padded the seed array to exactly K, fabricating null-c
+    // centroid structs when the corpus had fewer vectors than K and
+    // corrupting every distance (null d), diverging from the oracle's
+    // LIMIT K. The driver-collected seeds take what exists: a 3-vector
+    // corpus must yield assignments to at most 3 clusters, every
+    // vector assigned, all distances non-null and ≥ 0.
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    val tiny = graft.Tables.embeddings(spark2, Dir)
+      .orderBy("vec_id").limit(3)
+    // drive the kmeans core through the public query path by staging
+    // the tiny corpus as a parquet dir shaped like the harness layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-tinyk").toString
+    tiny.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("kmeans_assign")(spark2, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 3, "one assignment per vector")
+    assert(rows.forall { case (_, c, d) => c >= 0 && c < 3 && d >= 0 },
+      s"cluster ids within the 3 real seeds, distances non-null: ${rows.toSeq}")
+  }
+
   test("semdedup pair search is cluster-keyed, never a cartesian") {
     val p = SparkEntry.queries("semdedup_prune")(spark, Dir)
       .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
