@@ -280,17 +280,20 @@ object TextAnalysis {
     * never-seen-in-corpus transitions scores ~0, formulaic text scores
     * high), deterministic across engines.
     *
-    * Plan: ONE bigram explode (lag via zip_with, no self-join),
-    * persisted — it feeds the model count and the scoring join. The
-    * unigram context count c₁ is ROLLED UP from the bigram count
-    * (c₁(w₁) = Σ_{w₂} c₂(w₁,w₂), exactly the occurrences-as-first-word
-    * count the direct aggregate computed): the rollup aggregates the
-    * vocab²-bounded, Zipf-sparse model relation instead of re-counting
-    * the corpus — one corpus-sized explode+shuffle fewer than the r14
-    * spelling. The two counts then FUSE into one model relation
-    * carrying the pre-divided p, so the corpus joins the model once,
-    * not twice (AQE owns the side choice; a real deployment broadcasts
-    * the trained model).
+    * Plan: the bigram explode feeds the model count and the scoring
+    * join as two subtrees — deliberately NOT persisted: the duplicated
+    * explode runs as concurrent AQE stages (wall-free at bench scale),
+    * while a cache serializes the query behind one materialization
+    * (interleaved min-of-4 at sf0.1: 1.20 s unpersisted vs 1.39 s
+    * persisted — the same crossover bm25 measured, docs/SCALE.md r15).
+    * The unigram context count c₁ is a w₁-partitioned WINDOW sum over
+    * the model relation (c₁(w₁) = Σ_{w₂} c₂(w₁,w₂), exactly the
+    * occurrences-as-first-word count): one model subtree by
+    * construction — the r14 c₁-aggregate + equi-join compiled the
+    * corpus-fed c₂ subtree twice (different pushed null filters defeat
+    * exchange reuse) — and the corpus joins the model once, carrying
+    * the pre-divided p (AQE owns the side choice; a real deployment
+    * broadcasts the trained model).
     */
   val bigramLmScore: Q = (spark, dir) => {
     val bi = Tables.documents(spark, dir)
@@ -308,7 +311,6 @@ object TextAnalysis {
           |         (a, b) -> struct(a AS w1, b AS w2)),
           |       p -> p.w2 IS NOT NULL)""".stripMargin)).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .persist()
     // c₁ as a w₁-partitioned window sum over the model relation itself:
     // a separate c₁ aggregate + equi-join produces TWO copies of the c₂
     // subtree in the physical plan (the join pushes different
