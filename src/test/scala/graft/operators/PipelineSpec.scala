@@ -51,16 +51,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(parquetScans.isEmpty,
       s"every post-dedup stage must read the persisted survivor relation, " +
         s"not re-scan parquet; found ${parquetScans.size} scans")
-    // Exactly the three multi-consumer stage outputs are cached: the
-    // stage-1 survivors, the resolve output (read 4× by chunk dedup),
-    // and the quality/PII output (read by the resample count + join).
-    // Only the outermost cache shows in the logical plan; the upstream
-    // two sit nested inside its cached physical plan.
+    // Exactly the four multi-consumer stage outputs are cached: the
+    // stage-1 survivors, the resolve output, the chunk-dedup segment
+    // relation (r15 — feeds the df aggregate and the flag join inside
+    // Dedup.chunkDedupOf), and the quality/PII output (read by the
+    // resample count + join). Only the outermost cache shows in the
+    // logical plan; the upstream ones sit nested inside its cached
+    // physical plan.
     val cacheIds =
       plan.collect { case m: InMemoryRelation => m.cacheBuilder.cachedPlan.id } ++
       nested.collect { case s: InMemoryTableScanExec => s.relation.cacheBuilder.cachedPlan.id }
-    assert(cacheIds.distinct.size == 3,
-      s"expected the 3 persisted stage outputs; got ${cacheIds.distinct.size}")
+    assert(cacheIds.distinct.size == 4,
+      s"expected the 4 persisted stage outputs; got ${cacheIds.distinct.size}")
   }
 
   test("the only window is the bounded per-shard prefix sum") {
