@@ -103,9 +103,16 @@ object Bench {
     // Durable in-repo copy: the driver's log-tail capture truncates the
     // full per-query line (r14 lost the first ~55 entries of the
     // committed record), so the committed history must not depend on
-    // stdout at all. Full-registry runs only — a narrowed local
-    // iteration run must not overwrite the last complete record.
-    if (args.isEmpty) {
+    // stdout at all. Guarded three ways so the committed record stays a
+    // comparable series: full-registry runs only (a narrowed iteration
+    // run must not overwrite the last complete record), the canonical
+    // bench scale factor only (an sf0.001 smoke run's numbers are not
+    // comparable), and only when the CWD actually is the repo root
+    // (the relative path would otherwise scatter stray files — or
+    // silently write nothing durable — under spark-submit's scratch
+    // dirs).
+    if (args.isEmpty && sfDir == "/root/testdata/sf0.1" &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt"))) {
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case scala.util.control.NonFatal(e) =>

@@ -187,8 +187,14 @@ object Tables {
     * so the CacheManager doesn't keep serving the old data under the
     * same canonicalized plan. */
   private[graft] def invalidate(spark: SparkSession): Unit = {
-    stageTables.synchronized {
-      Option(stageTables.get(spark)).foreach { m =>
+    // lock discipline mirrors memo(): the registry lock only guards the
+    // outer map lookup; the per-session map is read/written under ITS
+    // monitor, so iteration+clear here must hold the same one or race
+    // a concurrent memo() insert (ConcurrentModificationException, or
+    // an entry wiped while its DataFrame stays persisted)
+    val stages = stageTables.synchronized { Option(stageTables.get(spark)) }
+    stages.foreach { m =>
+      m.synchronized {
         m.valuesIterator.flatMap(r => Option(r.get)).foreach { df =>
           try df.unpersist()
           catch { case scala.util.control.NonFatal(_) => () }
@@ -196,9 +202,8 @@ object Tables {
         m.clear()
       }
     }
-    readers.synchronized {
-      Option(readers.get(spark)).foreach(_.clear())
-    }
+    val rdrs = readers.synchronized { Option(readers.get(spark)) }
+    rdrs.foreach(m => m.synchronized(m.clear()))
   }
 
   /** Test seam: how many LIVE stage tables this session currently holds

@@ -41,8 +41,12 @@ import org.apache.spark.sql.types._
 case class SemDedupKeep(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
+  // containsNull = false required (like graft_pairs): the internal
+  // collect_list feed never emits null elements and declares exactly
+  // that, while an ad-hoc SQL array(...) with a null member would NPE
+  // in the struct reads below — reject it at analysis instead
   private def ok(dt: DataType): Boolean = dt match {
-    case ArrayType(StructType(Array(a, b, c)), _) =>
+    case ArrayType(StructType(Array(a, b, c)), false) =>
       a.dataType == LongType &&
         b.dataType.isInstanceOf[ArrayType] &&
         b.dataType.asInstanceOf[ArrayType].elementType == LongType &&
@@ -53,8 +57,8 @@ case class SemDedupKeep(child: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     if (ok(child.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "graft_semdedup_keep requires array<struct<bigint, array<bigint>, bigint>>, got " +
-        child.dataType.simpleString)
+      "graft_semdedup_keep requires array<struct<bigint, array<bigint>, bigint>> " +
+        "with containsNull=false, got " + child.dataType.simpleString)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_semdedup_keep"
@@ -68,6 +72,13 @@ case class SemDedupKeep(child: Expression)
     var i = 0
     while (i < m) {
       val row = arr.getStruct(i, 3)
+      // nullable STRUCT FIELDS pass the type check (the internal
+      // struct(col…) feed is nullable-typed though never null-valued);
+      // a null value here is a caller contract violation — fail loudly
+      // instead of NPE-ing inside the pairwise loop
+      if (row == null || row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(2))
+        throw new IllegalArgumentException(
+          s"graft_semdedup_keep: null member or null vec_id/qu/nrm field at index $i")
       ids(i) = row.getLong(0)
       qus(i) = row.getArray(1).toLongArray()
       nrms(i) = row.getLong(2)

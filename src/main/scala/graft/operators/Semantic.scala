@@ -78,6 +78,13 @@ object Semantic {
     * lowest cid (`array_min` compares (d, cid); the K-element struct
     * array is cid-ordered, and all the arithmetic below it is codegen). */
   private def assign(vecs: DataFrame, cents: Seq[(Long, Seq[Long], Long)]): DataFrame = {
+    // EMPTY corpus → zero seeds → no centroids: `array()` of struct
+    // literals would be NullType and fail analysis on `best.cid`, so
+    // return the (necessarily empty) result with the correct schema
+    // directly — same zero rows the oracle's empty CTE chain yields
+    if (cents.isEmpty)
+      return vecs.select(col("vec_id"), col("q"), col("na"),
+        lit(0L).as("cid"), lit(0L).as("d")).filter(lit(false))
     // Σ(q−c)² expanded to na − 2·q·c + nc: all three terms exact longs,
     // identical to the folded form
     val ds = cents.sortBy(_._1).map { case (cid, c, nc) =>

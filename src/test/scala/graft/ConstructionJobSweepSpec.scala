@@ -64,13 +64,22 @@ class ConstructionJobSweepSpec extends AnyFunSuite {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       drain()
       jobs.set(0)
-      // Cleanup is scoped to storage THIS construction creates (diff of
-      // persistent RDD ids before/after): the shared TestSpark session
-      // may hold sibling specs' caches, and a blanket clearCache here
-      // would drop them mid-run — order-dependent behavior in whichever
-      // spec runs next. Storage accumulated across the sweep itself is
-      // what the per-query unpersist bounds.
-      val before = spark.sparkContext.getPersistentRDDs.keySet
+      // Cleanup is the BLANKET clearCache + unpersist-all, deliberately:
+      // suites run SEQUENTIALLY in the forked test JVM (Test/fork with
+      // sbt's default testForkedParallel=false) and tests run
+      // sequentially within a suite, so nothing concurrent can lose its
+      // cache mid-use — completed suites don't re-read theirs, and
+      // later suites haven't built theirs yet (Tables.stage re-persists
+      // on next access by design). The once-considered scoped
+      // alternative — unpersist only the RDD ids this construction
+      // added — is WORSE: force-unpersisting a cached RDD leaves its
+      // CacheManager entry registered, so any later identical plan is
+      // served an entry that recomputes on every read and never
+      // re-caches (Dataset.storageLevel reports the entry's requested
+      // level, defeating the `== NONE` re-persist guard), and persists
+      // registered but not yet materialized are invisible to the id
+      // diff entirely. clearCache() drops the ENTRIES, which is the
+      // state that must not leak.
       spark.sparkContext.addSparkListener(listener)
       try {
         fn(spark, Dir) // construct ONLY — no action
@@ -81,9 +90,8 @@ class ConstructionJobSweepSpec extends AnyFunSuite {
         else Nil
       } finally {
         spark.sparkContext.removeSparkListener(listener)
-        spark.sparkContext.getPersistentRDDs
-          .filter { case (id, _) => !before.contains(id) }
-          .values.foreach(_.unpersist(true))
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       }
     }
     assert(offenders.isEmpty,

@@ -91,6 +91,9 @@ class GenerateHoistSweepSpec extends AnyFunSuite {
         sweep(fn(spark, Dir).queryExecution.sparkPlan, Nil)
           .distinct.map(h => s"$name: $h")
       } finally {
+        // blanket clear is safe and correct here — suites run
+        // sequentially in the forked test JVM; see the cleanup
+        // rationale in ConstructionJobSweepSpec
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       }

@@ -58,7 +58,12 @@ class ScalingSpec extends AnyFunSuite {
       // as-of/range structure replicates within copies (10× users,
       // same per-user density) instead of densifying hot users
       "session_window_agg", "asof_join", "range_join_count",
-      "bloom_prefilter")
+      "bloom_prefilter",
+      // r15: the span/chunk removal operators — chunk df-count +
+      // flag-join and the winhash gram aggregate are both hash aggs
+      // over corpus-linear relations; expected ~linear (the exact-dupe
+      // corpora replicate their planted duplicate structure per copy)
+      "corpus_chunk_dedup", "exact_substr_spans")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)

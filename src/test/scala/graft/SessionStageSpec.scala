@@ -50,6 +50,25 @@ class SessionStageSpec extends AnyFunSuite {
     assert(again.count() > 0)
   }
 
+  test("invalidate drops this session's readers and stages; next access rebuilds") {
+    val builds = new AtomicInteger(0)
+    def build = {
+      builds.incrementAndGet()
+      Tables.documents(spark, Dir).select("doc_id")
+    }
+    val r1 = Tables.table(spark, Dir, "nation")
+    val s1 = Tables.stage(spark, "spec:inval")(build)
+    assert(s1.count() > 0 && builds.get() == 1)
+    Tables.invalidate(spark)
+    assert(s1.storageLevel == StorageLevel.NONE,
+      "invalidate must unpersist the dropped stage's data")
+    val r2 = Tables.table(spark, Dir, "nation")
+    assert(!(r2 eq r1), "invalidated reader memo must re-derive the relation")
+    val s2 = Tables.stage(spark, "spec:inval")(build)
+    assert(builds.get() == 2, "invalidated stage must rebuild, not reuse")
+    assert(!(s2 eq s1) && s2.count() > 0)
+  }
+
   test("minhash family shares the staged signature relation across queries") {
     // prime the stage through one consumer, then every sibling's
     // ANALYZED plan must read the SAME cached relation (InMemoryRelation

@@ -63,9 +63,10 @@ class SemDedupKeepSpec extends AnyFunSuite {
 
   test("singleton and empty clusters") {
     assert(keep(Seq(7L -> Seq(1L, 2L))) == Seq(7L))
-    // empty members array → empty kept array (no crash)
-    val out = spark.sql("SELECT graft_semdedup_keep(" +
-      "CAST(array() AS ARRAY<STRUCT<vec_id: BIGINT, qu: ARRAY<BIGINT>, nrm: BIGINT>>)) AS kept")
+    // empty members array → empty kept array (no crash); slice keeps
+    // the containsNull=false element type the kernel's contract needs
+    val out = spark.sql("SELECT graft_semdedup_keep(slice(" +
+      "array(named_struct('vec_id', 1L, 'qu', array(1L), 'nrm', 1L)), 1, 0)) AS kept")
       .collect().head.getSeq[Long](0)
     assert(out.isEmpty)
   }
