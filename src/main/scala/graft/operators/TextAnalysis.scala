@@ -286,6 +286,16 @@ object TextAnalysis {
     * while a cache serializes the query behind one materialization
     * (interleaved min-of-4 at sf0.1: 1.20 s unpersisted vs 1.39 s
     * persisted — the same crossover bm25 measured, docs/SCALE.md r15).
+    * The scan IS [[Tables.fanout]]-rebalanced — the opposite decision
+    * from tfRel's, for a measured reason (interleaved min-of-5 at
+    * sf0.1: fanout 1.00 s vs 1.35 s without; tfidf/bm25 re-measured
+    * the same session and fanout still LOSES there): the zip_with
+    * struct build + filter + explode is ~3× tfRel's per-row tokenize,
+    * and the fanout exchange is one canonical subtree AQE stage-reuse
+    * shares across BOTH duplicated corpus passes — so the serial
+    * small-file scan runs once and every heavy pass above it runs
+    * 32-way, where tfRel's cheap explode just pipelines into its
+    * aggregate's shuffle write and the extra exchange is pure cost.
     * The unigram context count c₁ is a w₁-partitioned WINDOW sum over
     * the model relation (c₁(w₁) = Σ_{w₂} c₂(w₁,w₂), exactly the
     * occurrences-as-first-word count): one model subtree by
@@ -296,7 +306,7 @@ object TextAnalysis {
     * broadcasts the trained model).
     */
   val bigramLmScore: Q = (spark, dir) => {
-    val bi = Tables.documents(spark, dir)
+    val bi = Tables.fanout(Tables.documents(spark, dir))
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 2)
       // zip_with(words, tail) rather than element_at(words, i) inside
