@@ -60,7 +60,13 @@ object Dedup {
     * ngram 2.3→4.4 s) — these pipelines are multi-stage, so the extra
     * task count multiplies across every stage and checkpoint while the
     * per-row work per stage is too small to amortize it. The fanout
-    * pays only for single-stage many-pass pipelines (bpe_encode). */
+    * pays only for single-stage many-pass pipelines (bpe_encode).
+    * Re-measured r15 for the substr family specifically (the winhash
+    * kernel is the heaviest per-row pass in the repo, so the bigram
+    * asymmetry argued it might flip): interleaved min-of-5 at sf0.1,
+    * spans 1.13 s nofan vs 1.08 fan (noise), cut 1.34 vs 1.42 (worse)
+    * — the union doubling the fanned task count eats the win; decision
+    * unchanged. */
   private def withExactDupes(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select("doc_id", "text")
     d.unionByName(

@@ -360,6 +360,98 @@ object TrainingMix {
       |       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_index
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X60 dsir_select — hashed-ngram importance-weighted data selection
+  // ---------------------------------------------------------------------
+
+  /** Feature-hash bucket count for the importance model. 8192 buckets
+    * is the accuracy/size knob from the paper's hashed-ngram ablation
+    * (they use 10⁴; any power of two works) — the model stays a
+    * broadcastable constant-size table at EVERY corpus scale. */
+  val DsirBuckets = 8192L
+  /** Integer importance scale (millionths, matching the repo's other
+    * fixed-point scores). */
+  private val DsirScale = 1000000L
+  /** Target-domain predicate: the high-resource language slice stands
+    * in for the curated target corpus a production campaign feeds (the
+    * paper targets Wikipedia+books; same plan, different filter). */
+  private val DsirTargetLang = "en"
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw doc
+    * by how much its hashed-bigram distribution looks like a target
+    * domain's, keep the above-average docs. Hashed n-gram features
+    * make the model CONSTANT-SIZE (buckets, not vocabulary), so the
+    * same plan selects against a 100 TB crawl.
+    *
+    * Numeric policy: the paper's log-likelihood-ratio weight needs
+    * `ln` (not IEEE-correctly-rounded — the engine's standing reason to
+    * avoid it, see [[graft.operators.Indexing.tfidfTopk]]); the score
+    * here is the mean SCALED RATIO instead: per gram occurrence in
+    * bucket b, r_b = ((t_b+1)·10⁶) div (r_b+1) (add-one smoothing, ∈
+    * [0, 10⁶] since target ⊆ raw), per doc importance = (Σ r_b) div
+    * n_grams — exact integers end to end, monotone in target affinity,
+    * deterministic across engines. The keep threshold is the
+    * gram-weighted corpus mean ratio, computed on the MODEL side
+    * (8192 rows — no second corpus pass, no global sort): keep ⟺
+    * importance ≥ gram_mean. Headroom: Σ r_b·count_b runs in
+    * DECIMAL(38,0)/HUGEINT (10⁶ scale × 10¹⁵ grams passes 2⁶³);
+    * per-doc Σ r_b ≤ 10⁶ · 2²¹ stays in LONG by the pos bound.
+    *
+    * Plan: one bigram-hash explode (row-local [[graft.expressions
+    * .WindowHash]] kernel + `% buckets`) feeds the model aggregate
+    * (map-combinable, ≤ [[DsirBuckets]] groups — target and raw counts
+    * in ONE pass via a conditional sum) and the scoring join as two
+    * subtrees — [[TextAnalysis.bigramLmScore]]'s audited shape, with the model side
+    * broadcast by AQE at any corpus size because its row count is a
+    * constant. */
+  val dsirSelect: Q = (spark, dir) => {
+    val grams = Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(s"transform(graft_winhash(words, 2), h -> h % $DsirBuckets)")).as("b"))
+    val model = grams.groupBy("b")
+      .agg(count(lit(1)).as("r"),
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("t"))
+      .select(col("b"), col("r"),
+        expr(s"((t + 1L) * $DsirScale) div (r + 1L)").as("rb"))
+    val mean = model.agg(expr(
+      """CAST(sum(CAST(rb AS DECIMAL(38,0)) * r)
+        |     div sum(CAST(r AS DECIMAL(38,0))) AS BIGINT)""".stripMargin).as("gram_mean"))
+    grams.join(model.select("b", "rb"), "b")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_grams"), sum(col("rb")).as("rsum"))
+      .crossJoin(mean)
+      .select(col("doc_id"), col("lang"), col("n_grams"),
+        expr("rsum div n_grams").as("importance"), col("gram_mean"),
+        (expr("rsum div n_grams") >= col("gram_mean")).as("keep"))
+      .orderBy("doc_id")
+  }
+  val dsirSelectSql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, lang,
+       |         unnest(list_transform(range(1, len(words)),
+       |           i -> ${h60Duck("array_to_string(words[i:i+1], ' ')")} % $DsirBuckets)) AS b
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)
+       |  WHERE len(words) >= 2),
+       |model AS (
+       |  SELECT b, count(*) AS r,
+       |         sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS t
+       |  FROM grams GROUP BY b),
+       |rb AS (SELECT b, r, CAST(((t + 1) * $DsirScale) // (r + 1) AS BIGINT) AS rb
+       |       FROM model),
+       |m AS (SELECT CAST(sum(CAST(rb AS HUGEINT) * r) // sum(CAST(r AS HUGEINT)) AS BIGINT)
+       |             AS gram_mean FROM rb)
+       |SELECT doc_id, lang, n_grams, importance, gram_mean,
+       |       importance >= gram_mean AS keep
+       |FROM (
+       |  SELECT g.doc_id, g.lang, count(*) AS n_grams,
+       |         CAST(sum(rb.rb) // count(*) AS BIGINT) AS importance
+       |  FROM grams g JOIN rb USING (b)
+       |  GROUP BY g.doc_id, g.lang) CROSS JOIN m
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "temperature_resample" -> temperatureResample,
     "sequence_pack" -> sequencePack,
@@ -367,8 +459,10 @@ object TrainingMix {
     "split_contamination" -> splitContamination,
     "epoch_upsample" -> epochUpsample,
     "global_row_index" -> globalRowIndex,
+    "dsir_select" -> dsirSelect,
   )
   val oracles: Map[String, String] = Map(
+    "dsir_select" -> dsirSelectSql,
     "temperature_resample" -> temperatureResampleSql,
     "sequence_pack" -> sequencePackSql,
     "dataset_split" -> datasetSplitSql,

@@ -85,4 +85,34 @@ class TrainingMixSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
     assert(got == List((274L, "val", 6L)), s"got $got")
   }
+
+  test("dsir_select: keep flag is the mean threshold, scores are bounded, " +
+    "and the target language scores above the rest") {
+    val rows = TrainingMix.dsirSelect(spark, Dir)
+      .select("doc_id", "lang", "importance", "gram_mean", "keep")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val gramMean = rows.head._4
+    rows.foreach { case (id, _, imp, gm, keep) =>
+      assert(gm == gramMean, s"gram_mean must be a corpus constant (doc $id)")
+      // ratio numerator ≤ denominator (target ⊆ raw) keeps every
+      // per-gram ratio — and so the per-doc mean — within the scale
+      assert(imp >= 0L && imp <= 1000000L, s"doc $id importance $imp out of range")
+      assert(keep == (imp >= gm), s"doc $id keep flag diverges from threshold")
+    }
+    // the method must actually discriminate: target-language docs score
+    // higher ON AVERAGE than the rest (per-doc overlap is expected —
+    // formulaic non-target docs can share hashed buckets)
+    val (en, rest) = rows.partition(_._2 == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    val enMean = en.map(_._3).sum.toDouble / en.size
+    val restMean = rest.map(_._3).sum.toDouble / rest.size
+    assert(enMean > restMean,
+      f"target-domain mean $enMean%.0f must exceed non-target $restMean%.0f")
+    // and both classes must appear on the keep side's complement too —
+    // a selector that keeps everything (or nothing) is degenerate
+    assert(rows.exists(_._5) && rows.exists(!_._5))
+  }
 }
