@@ -63,7 +63,13 @@ class ScalingSpec extends AnyFunSuite {
       // flag-join and the winhash gram aggregate are both hash aggs
       // over corpus-linear relations; expected ~linear (the exact-dupe
       // corpora replicate their planted duplicate structure per copy)
-      "corpus_chunk_dedup", "exact_substr_spans")
+      "corpus_chunk_dedup", "exact_substr_spans",
+      // r15: DSIR selection — the model relation is CONSTANT-size
+      // (8192 hashed buckets at any corpus), so shuffle growth is the
+      // gram partials + per-doc agg, both corpus-linear; the `_k`
+      // suffixing changes gram identities per copy but hashed buckets
+      // stay the same fixed table
+      "dsir_select")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
