@@ -441,6 +441,71 @@ object Curation {
        |WHERE src_short * $GateDen <= src_docs * $GateNum
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X61 source_token_budget — per-source token-quota capping
+  // ---------------------------------------------------------------------
+
+  /** Per-source budget as a fraction of that source's own token mass
+    * (6/10): self-normalizing at every scale factor, so both keep and
+    * drop branches stay exercised for any corpus the harness ships. */
+  private val BudgetNum = 6L
+  private val BudgetDen = 10L
+
+  /** Per-source token-BUDGET cap — the anti-domination pass between
+    * the domain gate (drop whole sources) and per-doc sampling (drop
+    * uniformly): no single source may contribute more than a budget of
+    * tokens to the final mix, and the budget is spent on that source's
+    * docs in a deterministic priority order (here longest-first with
+    * doc_id tiebreak — long docs amortize per-doc overhead; a campaign
+    * plugs its quality score into the same ORDER BY). The mechanics
+    * are the FineWeb/Dolma-style per-domain contribution caps, made
+    * exact: keep a doc ⟺ the tokens of strictly-higher-priority kept
+    * docs from its source are still under the source's budget — so a
+    * doc is never half-kept, the first doc of a source always survives,
+    * and the decision needs no float (budget and running sum are
+    * integer token counts; the 6/10 budget is an integer multiply-div).
+    *
+    * Scale shape: one source-partitioned exchange carries BOTH windows
+    * (the unordered per-source mass and the ordered running sum share
+    * HashPartitioning(source) — one shuffle, one sort), then a
+    * row-parallel flag projection; nothing corpus-global anywhere. A
+    * pathological mega-source serializes ITS partition's running sum —
+    * the straggler bound is the largest single source, and past that a
+    * campaign respells the prefix sum two-phase over (source, bucket)
+    * exactly like [[TrainingMix.globalRowIndex]]'s offset trick (same
+    * output, one more vocab-sized shuffle). */
+  val sourceTokenBudget: Q = (spark, dir) => {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_tok").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("budget",
+        expr(s"(sum(n_tok) OVER (PARTITION BY source) * $BudgetNum) div $BudgetDen"))
+      .withColumn("spent_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("budget"),
+        col("spent_before"), (col("spent_before") < col("budget")).as("keep"))
+      .orderBy("doc_id")
+  }
+  val sourceTokenBudgetSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents)
+       |SELECT doc_id, source, n_tok, budget, spent_before,
+       |       spent_before < budget AS keep
+       |FROM (
+       |  SELECT doc_id, source, n_tok,
+       |         CAST((sum(n_tok) OVER (PARTITION BY source) * $BudgetNum)
+       |              // $BudgetDen AS BIGINT) AS budget,
+       |         CAST(coalesce(sum(n_tok) OVER (
+       |                PARTITION BY source ORDER BY n_tok DESC, doc_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |              0) AS BIGINT) AS spent_before
+       |  FROM d)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "benchmark_contamination" -> benchmarkContamination,
     "stratified_sample" -> stratifiedSample,
@@ -449,8 +514,10 @@ object Curation {
     "reservoir_sample" -> reservoirSample,
     "length_outliers" -> lengthOutliers,
     "source_quality_gate" -> sourceQualityGate,
+    "source_token_budget" -> sourceTokenBudget,
   )
   val oracles: Map[String, String] = Map(
+    "source_token_budget" -> sourceTokenBudgetSql,
     "benchmark_contamination" -> benchmarkContaminationSql,
     "stratified_sample" -> stratifiedSampleSql,
     "repetition_score" -> repetitionScoreSql,

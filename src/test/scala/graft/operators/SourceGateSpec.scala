@@ -49,4 +49,31 @@ class SourceGateSpec extends AnyFunSuite {
         s"row ${r.getLong(0)}: carried counts violate the gate law ($short/$docs)")
     }
   }
+
+  test("source_token_budget: kept docs are a priority-order prefix that " +
+    "spends exactly under each source's budget, and both branches fire") {
+    val rows = SparkEntry.queries("source_token_budget")(spark, Dir)
+      .select("doc_id", "source", "n_tok", "budget", "spent_before", "keep")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (src, docs) =>
+      val inOrder = docs.sortBy(d => (-d._3, d._1)) // n_tok desc, doc_id
+      val budget = docs.head._4
+      assert(docs.forall(_._4 == budget), s"$src: budget must be per-source constant")
+      // spent_before is the exact running sum of the priority order
+      inOrder.zip(inOrder.scanLeft(0L)(_ + _._3)).foreach { case (d, expect) =>
+        assert(d._5 == expect, s"$src doc ${d._1}: spent_before ${d._5} != $expect")
+        assert(d._6 == (d._5 < budget), s"$src doc ${d._1}: keep flag diverges")
+      }
+      // the kept set is a PREFIX of the order (never a gap), and the
+      // highest-priority doc always survives
+      val keeps = inOrder.map(_._6)
+      assert(keeps.head, s"$src: first doc in priority order must be kept")
+      assert(!keeps.dropWhile(identity).contains(true), s"$src: kept set has a gap")
+    }
+    // the 6/10 budget must actually bite somewhere and spare somewhere
+    assert(rows.exists(_._6) && rows.exists(!_._6))
+  }
 }
