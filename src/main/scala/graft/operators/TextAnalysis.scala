@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Dedup.{h60Duck, h60Sql}
@@ -305,7 +306,11 @@ object TextAnalysis {
     * the pre-divided p (AQE owns the side choice; a real deployment
     * broadcasts the trained model).
     */
-  val bigramLmScore: Q = (spark, dir) => {
+  /** The shared per-doc fluency relation (doc_id, lang, n_bigrams,
+    * fluency) — [[bigramLmScore]]'s core, also consumed by
+    * [[fluencyBuckets]]. `lang` rides the per-doc aggregate key (it is
+    * functionally dependent on doc_id — zero extra shuffle). */
+  private[operators] def bigramFluency(spark: SparkSession, dir: String): DataFrame = {
     val bi = Tables.fanout(Tables.documents(spark, dir))
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 2)
@@ -316,11 +321,11 @@ object TextAnalysis {
       // Chunking.scala). As direct HOF inputs both arrays evaluate once
       // per row; zip_with pads the shorter side with nulls, so the one
       // (last, null) pair is filtered — split() tokens are never null.
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), col("lang"), explode(expr(
         """filter(zip_with(words, slice(words, 2, size(words)),
           |         (a, b) -> struct(a AS w1, b AS w2)),
           |       p -> p.w2 IS NOT NULL)""".stripMargin)).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     // c₁ as a w₁-partitioned window sum over the model relation itself:
     // a separate c₁ aggregate + equi-join produces TWO copies of the c₂
     // subtree in the physical plan (the join pushes different
@@ -332,13 +337,17 @@ object TextAnalysis {
     val model = c2.select(col("w1"), col("w2"),
       expr("(c2 * 1000000L) div (sum(c2) OVER (PARTITION BY w1))").as("p"))
     bi.join(model, Seq("w1", "w2"))
-      .groupBy("doc_id")
+      .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("psum"))
-      .select(col("doc_id"), col("n_bigrams"),
-        expr("psum div n_bigrams").as("fluency"),
-        (expr("psum div n_bigrams") >= FluencyKeepMin).as("keep"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        expr("psum div n_bigrams").as("fluency"))
   }
+
+  val bigramLmScore: Q = (spark, dir) =>
+    bigramFluency(spark, dir)
+      .select(col("doc_id"), col("n_bigrams"), col("fluency"),
+        (col("fluency") >= FluencyKeepMin).as("keep"))
+      .orderBy("doc_id")
   val bigramLmScoreSql: String =
     s"""WITH bi AS (
        |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
@@ -355,6 +364,69 @@ object TextAnalysis {
        |       CAST(sum(p) // count(*) AS BIGINT) AS fluency,
        |       CAST(sum(p) // count(*) AS BIGINT) >= $FluencyKeepMin AS keep
        |FROM p GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X62 fluency_buckets — CCNet-style per-language perplexity terciles
+  // ---------------------------------------------------------------------
+
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020), on the same
+    * corpus-trained bigram LM as [[bigramLmScore]]: within each
+    * language, rank docs by fluency and cut the ranking into three
+    * equal tiers — head (most reference-like) is what CCNet-descended
+    * recipes train on first, tail is what they drop or down-weight.
+    * PER LANGUAGE is the load-bearing part: a global cut would grade
+    * low-resource languages against the majority language's model mass
+    * and bucket them wholesale into tail.
+    *
+    * Determinism: `ntile(3)` over the total order (fluency DESC,
+    * doc_id) — both engines implement the SQL-standard ntile (earlier
+    * buckets take the remainder docs), and the total order makes every
+    * bucket boundary unique, so tier assignment is bit-identical.
+    *
+    * Scale shape: the fluency relation's audited plan plus ONE
+    * lang-partitioned window — partition = one language's docs. At
+    * 100 TB a single language is still ~10¹⁰ docs through one ntile
+    * partition, so the production respelling of the SAME semantics is
+    * the two-phase cut: per-(lang, fluency-range bucket) counts,
+    * prefix offsets over the tiny bucket relation, tier =
+    * offset-threshold compare — [[TrainingMix.globalRowIndex]]'s
+    * offsets trick keyed by lang. The registered query keeps the
+    * window spelling because its oracle pins ntile's exact
+    * remainder-placement semantics. */
+  val fluencyBuckets: Q = (spark, dir) =>
+    bigramFluency(spark, dir)
+      .withColumn("tercile", ntile(3).over(
+        Window.partitionBy("lang").orderBy(col("fluency").desc, col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("lang"), col("fluency"), col("tercile"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("tier"))
+      .orderBy("doc_id")
+  val fluencyBucketsSql: String =
+    s"""WITH bi AS (
+       |  SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2 FROM (
+       |    SELECT doc_id, lang, unnest(list_transform(range(1, len(words)),
+       |             i -> {'w1': words[i], 'w2': words[i+1]})) AS p
+       |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)
+       |    WHERE len(words) >= 2)),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+       |p AS (
+       |  SELECT bi.doc_id, bi.lang, (c2.c2 * 1000000) // c1.c1 AS p
+       |  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+       |f AS (
+       |  SELECT doc_id, lang, CAST(sum(p) // count(*) AS BIGINT) AS fluency
+       |  FROM p GROUP BY doc_id, lang)
+       |SELECT doc_id, lang, fluency, tercile,
+       |       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       |            ELSE 'tail' END AS tier
+       |FROM (
+       |  SELECT doc_id, lang, fluency,
+       |         CAST(ntile(3) OVER (PARTITION BY lang
+       |                             ORDER BY fluency DESC, doc_id) AS BIGINT) AS tercile
+       |  FROM f)
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -475,6 +547,7 @@ object TextAnalysis {
     "doc_fingerprint" -> docFingerprint,
     "text_stats" -> textStats,
     "bigram_lm_score" -> bigramLmScore,
+    "fluency_buckets" -> fluencyBuckets,
     "winnow_fingerprints" -> winnowFingerprints,
     "ngram_novelty" -> ngramNovelty,
   )
@@ -489,5 +562,6 @@ object TextAnalysis {
     "bigram_lm_score" -> bigramLmScoreSql,
     "winnow_fingerprints" -> winnowFingerprintsSql,
     "ngram_novelty" -> ngramNoveltySql,
+    "fluency_buckets" -> fluencyBucketsSql,
   )
 }
