@@ -405,13 +405,21 @@ object TrainingMix {
     * subtrees — [[TextAnalysis.bigramLmScore]]'s audited shape, with the model side
     * broadcast by AQE at any corpus size because its row count is a
     * constant. */
-  val dsirSelect: Q = (spark, dir) => {
-    val grams = Tables.documents(spark, dir)
+  /** Per-doc hashed-bigram bucket rows (doc_id, lang, b) over any
+    * (doc_id, lang, text) relation — the shared feature extractor. */
+  private[graft] def dsirGrams(docs: DataFrame): DataFrame =
+    docs
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 2)
       .select(col("doc_id"), col("lang"),
         explode(expr(s"transform(graft_winhash(words, 2), h -> h % $DsirBuckets)")).as("b"))
-    val model = grams.groupBy("b")
+
+  /** The trained importance model over `dir`'s corpus: the per-bucket
+    * ratio relation (b, rb) and its 1-row gram-weighted mean — shared
+    * by the batch selector and the frozen-model streaming scorer
+    * ([[graft.streaming.DsirStream]]). */
+  private[graft] def dsirModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val model = dsirGrams(Tables.documents(spark, dir)).groupBy("b")
       .agg(count(lit(1)).as("r"),
         sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("t"))
       .select(col("b"), col("r"),
@@ -419,14 +427,26 @@ object TrainingMix {
     val mean = model.agg(expr(
       """CAST(sum(CAST(rb AS DECIMAL(38,0)) * r)
         |     div sum(CAST(r AS DECIMAL(38,0))) AS BIGINT)""".stripMargin).as("gram_mean"))
-    grams.join(model.select("b", "rb"), "b")
+    (model.select("b", "rb"), mean)
+  }
+
+  /** Score `docs` against a trained (model, mean) pair — per-doc
+    * importance + keep flag, unordered (callers order or stream). The
+    * scoring plan touches only the DOCS being scored: model and mean
+    * are whatever relations the caller hands in (the batch query's
+    * lazy subtrees, or a streaming scorer's frozen persisted table). */
+  private[graft] def dsirScore(docs: DataFrame, model: DataFrame, mean: DataFrame): DataFrame =
+    dsirGrams(docs).join(model, "b")
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_grams"), sum(col("rb")).as("rsum"))
       .crossJoin(mean)
       .select(col("doc_id"), col("lang"), col("n_grams"),
         expr("rsum div n_grams").as("importance"), col("gram_mean"),
         (expr("rsum div n_grams") >= col("gram_mean")).as("keep"))
-      .orderBy("doc_id")
+
+  val dsirSelect: Q = (spark, dir) => {
+    val (model, mean) = dsirModel(spark, dir)
+    dsirScore(Tables.documents(spark, dir), model, mean).orderBy("doc_id")
   }
   val dsirSelectSql: String =
     s"""WITH grams AS (
