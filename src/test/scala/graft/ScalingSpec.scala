@@ -69,7 +69,13 @@ class ScalingSpec extends AnyFunSuite {
       // gram partials + per-doc agg, both corpus-linear; the `_k`
       // suffixing changes gram identities per copy but hashed buckets
       // stay the same fixed table
-      "dsir_select")
+      "dsir_select",
+      // r15: the quota/tercile windows — both shuffle the corpus once
+      // on their partition key (source / lang) plus the tiny model
+      // flows; expected ~linear (sfx1 keeps the same 20 sources and 5
+      // languages, so partitions deepen 10× — exactly the straggler
+      // regime their scaladocs bound with the two-phase fallback)
+      "source_token_budget", "fluency_buckets")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
