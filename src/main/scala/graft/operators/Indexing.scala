@@ -396,7 +396,13 @@ object Indexing {
     * expression interpreter, and this is the suite's hottest per-row
     * string loop.
     */
-  val bpeEncode: Q = (spark, dir) => {
+  /** The encoded-corpus relation (doc_id, lang, n_words, n_tokens),
+    * unordered — [[bpeEncode]]'s core, shared with [[bpeFertility]].
+    * n_words is the space-split word count from the same length-diff
+    * probes the token count uses (no re-splitting); lang and n_words
+    * are column-pruned away when a consumer (bpe_encode) doesn't
+    * select them. */
+  private def bpeEncoded(spark: SparkSession, dir: String): DataFrame = {
     // the rules relation is already ONE row; project the R struct
     // entries to scalar columns (a0, b0, …, a5, b5) for the static
     // nested-replace expression below
@@ -406,19 +412,24 @@ object Indexing {
           col("rules").getItem(r).getField("b").as(s"b$r"))
       }: _*)
     val docs = Tables.fanout(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text")))
     val encodeExpr = (0 until BpeRounds).foldLeft("regexp_replace(text, '(?s)(.)', '|$1|')") {
       (acc, r) =>
         s"replace($acc, concat('|', a$r, '||', b$r, '|'), concat('|', a$r, b$r, '|'))"
     }
     docs.crossJoin(broadcast(ruleRow))
-      .select(col("doc_id"), col("text"), expr(encodeExpr).as("e"))
-      .select(col("doc_id"), expr(
-        """CAST((length(e) - length(replace(e, '||', ''))) DIV 2 + 1
-          |     - (length(text) - length(replace(text, ' ', ''))) AS BIGINT)""".stripMargin)
-        .as("n_tokens"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("lang"), col("text"), expr(encodeExpr).as("e"))
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)")
+          .as("n_words"),
+        expr(
+          """CAST((length(e) - length(replace(e, '||', ''))) DIV 2 + 1
+            |     - (length(text) - length(replace(text, ' ', ''))) AS BIGINT)""".stripMargin)
+          .as("n_tokens"))
   }
+
+  val bpeEncode: Q = (spark, dir) =>
+    bpeEncoded(spark, dir).select("doc_id", "n_tokens").orderBy("doc_id")
   val bpeEncodeSql: String = {
     val encodeExpr = (0 until BpeRounds).foldLeft("regexp_replace(text, '(?s)(.)', '|\\1|', 'g')") {
       (acc, r) =>
@@ -432,6 +443,51 @@ object Indexing {
        |       CAST((length(e) - length(replace(e, '||', ''))) // 2 + 1
        |            - (length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS n_tokens
        |FROM enc ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // X63 bpe_fertility — per-language tokenizer fertility report
+  // ---------------------------------------------------------------------
+
+  /** Per-language FERTILITY of the trained tokenizer — tokens emitted
+    * per word (Rust et al. 2021, "How Good is Your Tokenizer?": the
+    * standard multilingual-equity metric; a language whose fertility
+    * runs far above the corpus mean pays more sequence length per
+    * sentence and effectively gets a smaller context window). Computed
+    * on the SAME encode relation as [[bpeEncode]] (train→apply→audit
+    * in one lineage): per language, doc count, total words, total
+    * tokens, and fertility in millitokens-per-word — exact integer
+    * `(Σtokens·1000) div Σwords`, the repo's fixed-point policy.
+    *
+    * Scale shape: the X52 encode pass (one row-local projection over
+    * the scan, rules broadcast) feeding ONE map-side-combinable
+    * aggregate keyed on language — output is language-cardinality
+    * rows; nothing new shuffles at corpus scale. */
+  val bpeFertility: Q = (spark, dir) =>
+    bpeEncoded(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        expr("(n_tokens * 1000L) div n_words").as("fertility_milli"))
+      .orderBy("lang")
+  val bpeFertilitySql: String = {
+    val encodeExpr = (0 until BpeRounds).foldLeft("regexp_replace(text, '(?s)(.)', '|\\1|', 'g')") {
+      (acc, r) =>
+        s"replace($acc, '|' || b$r.a || '||' || b$r.b || '|', '|' || b$r.a || b$r.b || '|')"
+    }
+    s"""WITH $bpeCtePrefix,
+       |enc AS (
+       |  SELECT doc_id, lang,
+       |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+       |         CAST((length($encodeExpr) - length(replace($encodeExpr, '||', ''))) // 2 + 1
+       |              - (length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS n_tokens
+       |  FROM documents, ${(0 until BpeRounds).map(r => s"b$r").mkString(", ")})
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(n_words) AS BIGINT) AS n_words,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST((sum(n_tokens) * 1000) // sum(n_words) AS BIGINT) AS fertility_milli
+       |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -486,6 +542,7 @@ object Indexing {
     "bm25_topk" -> bm25Topk,
     "bpe_train_merges" -> bpeTrainMerges,
     "bpe_encode" -> bpeEncode,
+    "bpe_fertility" -> bpeFertility,
     "vocab_coverage" -> vocabCoverage,
   )
   val oracles: Map[String, String] = Map(
@@ -495,6 +552,7 @@ object Indexing {
     "bm25_topk" -> bm25TopkSql,
     "bpe_train_merges" -> bpeTrainMergesSql,
     "bpe_encode" -> bpeEncodeSql,
+    "bpe_fertility" -> bpeFertilitySql,
     "vocab_coverage" -> vocabCoverageSql,
   )
 }

@@ -29,6 +29,31 @@ class IndexingSpec extends AnyFunSuite {
       "the learned merges must compress at least one document")
   }
 
+  test("bpe_fertility is the exact per-language rollup of the encode pass") {
+    val enc = graft.SparkEntry.queries("bpe_encode")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val langOf = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nw"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val fert = graft.SparkEntry.queries("bpe_fertility")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(fert.keySet == langOf.values.map(_._1).toSet, "every language reports")
+    fert.foreach { case (lang, (nDocs, nWords, nTokens, milli)) =>
+      val docs = langOf.filter(_._2._1 == lang)
+      assert(nDocs == docs.size, s"$lang: doc count")
+      assert(nWords == docs.values.map(_._2).sum, s"$lang: word rollup")
+      // keysIterator, NOT .keys.map: Map#keys is a Set, and mapping it
+      // through enc would collapse equal token counts before the sum
+      assert(nTokens == docs.keysIterator.map(enc).sum, s"$lang: token rollup")
+      assert(milli == nTokens * 1000L / nWords, s"$lang: fertility law")
+      // fusing can only shorten: fertility stays within [1, chars/word]
+      assert(milli >= 1000L, s"$lang: fertility below one token per word")
+    }
+  }
+
   test("bm25_topk emits exactly ranks 1..k per doc, scores weakly decreasing") {
     val rows = Indexing.bm25Topk(spark, dir)
       .select("doc_id", "rank", "score").collect()
