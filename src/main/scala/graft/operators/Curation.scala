@@ -506,6 +506,101 @@ object Curation {
        |  FROM d)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X65 source_unigram_drift — per-source distribution drift report
+  // ---------------------------------------------------------------------
+
+  /** Fixed-point scale for the drift probabilities (millionths — the
+    * repo's standard). */
+  private val DriftScale = 1000000L
+
+  /** Per-source UNIGRAM DRIFT from the corpus distribution — exact
+    * total-variation distance between each source's term distribution
+    * and the whole corpus's, the standard distribution-shift report a
+    * pipeline runs per crawl snapshot/domain before mixing (a source
+    * whose TV suddenly jumps changed its content mix — boilerplate
+    * flood, language shift, spam injection — and gets quarantined
+    * before it skews the training mix; the corpus-level complement of
+    * [[graft.operators.Indexing.vocabCoverage]]'s per-doc OOV signal).
+    *
+    * Numeric policy: TV(s, corpus) = ½ Σ_t |p_s(t) − p(t)| over the
+    * corpus vocabulary, in exact micro units: p_s(t) = (n_st·10⁶) div
+    * N_s, p(t) = (n_t·10⁶) div N. Terms ABSENT from the source still
+    * contribute their full corpus mass p(t); summing them without
+    * expanding source×vocabulary uses the identity
+    * Σ_{t∉s} p(t) = P_total − Σ_{t∈s} p(t), so the per-term pass only
+    * touches (source, term) pairs that EXIST. The half-sum stays in
+    * micro units via a final integer div 2. Headroom: the scaled
+    * products run in DECIMAL(38,0)/HUGEINT (n_t·10⁶ passes 2⁶³ once
+    * the corpus passes ~10¹³ tokens); per-source sums of micro
+    * probabilities are ≤ 2·10⁶·vocab — LONG-safe at any vocabulary.
+    *
+    * Scale shape: ONE corpus token pass into the (source, term)
+    * count aggregate (map-combinable); everything downstream lives on
+    * Zipf-small relations — per-term corpus counts DERIVED from the
+    * (source, term) relation (no second corpus pass), per-source
+    * totals from the same, the 1-row corpus total and 1-row P_total
+    * attached by the allowed one-row cross joins, one
+    * sources×avg-vocab-overlap join on term, and a final
+    * source-cardinality aggregate. Nothing pairwise, nothing
+    * corpus-sized past the first aggregate. */
+  /** Core on an explicit (source, text) relation so specs can feed
+    * constructed corpora (single-source → TV 0, disjoint vocabularies
+    * → TV ½) alongside the registered query's oracle check. */
+  private[operators] def driftCore(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("n_st"))
+    val ns = st.groupBy("source").agg(sum(col("n_st")).as("n_s"))
+    val ct = st.groupBy("term").agg(sum(col("n_st")).as("n_t"))
+    val n = ct.agg(sum(col("n_t")).as("n"))
+    val pt = ct.crossJoin(n).select(col("term"),
+      expr(s"CAST((CAST(n_t AS DECIMAL(38,0)) * $DriftScale) div n AS BIGINT)")
+        .as("p_t"))
+    val pTotal = pt.agg(sum(col("p_t")).as("p_total"))
+    st.join(ns, "source")
+      .select(col("source"), col("term"), col("n_st"), col("n_s"))
+      .join(pt, "term")
+      .select(col("source"),
+        expr(s"CAST((CAST(n_st AS DECIMAL(38,0)) * $DriftScale) div n_s AS BIGINT)")
+          .as("p_st"),
+        col("p_t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(abs(col("p_st") - col("p_t"))).as("d_present"),
+        sum(col("p_t")).as("pt_present"))
+      .crossJoin(pTotal)
+      .select(col("source"), col("n_terms"),
+        expr("(d_present + (p_total - pt_present)) div 2L").as("tv_micro"))
+      .orderBy("source")
+  }
+
+  val sourceUnigramDrift: Q = (spark, dir) =>
+    driftCore(Tables.documents(spark, dir))
+  val sourceUnigramDriftSql: String =
+    s"""WITH st AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |stc AS (SELECT source, term, count(*) AS n_st FROM st GROUP BY 1, 2),
+       |ns AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s FROM stc GROUP BY 1),
+       |ct AS (SELECT term, CAST(sum(n_st) AS BIGINT) AS n_t FROM stc GROUP BY 1),
+       |n AS (SELECT CAST(sum(n_t) AS BIGINT) AS n FROM ct),
+       |pt AS (SELECT term,
+       |              CAST((CAST(n_t AS HUGEINT) * $DriftScale) // n AS BIGINT) AS p_t
+       |       FROM ct CROSS JOIN n),
+       |ptot AS (SELECT CAST(sum(p_t) AS BIGINT) AS p_total FROM pt),
+       |pres AS (
+       |  SELECT stc.source, count(*) AS n_terms,
+       |         CAST(sum(abs(
+       |           CAST((CAST(n_st AS HUGEINT) * $DriftScale) // n_s AS BIGINT)
+       |           - p_t)) AS BIGINT) AS d_present,
+       |         CAST(sum(p_t) AS BIGINT) AS pt_present
+       |  FROM stc JOIN ns USING (source) JOIN pt USING (term)
+       |  GROUP BY stc.source)
+       |SELECT source, n_terms,
+       |       CAST((d_present + (p_total - pt_present)) // 2 AS BIGINT) AS tv_micro
+       |FROM pres CROSS JOIN ptot ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "benchmark_contamination" -> benchmarkContamination,
     "stratified_sample" -> stratifiedSample,
@@ -515,9 +610,11 @@ object Curation {
     "length_outliers" -> lengthOutliers,
     "source_quality_gate" -> sourceQualityGate,
     "source_token_budget" -> sourceTokenBudget,
+    "source_unigram_drift" -> sourceUnigramDrift,
   )
   val oracles: Map[String, String] = Map(
     "source_token_budget" -> sourceTokenBudgetSql,
+    "source_unigram_drift" -> sourceUnigramDriftSql,
     "benchmark_contamination" -> benchmarkContaminationSql,
     "stratified_sample" -> stratifiedSampleSql,
     "repetition_score" -> repetitionScoreSql,

@@ -306,10 +306,11 @@ object TextAnalysis {
     * the pre-divided p (AQE owns the side choice; a real deployment
     * broadcasts the trained model).
     */
-  /** The shared per-doc fluency relation (doc_id, lang, n_bigrams,
-    * fluency) — [[bigramLmScore]]'s core, also consumed by
-    * [[fluencyBuckets]]. `lang` rides the per-doc aggregate key (it is
-    * functionally dependent on doc_id — zero extra shuffle). */
+  /** The shared per-doc fluency relation (doc_id, lang, source,
+    * n_bigrams, fluency) — [[bigramLmScore]]'s core, also consumed by
+    * [[fluencyBuckets]] and [[TrainingMix.doremiWeights]]. `lang` and
+    * `source` ride the per-doc aggregate key (both are functionally
+    * dependent on doc_id — zero extra shuffle). */
   private[operators] def bigramFluency(spark: SparkSession, dir: String): DataFrame = {
     val bi = Tables.fanout(Tables.documents(spark, dir))
       .withColumn("words", split(col("text"), " "))
@@ -321,11 +322,12 @@ object TextAnalysis {
       // Chunking.scala). As direct HOF inputs both arrays evaluate once
       // per row; zip_with pads the shorter side with nulls, so the one
       // (last, null) pair is filtered — split() tokens are never null.
-      .select(col("doc_id"), col("lang"), explode(expr(
+      .select(col("doc_id"), col("lang"), col("source"), explode(expr(
         """filter(zip_with(words, slice(words, 2, size(words)),
           |         (a, b) -> struct(a AS w1, b AS w2)),
           |       p -> p.w2 IS NOT NULL)""".stripMargin)).as("b"))
-      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
     // c₁ as a w₁-partitioned window sum over the model relation itself:
     // a separate c₁ aggregate + equi-join produces TWO copies of the c₂
     // subtree in the physical plan (the join pushes different
@@ -337,9 +339,9 @@ object TextAnalysis {
     val model = c2.select(col("w1"), col("w2"),
       expr("(c2 * 1000000L) div (sum(c2) OVER (PARTITION BY w1))").as("p"))
     bi.join(model, Seq("w1", "w2"))
-      .groupBy("doc_id", "lang")
+      .groupBy("doc_id", "lang", "source")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("psum"))
-      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+      .select(col("doc_id"), col("lang"), col("source"), col("n_bigrams"),
         expr("psum div n_bigrams").as("fluency"))
   }
 

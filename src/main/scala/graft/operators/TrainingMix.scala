@@ -472,6 +472,102 @@ object TrainingMix {
        |  GROUP BY g.doc_id, g.lang) CROSS JOIN m
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X64 doremi_weights — excess-loss domain reweighting (DoReMi-style)
+  // ---------------------------------------------------------------------
+
+  /** Uniform smoothing floor added to every domain's excess score
+    * (micro units) — the exact-integer stand-in for DoReMi's ε-mix
+    * with the uniform distribution: it keeps every domain's weight
+    * strictly positive (no domain is starved outright) and makes the
+    * normalizing total provably non-zero even when every domain sits
+    * at or above the corpus baseline. */
+  private val DoremiSmooth = 10000L
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * upweight the domains the proxy model finds HARD — excess loss per
+    * domain, normalized into mixture weights. The proxy loss here is
+    * the corpus-trained bigram LM the fluency family already runs
+    * ([[TextAnalysis.bigramLmScore]]): a domain whose mean fluency
+    * falls below the corpus baseline reads as high-excess-loss (the
+    * model explains it poorly) and gets weighted up, exactly the
+    * paper's Group-DRO signal with fluency deficit standing in for
+    * per-domain log-loss.
+    *
+    * Numeric policy: the paper's exponentiated-gradient update needs
+    * exp/softmax (outside IEEE's correctly-rounded set — the standing
+    * `ln` objection, [[Indexing.tfidfTopk]]); the weights here are the
+    * LINEAR normalization of the clipped excess plus the
+    * [[DoremiSmooth]] uniform floor: per source s,
+    * excess_s = max(0, baseline − fluency_s) with every term an exact
+    * integer in micro units (fluency_s = (Σ doc fluency) div n_docs,
+    * baseline = the doc-weighted corpus mean), weight_permille_s =
+    * ((excess_s + smooth)·1000) div Σ(excess + smooth) — monotone in
+    * excess loss, deterministic across engines, Σ weights ≤ 1000 with
+    * floor rounding. Headroom: Σ fluency ≤ n_docs·10⁶ keeps LONG exact
+    * past 10¹² docs per source.
+    *
+    * Scale shape: the audited fluency relation (one corpus bigram
+    * pass) → a source-cardinality aggregate (domains ≪ docs at any
+    * scale, map-combinable) → two one-row global aggregates attached
+    * by broadcast cross joins (the one-row scalar-attach pattern the
+    * nested-loop sweep allows) → a row-parallel projection over the
+    * domain relation. Nothing past the fluency pass is corpus-sized. */
+  /** Core on an explicit per-doc (source, fluency) relation so specs
+    * can feed constructed loss profiles (uniform corpus → uniform
+    * weights, one hard domain → that domain weighted up) alongside the
+    * registered query's oracle check. */
+  private[operators] def doremiFromFluency(fl: DataFrame): DataFrame = {
+    val perSrc = fl
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("fluency")).as("fsum"))
+      .select(col("source"), col("n_docs"), col("fsum"),
+        expr("fsum div n_docs").as("fluency"))
+    val base = perSrc.agg(expr("sum(fsum) div sum(n_docs)").as("baseline"))
+    val scored = perSrc.crossJoin(base)
+      .select(col("source"), col("n_docs"), col("fluency"),
+        greatest(lit(0L), col("baseline") - col("fluency")).as("excess"))
+    val total = scored.agg(sum(col("excess") + lit(DoremiSmooth)).as("score_total"))
+    scored.crossJoin(total)
+      .select(col("source"), col("n_docs"), col("fluency"), col("excess"),
+        expr(s"((excess + $DoremiSmooth) * 1000L) div score_total")
+          .as("weight_permille"))
+      .orderBy("source")
+  }
+
+  val doremiWeights: Q = (spark, dir) =>
+    doremiFromFluency(TextAnalysis.bigramFluency(spark, dir))
+  val doremiWeightsSql: String =
+    s"""WITH bi AS (
+       |  SELECT doc_id, source, p.w1 AS w1, p.w2 AS w2 FROM (
+       |    SELECT doc_id, source, unnest(list_transform(range(1, len(words)),
+       |             i -> {'w1': words[i], 'w2': words[i+1]})) AS p
+       |    FROM (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents)
+       |    WHERE len(words) >= 2)),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+       |p AS (
+       |  SELECT bi.doc_id, bi.source, (c2.c2 * 1000000) // c1.c1 AS p
+       |  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+       |f AS (
+       |  SELECT doc_id, source, CAST(sum(p) // count(*) AS BIGINT) AS fluency
+       |  FROM p GROUP BY doc_id, source),
+       |s AS (
+       |  SELECT source, count(*) AS n_docs, CAST(sum(fluency) AS BIGINT) AS fsum
+       |  FROM f GROUP BY source),
+       |b AS (SELECT CAST(sum(fsum) // sum(n_docs) AS BIGINT) AS baseline FROM s),
+       |e AS (
+       |  SELECT source, n_docs,
+       |         CAST(fsum // n_docs AS BIGINT) AS fluency,
+       |         CAST(greatest(0, baseline - fsum // n_docs) AS BIGINT) AS excess
+       |  FROM s CROSS JOIN b),
+       |t AS (SELECT CAST(sum(excess + $DoremiSmooth) AS BIGINT) AS score_total FROM e)
+       |SELECT source, n_docs, fluency, excess,
+       |       CAST(((excess + $DoremiSmooth) * 1000) // score_total AS BIGINT)
+       |         AS weight_permille
+       |FROM e CROSS JOIN t ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "temperature_resample" -> temperatureResample,
     "sequence_pack" -> sequencePack,
@@ -480,9 +576,11 @@ object TrainingMix {
     "epoch_upsample" -> epochUpsample,
     "global_row_index" -> globalRowIndex,
     "dsir_select" -> dsirSelect,
+    "doremi_weights" -> doremiWeights,
   )
   val oracles: Map[String, String] = Map(
     "dsir_select" -> dsirSelectSql,
+    "doremi_weights" -> doremiWeightsSql,
     "temperature_resample" -> temperatureResampleSql,
     "sequence_pack" -> sequencePackSql,
     "dataset_split" -> datasetSplitSql,
