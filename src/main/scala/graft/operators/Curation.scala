@@ -544,27 +544,49 @@ object Curation {
     * sources×avg-vocab-overlap join on term, and a final
     * source-cardinality aggregate. Nothing pairwise, nothing
     * corpus-sized past the first aggregate. */
-  /** Core on an explicit (source, text) relation so specs can feed
-    * constructed corpora (single-source → TV 0, disjoint vocabularies
-    * → TV ½) alongside the registered query's oracle check. */
-  private[operators] def driftCore(docs: DataFrame): DataFrame = {
-    val st = docs
+  /** Per-(source, term) token counts of a (source, text) relation —
+    * the ONE corpus-sized pass both the reference model and the
+    * scored side derive from. */
+  private def driftCounts(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), explode(split(col("text"), " ")).as("term"))
       .groupBy("source", "term").agg(count(lit(1)).as("n_st"))
-    val ns = st.groupBy("source").agg(sum(col("n_st")).as("n_s"))
-    val ct = st.groupBy("term").agg(sum(col("n_st")).as("n_t"))
+
+  /** The frozen reference distribution of a corpus: the per-term
+    * micro-probability relation (term, p_t) and its 1-row mass total —
+    * shared by the batch report (derived from the same token pass) and
+    * the streaming drift monitor ([[graft.streaming.DriftStream]]),
+    * which trains it once, persists it, and scores every micro-batch
+    * against it. */
+  private[graft] def driftModel(ct: DataFrame): (DataFrame, DataFrame) = {
     val n = ct.agg(sum(col("n_t")).as("n"))
     val pt = ct.crossJoin(n).select(col("term"),
       expr(s"CAST((CAST(n_t AS DECIMAL(38,0)) * $DriftScale) div n AS BIGINT)")
         .as("p_t"))
     val pTotal = pt.agg(sum(col("p_t")).as("p_total"))
+    (pt, pTotal)
+  }
+
+  /** Score a (source, text) relation against a frozen (pt, pTotal)
+    * reference: per-source exact TV distance. The pt join is LEFT —
+    * scored text may contain terms the reference has never seen (a
+    * streaming batch's novel vocabulary); their reference mass is 0,
+    * so they contribute their full p_st to the distance, and the
+    * absent-mass complement P_total − Σ p_t(present) only ever counts
+    * reference terms, keeping the identity exact in both regimes. In
+    * the batch report the left join degenerates to the inner one
+    * (every scored term IS a corpus term by construction). */
+  private[graft] def driftAgainst(
+      docs: DataFrame, pt: DataFrame, pTotal: DataFrame): DataFrame = {
+    val st = driftCounts(docs)
+    val ns = st.groupBy("source").agg(sum(col("n_st")).as("n_s"))
     st.join(ns, "source")
       .select(col("source"), col("term"), col("n_st"), col("n_s"))
-      .join(pt, "term")
+      .join(pt, Seq("term"), "left_outer")
       .select(col("source"),
         expr(s"CAST((CAST(n_st AS DECIMAL(38,0)) * $DriftScale) div n_s AS BIGINT)")
           .as("p_st"),
-        col("p_t"))
+        coalesce(col("p_t"), lit(0L)).as("p_t"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_terms"),
         sum(abs(col("p_st") - col("p_t"))).as("d_present"),
@@ -573,6 +595,19 @@ object Curation {
       .select(col("source"), col("n_terms"),
         expr("(d_present + (p_total - pt_present)) div 2L").as("tv_micro"))
       .orderBy("source")
+  }
+
+  /** Core on an explicit (source, text) relation so specs can feed
+    * constructed corpora (single-source → TV 0, disjoint vocabularies
+    * → TV ½) alongside the registered query's oracle check. The
+    * reference distribution is DERIVED from the same (source, term)
+    * pass the scoring side runs (ct = Σ_s st), so the corpus is
+    * tokenized once; the streaming monitor instead trains the model on
+    * a reference corpus and freezes it. */
+  private[operators] def driftCore(docs: DataFrame): DataFrame = {
+    val (pt, pTotal) = driftModel(
+      driftCounts(docs).groupBy("term").agg(sum(col("n_st")).as("n_t")))
+    driftAgainst(docs, pt, pTotal)
   }
 
   val sourceUnigramDrift: Q = (spark, dir) =>

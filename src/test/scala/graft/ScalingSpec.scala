@@ -75,7 +75,14 @@ class ScalingSpec extends AnyFunSuite {
       // flows; expected ~linear (sfx1 keeps the same 20 sources and 5
       // languages, so partitions deepen 10× — exactly the straggler
       // regime their scaladocs bound with the two-phase fallback)
-      "source_token_budget", "fluency_buckets")
+      "source_token_budget", "fluency_buckets",
+      // r15: the mixture/drift reports — both are source-cardinality
+      // aggregates over corpus-linear flows (doremi rides the fluency
+      // relation's audited bigram pass; drift's only corpus pass is
+      // the (source, term) count agg, everything downstream is
+      // vocab-sized); expected ~linear, with the model-side relations
+      // growing as the vocabulary (sub-linear by Heaps/Zipf)
+      "doremi_weights", "source_unigram_drift")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
