@@ -568,6 +568,79 @@ object TrainingMix {
        |         AS weight_permille
        |FROM e CROSS JOIN t ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X66 length_bucket_batches — padding-efficient bucketed batching
+  // ---------------------------------------------------------------------
+
+  /** Linear length-bucket width (tokens) and cap: bucket =
+    * min(n_tokens div 64, 15) — exact integers, no float log. Linear
+    * buckets are the testdata-sized stand-in for the usual
+    * power-of-two boundaries; the cap folds the long tail into one
+    * bucket (its pad waste is the report's own evidence if the tail
+    * deserves finer buckets). */
+  private val BucketTokens = 64L
+  private val MaxBucket = 15L
+  /** Docs per batch, and independent batching lanes per bucket
+    * (sequence_pack's sharding trick: lanes bound every window
+    * partition at corpus/(buckets·lanes) docs and scale out with the
+    * corpus — ∝ corpus/executor at production scale). */
+  private val BatchDocs = 16L
+  private val BatchShards = 8
+
+  /** Padding-efficient BUCKETED BATCHING (the fairseq/tensor2tensor
+    * dynamic-batching pass): group similar-length documents into
+    * fixed-count batches so each batch pads only to its own max
+    * length, not the corpus max, and report the padding bill per
+    * batch — the report a pipeline runs before committing a batching
+    * policy (Σ pad_tokens over batches IS the wasted compute; the
+    * alternative — random batching — pays the corpus-max on every
+    * batch). Deterministic end to end: bucket and shard are pure
+    * functions of the doc, batch formation is a (bucket, shard)-lane
+    * row_number over the doc_id order, so the same corpus always
+    * yields the same batches on any engine or partitioning.
+    *
+    * Output per batch: lane keys, doc count, the batch's sequence
+    * length (its max doc length), and the exact pad bill
+    * pad_tokens = n_docs·max − Σ n_tokens. All exact integers.
+    *
+    * Scale shape: ONE exchange on (bucket, shard) carries the
+    * row_number window AND the (bucket, shard, batch) aggregate that
+    * follows (batch is a function of the window's own partition
+    * keys — no second shuffle, the source_token_budget
+    * shared-partitioning design); lanes bound the window partitions,
+    * and the report is batch-cardinality (corpus div 16), never
+    * wider than the input. */
+  val lengthBucketBatches: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("bucket", least(expr(s"n_tokens div $BucketTokens"), lit(MaxBucket)))
+      .withColumn("shard", pmod(h60(concat(lit("bshard:"), col("doc_id"))), lit(BatchShards)).cast("long"))
+      .withColumn("batch", expr(s"(row_number() OVER (PARTITION BY bucket, shard ORDER BY doc_id) - 1) div $BatchDocs"))
+      .groupBy("bucket", "shard", "batch")
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("seq_len"),
+        sum(col("n_tokens")).as("tok_sum"))
+      .select(col("bucket"), col("shard"), col("batch"), col("n_docs"), col("seq_len"),
+        (col("n_docs") * col("seq_len") - col("tok_sum")).as("pad_tokens"))
+      .orderBy("bucket", "shard", "batch")
+  val lengthBucketBatchesSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         least(CAST(len(string_split(text, ' ')) AS BIGINT) // $BucketTokens,
+       |               $MaxBucket) AS bucket,
+       |         ${h60Duck("'bshard:' || CAST(doc_id AS VARCHAR)")} % $BatchShards AS shard
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, n_tokens, bucket, shard,
+       |         (row_number() OVER (PARTITION BY bucket, shard ORDER BY doc_id) - 1)
+       |           // $BatchDocs AS batch
+       |  FROM d)
+       |SELECT bucket, shard, batch, count(*) AS n_docs,
+       |       CAST(max(n_tokens) AS BIGINT) AS seq_len,
+       |       CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS pad_tokens
+       |FROM b GROUP BY bucket, shard, batch
+       |ORDER BY bucket, shard, batch""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "temperature_resample" -> temperatureResample,
     "sequence_pack" -> sequencePack,
@@ -577,10 +650,12 @@ object TrainingMix {
     "global_row_index" -> globalRowIndex,
     "dsir_select" -> dsirSelect,
     "doremi_weights" -> doremiWeights,
+    "length_bucket_batches" -> lengthBucketBatches,
   )
   val oracles: Map[String, String] = Map(
     "dsir_select" -> dsirSelectSql,
     "doremi_weights" -> doremiWeightsSql,
+    "length_bucket_batches" -> lengthBucketBatchesSql,
     "temperature_resample" -> temperatureResampleSql,
     "sequence_pack" -> sequencePackSql,
     "dataset_split" -> datasetSplitSql,

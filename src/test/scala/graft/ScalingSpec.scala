@@ -82,7 +82,12 @@ class ScalingSpec extends AnyFunSuite {
       // the (source, term) count agg, everything downstream is
       // vocab-sized); expected ~linear, with the model-side relations
       // growing as the vocabulary (sub-linear by Heaps/Zipf)
-      "doremi_weights", "source_unigram_drift")
+      "doremi_weights", "source_unigram_drift",
+      // r15: bucketed batching — one (bucket, shard) exchange carries
+      // the row_number window AND the batch aggregate (batch is a
+      // function of the window's partition keys); expected ~linear,
+      // lanes bound every window partition
+      "length_bucket_batches")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
