@@ -144,6 +144,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"threshold comes from a tiny agg, not a window:\n$p")
   }
 
+  test("length_bucket_batches: one data exchange shared by window and batch aggregate") {
+    // HashPartitioning(bucket, shard) must satisfy the wider
+    // (bucket, shard, batch) clustering — exactly two exchanges total:
+    // the lane hash partition and the deterministic final sort's range
+    // partition. A third exchange means the aggregate stopped riding
+    // the window's partitioning.
+    val p = plan("length_bucket_batches")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected lane hash + final sort only, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"batching must not join:\n$p")
+  }
+
   test("top-1 global sort is TakeOrderedAndProject, not a full sort") {
     assert(plan("order_desc_first").contains("TakeOrderedAndProject"))
   }
