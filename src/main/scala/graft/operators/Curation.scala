@@ -448,8 +448,8 @@ object Curation {
   /** Per-source budget as a fraction of that source's own token mass
     * (6/10): self-normalizing at every scale factor, so both keep and
     * drop branches stay exercised for any corpus the harness ships. */
-  private val BudgetNum = 6L
-  private val BudgetDen = 10L
+  private[graft] val BudgetNum = 6L
+  private[graft] val BudgetDen = 10L
 
   /** Per-source token-BUDGET cap — the anti-domination pass between
     * the domain gate (drop whole sources) and per-doc sampling (drop
