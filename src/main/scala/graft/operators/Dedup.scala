@@ -279,12 +279,14 @@ object Dedup {
     * (exact IEEE, bit-identical cross-engine). No new shuffle class
     * beyond the candidate generation it already shares.
     */
-  val minhashJaccardEstimate: Q = (spark, dir) => {
-    // the signature relation is read three ways (band buckets + both
-    // agreement sides) and by three sibling queries — the session
-    // stage table materializes the shingle+agg chain ONCE (lazily,
-    // with the consuming action, where the r12 localCheckpoint paid a
-    // separate eager job)
+  /** (doc_a, doc_b, n_agree) per LSH candidate pair — the signature-
+    * agreement relation [[minhashJaccardEstimate]] reports and
+    * [[lshBandRecall]] sweeps configurations over. The signature
+    * relation is read three ways (band buckets + both agreement sides)
+    * and by sibling queries — the session stage table materializes the
+    * shingle+agg chain ONCE (lazily, with the consuming action, where
+    * the r12 localCheckpoint paid a separate eager job). */
+  private def agreementPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = stagedSig(spark, dir)
     val a = sig.select(col("doc_id").as("doc_a") +:
       (0 until NumHashes).map(i => col(s"mh$i").as(s"a$i")): _*)
@@ -295,10 +297,14 @@ object Dedup {
       .withColumn("n_agree",
         (0 until NumHashes).map(i =>
           when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"))
+  }
+
+  val minhashJaccardEstimate: Q = (spark, dir) =>
+    agreementPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"), col("n_agree"),
         (col("n_agree").cast("double") / NumHashes).as("jaccard_est"))
       .orderBy("doc_a", "doc_b")
-  }
   val minhashJaccardEstimateSql: String = {
     val agree = (0 until NumHashes)
       .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
@@ -311,6 +317,85 @@ object Dedup {
        |  JOIN sig a ON a.doc_id = p.doc_a
        |  JOIN sig b ON b.doc_id = p.doc_b)
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // X67 lsh_band_recall — banding-configuration recall audit
+  // ---------------------------------------------------------------------
+
+  /** Every (bands, rows) factorization of the [[NumHashes]] = 12
+    * signature — the banding design space a campaign chooses its
+    * operating point from. */
+  private val BandConfigs = Seq((1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1))
+  /** 12¹² — the common denominator of every config's detect
+    * probability (b·r = 12 for all of them). */
+  private val Pow12to12 = 8916100448256L
+
+  /** The S-curve detect probability in micro units, as SQL text shared
+    * verbatim by both engines (only the integer-division operator
+    * differs): p(a; b, r) = 10⁶ − (10⁶·(12^r − a^r)^b) div 12¹² —
+    * the MMDS banding formula 1 − (1 − J^r)^b (Leskovec/Rajaraman/
+    * Ullman ch. 3) with J = a/12 cleared to exact integers (the
+    * numerator stays ≤ 10⁶·12¹² < 2⁶³, so the arithmetic is exact
+    * int64 in both engines; powers are spelled as literal repeated
+    * multiplication — no float pow anywhere). */
+  private def detectMicro(divOp: String, b: Int, r: Int): String = {
+    def pow(base: String, e: Int): String = Seq.fill(e)(base).mkString("(", " * ", ")")
+    val cr = Seq.fill(r)(12L).product
+    s"(1000000 - (1000000 * ${pow(s"($cr - ${pow("n_agree", r)})", b)}) $divOp $Pow12to12)"
+  }
+
+  /** LSH banding-configuration RECALL audit: for every (bands, rows)
+    * split of the 12-hash signature, the expected number of the
+    * CURRENT candidate pairs that configuration would have surfaced —
+    * Σ over candidate pairs of the S-curve detect probability at the
+    * pair's estimated Jaccard. This is the tuning report behind the
+    * family's banding choice (4×3 here): more rows per band sharpens
+    * the S-curve (fewer low-similarity candidates, the verify bill)
+    * but costs recall at mid similarity; the report prices exactly
+    * that trade on the corpus's own observed pair-similarity
+    * distribution instead of a guessed one. Expected counts are in
+    * micro-pairs (Σ of micro-probabilities — exact integers,
+    * deterministic cross-engine).
+    *
+    * Scale shape: rides the staged signature relation and the
+    * candidate-bounded agreement pairs ([[agreementPairs]] — never
+    * all-pairs); the config sweep is a 6-way row-local explode of
+    * that bounded relation into a 6-row aggregate. Nothing new
+    * shuffles; the report's cost is the candidate family's own
+    * machinery. */
+  val lshBandRecall: Q = (spark, dir) => {
+    val structs = BandConfigs.map { case (b, r) =>
+      s"struct(CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band, " +
+        s"CAST(${detectMicro("div", b, r)} AS BIGINT) AS p_micro)"
+    }.mkString("array(", ", ", ")")
+    agreementPairs(spark, dir)
+      .select(explode(expr(structs)).as("c"))
+      .select(col("c.bands").as("bands"), col("c.rows_per_band").as("rows_per_band"),
+        col("c.p_micro").as("p_micro"))
+      .groupBy("bands", "rows_per_band")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("p_micro")).as("expected_detected_micro"))
+      .orderBy("bands")
+  }
+  val lshBandRecallSql: String = {
+    val agree = (0 until NumHashes)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    val structs = BandConfigs.map { case (b, r) =>
+      s"{'bands': CAST($b AS BIGINT), 'rows_per_band': CAST($r AS BIGINT), " +
+        s"'p_micro': CAST(${detectMicro("//", b, r)} AS BIGINT)}"
+    }.mkString("[", ", ", "]")
+    s"""WITH ${minhashCtes(NearDupesSql)},
+       |ag AS (
+       |  SELECT CAST($agree AS BIGINT) AS n_agree
+       |  FROM mh_pairs p
+       |  JOIN sig a ON a.doc_id = p.doc_a
+       |  JOIN sig b ON b.doc_id = p.doc_b),
+       |cfg AS (SELECT unnest($structs) AS c FROM ag)
+       |SELECT c.bands AS bands, c.rows_per_band AS rows_per_band,
+       |       count(*) AS n_pairs,
+       |       CAST(sum(c.p_micro) AS BIGINT) AS expected_detected_micro
+       |FROM cfg GROUP BY 1, 2 ORDER BY bands""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -1059,6 +1144,7 @@ object Dedup {
     "simhash_near_dup" -> simhashNearDup,
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
     "minhash_jaccard_estimate" -> minhashJaccardEstimate,
+    "lsh_band_recall" -> lshBandRecall,
   )
   val oracles: Map[String, String] = Map(
     "exact_dedup_documents" -> exactDedupDocumentsSql,
@@ -1072,5 +1158,6 @@ object Dedup {
     "simhash_near_dup" -> simhashNearDupSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "minhash_jaccard_estimate" -> minhashJaccardEstimateSql,
+    "lsh_band_recall" -> lshBandRecallSql,
   )
 }

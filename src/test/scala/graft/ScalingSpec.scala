@@ -87,7 +87,12 @@ class ScalingSpec extends AnyFunSuite {
       // the row_number window AND the batch aggregate (batch is a
       // function of the window's partition keys); expected ~linear,
       // lanes bound every window partition
-      "length_bucket_batches")
+      "length_bucket_batches",
+      // r15: the banding recall audit — rides the candidate family's
+      // staged signatures + bounded pairs; the config sweep is a
+      // row-local 6-way explode into a 6-row agg, so growth should
+      // track minhash_lsh_candidates'
+      "lsh_band_recall")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
