@@ -461,9 +461,13 @@ object Curation {
     * are the FineWeb/Dolma-style per-domain contribution caps, made
     * exact: keep a doc ⟺ the tokens of strictly-higher-priority kept
     * docs from its source are still under the source's budget — so a
-    * doc is never half-kept, the first doc of a source always survives,
-    * and the decision needs no float (budget and running sum are
-    * integer token counts; the 6/10 budget is an integer multiply-div).
+    * doc is never half-kept, the first doc of a source survives
+    * whenever its budget is non-zero (a source whose total mass floors
+    * the 6/10 budget to 0 — mass ≤ 1 token — keeps nothing, the same
+    * zero-budget quarantine [[graft.streaming.BudgetStream]] applies
+    * to unvetted sources), and the decision needs no float (budget and
+    * running sum are integer token counts; the 6/10 budget is an
+    * integer multiply-div).
     *
     * Scale shape: one source-partitioned exchange carries BOTH windows
     * (the unordered per-source mass and the ordered running sum share
@@ -546,8 +550,11 @@ object Curation {
     * corpus-sized past the first aggregate. */
   /** Per-(source, term) token counts of a (source, text) relation —
     * the ONE corpus-sized pass both the reference model and the
-    * scored side derive from. */
-  private def driftCounts(docs: DataFrame): DataFrame =
+    * scored side derive from (also the tokenizer of record for
+    * [[graft.streaming.DriftStream]]'s frozen model — shared so the
+    * streaming model can never train on a different tokenization than
+    * the batch report scores with). */
+  private[graft] def driftCounts(docs: DataFrame): DataFrame =
     docs
       .select(col("source"), explode(split(col("text"), " ")).as("term"))
       .groupBy("source", "term").agg(count(lit(1)).as("n_st"))

@@ -434,9 +434,22 @@ object TrainingMix {
     * importance + keep flag, unordered (callers order or stream). The
     * scoring plan touches only the DOCS being scored: model and mean
     * are whatever relations the caller hands in (the batch query's
-    * lazy subtrees, or a streaming scorer's frozen persisted table). */
+    * lazy subtrees, or a streaming scorer's frozen persisted table).
+    *
+    * The model join is LEFT: a streaming doc can hash grams into
+    * buckets the frozen reference never populated (the sf-sized
+    * reference fills only a fraction of the 8192-bucket space), and
+    * the add-one smoothing already defines that case — t = r = 0 →
+    * rb = (0+1)·10⁶ div (0+1) = 10⁶, the no-evidence neutral ratio —
+    * so absent buckets coalesce to [[DsirScale]] instead of silently
+    * dropping the gram (an inner join would lose whole docs whose
+    * grams are all out-of-model, and bias everyone else's mean). In
+    * the batch query the left join degenerates to the inner one: the
+    * model is trained on the corpus being scored, so every probed
+    * bucket exists. */
   private[graft] def dsirScore(docs: DataFrame, model: DataFrame, mean: DataFrame): DataFrame =
-    dsirGrams(docs).join(model, "b")
+    dsirGrams(docs).join(model, Seq("b"), "left_outer")
+      .withColumn("rb", coalesce(col("rb"), lit(DsirScale)))
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_grams"), sum(col("rb")).as("rsum"))
       .crossJoin(mean)

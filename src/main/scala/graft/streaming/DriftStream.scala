@@ -47,14 +47,16 @@ object DriftStream {
   def start(docs: Dataset[SourcedDoc], refDir: String, name: String)(
       onReport: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = docs.sparkSession
-    val ct = Tables.documents(spark, refDir)
-      .select(explode(split(col("text"), " ")).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("n_t"))
+    // the reference distribution derives from the SAME token-count
+    // pass the batch report runs (Curation.driftCounts) — the
+    // parity-by-shared-code contract covers training, not just scoring
+    val ct = Curation.driftCounts(Tables.documents(spark, refDir))
+      .groupBy("term").agg(sum(col("n_st")).as("n_t"))
     val (pt0, pTotal0) = Curation.driftModel(ct)
     val pt = pt0.persist()
     val pTotal = pTotal0.persist()
     pt.count(); pTotal.count()
-    docs.toDF().writeStream
+    val query = docs.toDF().writeStream
       .queryName(name)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -67,5 +69,10 @@ object DriftStream {
         } finally { report.unpersist(); () }
       }
       .start()
+    // release this model generation when the query terminates (the
+    // DsirStream blue/green hygiene — pt is vocabulary-sized, the
+    // costliest of the frozen artifacts to leak)
+    Streams.unpersistOnTermination(spark, query, Seq(pt, pTotal))
+    query
   }
 }

@@ -41,7 +41,7 @@ object DsirStream {
     val model = model0.persist()
     val mean = mean0.persist()
     model.count(); mean.count()
-    docs.toDF().writeStream
+    val query = docs.toDF().writeStream
       .queryName(name)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -56,5 +56,11 @@ object DsirStream {
         } finally { scored.unpersist(); () }
       }
       .start()
+    // blue/green lifecycle hygiene: each start() pins a model
+    // generation in the block manager; release it when THIS query
+    // terminates, or N retrains in a long-lived session would leak N
+    // frozen models (the listener removes itself — one per generation)
+    Streams.unpersistOnTermination(spark, query, Seq(model, mean))
+    query
   }
 }

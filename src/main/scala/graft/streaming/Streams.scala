@@ -139,6 +139,31 @@ object Streams {
       .trigger(Trigger.ProcessingTime(intervalMs))
       .foreachBatch(isolated(onBatch))
       .start()
+
+  /** Release frozen-model relations when `query` terminates — the
+    * blue/green lifecycle hygiene shared by the frozen-artifact
+    * streams ([[DsirStream]], [[DriftStream]]): each `start()` pins a
+    * model generation in the block manager, and without this hook a
+    * long-lived session retraining N times leaks N generations. The
+    * listener matches the query by id and removes itself after
+    * firing. */
+  def unpersistOnTermination(spark: org.apache.spark.sql.SparkSession,
+      query: org.apache.spark.sql.streaming.StreamingQuery,
+      pinned: Seq[DataFrame]): Unit = {
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          pinned.foreach(_.unpersist())
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+  }
 }
 
 /** S7–S9 sink semantics without a transactional table format in the

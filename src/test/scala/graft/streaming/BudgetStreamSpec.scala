@@ -66,9 +66,12 @@ class BudgetStreamSpec extends AnyFunSuite {
     val firstSpend = first.groupBy(_.source).view.mapValues(_.map(_.nTokens).sum).toMap
     second.groupBy(_.source).foreach { case (src, ds) =>
       val head = ds.sortBy(d => (-d.nTokens, d.docId)).head
+      // getOrElse: a single-doc source contributes nothing to batch 1
+      // (length/2 == 0), so its carried spend is legitimately zero
+      val expect = firstSpend.getOrElse(src, 0L)
       val got = decisions.find(_.docId == head.docId).get.spentBefore
-      assert(got == firstSpend(src),
-        s"$src: batch-2 head spentBefore $got != batch-1 spend ${firstSpend(src)}")
+      assert(got == expect,
+        s"$src: batch-2 head spentBefore $got != batch-1 spend $expect")
     }
   }
 

@@ -49,4 +49,39 @@ class DsirStreamSpec extends AnyFunSuite {
     val ids = outs.flatten.map(_.getLong(0))
     assert(ids.distinct.length == ids.length, "a doc was scored in two batches")
   }
+
+  test("a doc whose grams miss every trained bucket still scores — at the neutral ratio") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[IncomingDoc]
+    val outs = scala.collection.mutable.ArrayBuffer.empty[Array[Row]]
+    val q = DsirStream.start(in.toDS(), Dir, "dsir-novel") {
+      (scored, _) => outs.synchronized { outs += scored.collect() }
+    }
+    try {
+      // the reference corpus populates a fraction of the 8192-bucket
+      // space; search for a single bigram whose hashed bucket the
+      // trained model never saw (adaptive — a fixed probe phrase would
+      // hit a trained bucket with high probability)
+      val (model, _) = graft.operators.TrainingMix.dsirModel(spark, Dir)
+      val trained = model.select("b").collect().map(_.getLong(0)).toSet
+      val candidates = (1 to 400).map(i => s"zzqa$i zzqb$i")
+      val hit = candidates.find { text =>
+        val b = spark.sql(
+          s"SELECT graft_winhash(split('$text', ' '), 2)[0] % 8192 AS b")
+          .collect().head.getLong(0)
+        !trained.contains(b)
+      }
+      assert(hit.nonEmpty, "no untrained bucket in 400 probes — model suspiciously full")
+      in.addData(IncomingDoc(900001L, "xx", hit.get))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = outs.flatten
+    assert(rows.length == 1,
+      s"the all-novel doc must still be scored (inner-join regression): ${rows.length} rows")
+    // every gram coalesces to the add-one neutral ratio 10^6, so the
+    // importance mean is exactly 10^6
+    assert(rows.head.getLong(3) == 1000000L,
+      s"all-unseen grams must score the neutral ratio: ${rows.head}")
+  }
 }

@@ -15,6 +15,8 @@ import sys
 
 
 def main():
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
     if sys.argv[1] == "--run":
         out = subprocess.run(
             [sys.executable, "tools/oracle_bench.py"] + sys.argv[2:],
