@@ -391,9 +391,9 @@ object Curation {
   /** Short-document threshold (chars) and the gate fraction: a source
     * ships only while its short-doc share stays at or under
     * [[GateNum]]/[[GateDen]] = 30%. */
-  private val ShortChars = 200L
-  private val GateNum = 3L
-  private val GateDen = 10L
+  private[graft] val ShortChars = 200L
+  private[graft] val GateNum = 3L
+  private[graft] val GateDen = 10L
 
   /** DOMAIN-level quality gate — the curation pass that drops whole
     * sources, not documents (C4's domain blocklists, RefinedWeb/Dolma's

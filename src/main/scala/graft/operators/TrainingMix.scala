@@ -418,8 +418,14 @@ object TrainingMix {
     * ratio relation (b, rb) and its 1-row gram-weighted mean — shared
     * by the batch selector and the frozen-model streaming scorer
     * ([[graft.streaming.DsirStream]]). */
-  private[graft] def dsirModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val model = dsirGrams(Tables.documents(spark, dir)).groupBy("b")
+  private[graft] def dsirModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    dsirModelOf(Tables.documents(spark, dir))
+
+  /** The same trained model over an explicit docs relation — the form
+    * composed pipelines train on an upstream-filtered corpus
+    * ([[mixPipeline]] trains on its budget survivors). */
+  private[graft] def dsirModelOf(docs: DataFrame): (DataFrame, DataFrame) = {
+    val model = dsirGrams(docs).groupBy("b")
       .agg(count(lit(1)).as("r"),
         sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("t"))
       .select(col("b"), col("r"),
@@ -654,6 +660,130 @@ object TrainingMix {
        |FROM b GROUP BY bucket, shard, batch
        |ORDER BY bucket, shard, batch""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X68 mix_pipeline — the composed mix-side campaign with funnel audit
+  // ---------------------------------------------------------------------
+
+  /** The composed MIX-SIDE campaign — the three curation/mix stages a
+    * data-mix team runs in sequence, composed end-to-end with the
+    * funnel report every stage review meeting actually looks at:
+    *
+    *   1. DOMAIN GATE ([[Curation.sourceQualityGate]]'s rule): drop
+    *      whole sources whose short-doc share exceeds 30%;
+    *   2. TOKEN BUDGET ([[Curation.sourceTokenBudget]]'s rule, applied
+    *      to the gate's survivors): each surviving source spends 6/10
+    *      of its (surviving) token mass longest-first;
+    *   3. DSIR SELECT ([[dsirSelect]]'s rule, model trained on the
+    *      budget's survivors — each stage sees the world its
+    *      predecessor left): keep docs at or above the gram-weighted
+    *      mean importance. Docs with < 2 words have no bigram features
+    *      and drop here by construction.
+    *
+    * Output: the per-(source, lang) FUNNEL — corpus docs, survivors of
+    * each stage, and the final selected token mass. Compact
+    * (domains × languages rows), exact integers, and the composition
+    * is auditable: n0 ≥ n1 ≥ n2 ≥ n3 per row by construction.
+    *
+    * Scale shape: stage flags ride ONE source-partitioned exchange
+    * (the budget windows, with non-gated docs contributing 0 to the
+    * conditional running sum — subset windows without a second
+    * shuffle); the DSIR stage reuses the constant-size-model machinery
+    * on the filtered relation; the funnel is one (source, lang)
+    * aggregate after a doc-keyed left join of the selection verdicts.
+    * Nothing pairwise, nothing corpus-global but the stages' own
+    * audited exchanges. */
+  val mixPipeline: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val stats = d.groupBy("source").agg(
+      count(lit(1)).as("src_docs"),
+      sum(when(col("n_chars") < Curation.ShortChars, 1L).otherwise(0L)).as("src_short"))
+    val g = d.join(stats, "source").withColumn("g1",
+      col("src_short") * Curation.GateDen <= col("src_docs") * Curation.GateNum)
+    // budget windows over the GATED subset without re-shuffling: the
+    // conditional sum gives non-gated rows zero weight, so their
+    // presence in the frame is harmless and both windows still share
+    // the one source-partitioned exchange
+    val spendW = Window.partitionBy("source")
+      .orderBy(col("n_tok").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gatedTok = when(col("g1"), col("n_tok")).otherwise(lit(0L))
+    val b = g
+      .withColumn("budget", expr(
+        s"(sum(CASE WHEN g1 THEN n_tok ELSE 0 END) OVER (PARTITION BY source)" +
+          s" * ${Curation.BudgetNum}) div ${Curation.BudgetDen}"))
+      .withColumn("spent", coalesce(sum(gatedTok).over(spendW), lit(0L)))
+      .withColumn("keep2", col("g1") && col("spent") < col("budget"))
+    val survivors = b.filter(col("keep2")).select("doc_id", "lang", "text")
+    val (model, mean) = dsirModelOf(survivors)
+    val verdicts = dsirScore(survivors, model, mean)
+      .select(col("doc_id"), col("keep").as("keep3"))
+    b.join(verdicts, Seq("doc_id"), "left_outer")
+      .withColumn("keep3", coalesce(col("keep3"), lit(false)))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n0_docs"),
+        sum(when(col("g1"), 1L).otherwise(0L)).as("n1_gated"),
+        sum(when(col("keep2"), 1L).otherwise(0L)).as("n2_budgeted"),
+        sum(when(col("keep3"), 1L).otherwise(0L)).as("n3_selected"),
+        sum(when(col("keep3"), col("n_tok")).otherwise(0L)).as("tok_selected"))
+      .orderBy("source", "lang")
+  }
+  val mixPipelineSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, lang, text, n_chars,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |s AS (
+       |  SELECT source, count(*) AS src_docs,
+       |         sum(CASE WHEN n_chars < ${Curation.ShortChars} THEN 1 ELSE 0 END)
+       |           AS src_short
+       |  FROM d GROUP BY 1),
+       |g AS (
+       |  SELECT d.*, (src_short * ${Curation.GateDen} <= src_docs * ${Curation.GateNum})
+       |           AS g1
+       |  FROM d JOIN s USING (source)),
+       |b AS (
+       |  SELECT *,
+       |         CAST((sum(CASE WHEN g1 THEN n_tok ELSE 0 END)
+       |                 OVER (PARTITION BY source) * ${Curation.BudgetNum})
+       |              // ${Curation.BudgetDen} AS BIGINT) AS budget,
+       |         CAST(coalesce(sum(CASE WHEN g1 THEN n_tok ELSE 0 END)
+       |                 OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |               0) AS BIGINT) AS spent
+       |  FROM g),
+       |k AS (SELECT *, g1 AND spent < budget AS keep2 FROM b),
+       |grams AS (
+       |  SELECT doc_id, lang,
+       |         unnest(list_transform(range(1, len(words)),
+       |           i -> ${h60Duck("array_to_string(words[i:i+1], ' ')")} % $DsirBuckets)) AS bb
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS words
+       |        FROM k WHERE keep2)
+       |  WHERE len(words) >= 2),
+       |model AS (
+       |  SELECT bb, count(*) AS r,
+       |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t
+       |  FROM grams GROUP BY bb),
+       |rb AS (SELECT bb, r, CAST(((t + 1) * 1000000) // (r + 1) AS BIGINT) AS rb
+       |       FROM model),
+       |m AS (SELECT CAST(sum(CAST(rb AS HUGEINT) * r) // sum(CAST(r AS HUGEINT))
+       |               AS BIGINT) AS gram_mean FROM rb),
+       |sc AS (
+       |  SELECT doc_id, (imp >= gram_mean) AS keep3 FROM (
+       |    SELECT g2.doc_id, CAST(sum(rb.rb) // count(*) AS BIGINT) AS imp
+       |    FROM grams g2 JOIN rb USING (bb)
+       |    GROUP BY g2.doc_id) CROSS JOIN m)
+       |SELECT source, lang,
+       |       count(*) AS n0_docs,
+       |       CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_gated,
+       |       CAST(sum(CASE WHEN keep2 THEN 1 ELSE 0 END) AS BIGINT) AS n2_budgeted,
+       |       CAST(sum(CASE WHEN coalesce(keep3, false) THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n3_selected,
+       |       CAST(sum(CASE WHEN coalesce(keep3, false) THEN n_tok ELSE 0 END) AS BIGINT)
+       |         AS tok_selected
+       |FROM k LEFT JOIN sc USING (doc_id)
+       |GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "temperature_resample" -> temperatureResample,
     "sequence_pack" -> sequencePack,
@@ -664,11 +794,13 @@ object TrainingMix {
     "dsir_select" -> dsirSelect,
     "doremi_weights" -> doremiWeights,
     "length_bucket_batches" -> lengthBucketBatches,
+    "mix_pipeline" -> mixPipeline,
   )
   val oracles: Map[String, String] = Map(
     "dsir_select" -> dsirSelectSql,
     "doremi_weights" -> doremiWeightsSql,
     "length_bucket_batches" -> lengthBucketBatchesSql,
+    "mix_pipeline" -> mixPipelineSql,
     "temperature_resample" -> temperatureResampleSql,
     "sequence_pack" -> sequencePackSql,
     "dataset_split" -> datasetSplitSql,

@@ -92,7 +92,12 @@ class ScalingSpec extends AnyFunSuite {
       // staged signatures + bounded pairs; the config sweep is a
       // row-local 6-way explode into a 6-row agg, so growth should
       // track minhash_lsh_candidates'
-      "lsh_band_recall")
+      "lsh_band_recall",
+      // r15: the composed mix-side campaign — stage flags on one
+      // source-keyed exchange + the constant-model DSIR stage; every
+      // constituent is individually decade-measured, so the composed
+      // growth should be their max (~linear)
+      "mix_pipeline")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
