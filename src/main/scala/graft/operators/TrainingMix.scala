@@ -714,18 +714,38 @@ object TrainingMix {
           s" * ${Curation.BudgetNum}) div ${Curation.BudgetDen}"))
       .withColumn("spent", coalesce(sum(gatedTok).over(spendW), lit(0L)))
       .withColumn("keep2", col("g1") && col("spent") < col("budget"))
-    val survivors = b.filter(col("keep2")).select("doc_id", "lang", "text")
-    val (model, mean) = dsirModelOf(survivors)
-    val verdicts = dsirScore(survivors, model, mean)
-      .select(col("doc_id"), col("keep").as("keep3"))
-    b.join(verdicts, Seq("doc_id"), "left_outer")
-      .withColumn("keep3", coalesce(col("keep3"), lit(false)))
+    val survivors = b.filter(col("keep2"))
+    val (model, mean) = dsirModelOf(survivors.select("doc_id", "lang", "text"))
+    // stage 3 funnel numbers WITHOUT a doc-keyed verdict join back onto
+    // the corpus: `source` and `n_tok` ride the scoring aggregate's key
+    // (both functionally dependent on doc_id — zero extra shuffle, the
+    // bigramFluency trick), so the selection verdict aggregates
+    // straight to (source, lang) and the funnel becomes two
+    // domain-cardinality relations joined at domain size. The previous
+    // spelling shuffled the corpus AND the verdicts by doc_id just to
+    // recover columns the aggregate could have carried.
+    val stage3 = survivors
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+        explode(expr(s"transform(graft_winhash(words, 2), h -> h % $DsirBuckets)")).as("b"))
+      .join(model, Seq("b"), "left_outer")
+      .withColumn("rb", coalesce(col("rb"), lit(DsirScale)))
+      .groupBy("doc_id", "lang", "source", "n_tok")
+      .agg(count(lit(1)).as("n_grams"), sum(col("rb")).as("rsum"))
+      .crossJoin(mean)
+      .filter(expr("rsum div n_grams") >= col("gram_mean"))
       .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n3_selected"), sum(col("n_tok")).as("tok_selected"))
+    b.groupBy("source", "lang")
       .agg(count(lit(1)).as("n0_docs"),
         sum(when(col("g1"), 1L).otherwise(0L)).as("n1_gated"),
-        sum(when(col("keep2"), 1L).otherwise(0L)).as("n2_budgeted"),
-        sum(when(col("keep3"), 1L).otherwise(0L)).as("n3_selected"),
-        sum(when(col("keep3"), col("n_tok")).otherwise(0L)).as("tok_selected"))
+        sum(when(col("keep2"), 1L).otherwise(0L)).as("n2_budgeted"))
+      .join(stage3, Seq("source", "lang"), "left_outer")
+      .select(col("source"), col("lang"), col("n0_docs"), col("n1_gated"),
+        col("n2_budgeted"),
+        coalesce(col("n3_selected"), lit(0L)).as("n3_selected"),
+        coalesce(col("tok_selected"), lit(0L)).as("tok_selected"))
       .orderBy("source", "lang")
   }
   val mixPipelineSql: String =
