@@ -114,7 +114,14 @@ object Bench {
     // (the relative path would otherwise scatter stray files — or
     // silently write nothing durable — under spark-submit's scratch
     // dirs).
-    if (args.isEmpty && sfDir == "/root/testdata/sf0.1" &&
+    // path IDENTITY, not string equality: a trailing slash or symlinked
+    // spelling of the canonical dir must not silently skip the durable
+    // record (the exact loss mode this block exists to prevent)
+    val canonicalSf =
+      try java.nio.file.Paths.get(sfDir).toRealPath() ==
+        java.nio.file.Paths.get("/root/testdata/sf0.1").toRealPath()
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (args.isEmpty && canonicalSf &&
         java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt"))) {
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -80,7 +80,23 @@ case class SemDedupKeep(child: Expression)
         throw new IllegalArgumentException(
           s"graft_semdedup_keep: null member or null vec_id/qu/nrm field at index $i")
       ids(i) = row.getLong(0)
-      qus(i) = row.getArray(1).toLongArray()
+      // the qu element type is nullable in most feeds (transform()
+      // and test-harness encoders both type it containsNull=true even
+      // though no null is ever produced), so the inner-null contract
+      // is enforced HERE, loudly, instead of NPE-ing in toLongArray —
+      // an O(dim) scan that is noise next to the O(m²·dim) loop below
+      val qarr = row.getArray(1)
+      val dim = qarr.numElements()
+      val q = new Array[Long](dim)
+      var j = 0
+      while (j < dim) {
+        if (qarr.isNullAt(j))
+          throw new IllegalArgumentException(
+            s"graft_semdedup_keep: null vector element at member $i dim $j")
+        q(j) = qarr.getLong(j)
+        j += 1
+      }
+      qus(i) = q
       nrms(i) = row.getLong(2)
       i += 1
     }

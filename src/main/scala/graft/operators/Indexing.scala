@@ -477,12 +477,16 @@ object Indexing {
         s"replace($acc, '|' || b$r.a || '||' || b$r.b || '|', '|' || b$r.a || b$r.b || '|')"
     }
     s"""WITH $bpeCtePrefix,
-       |enc AS (
+       |raw AS (
        |  SELECT doc_id, lang,
        |         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
-       |         CAST((length($encodeExpr) - length(replace($encodeExpr, '||', ''))) // 2 + 1
-       |              - (length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS n_tokens
-       |  FROM documents, ${(0 until BpeRounds).map(r => s"b$r").mkString(", ")})
+       |         $encodeExpr AS e
+       |  FROM documents, ${(0 until BpeRounds).map(r => s"b$r").mkString(", ")}),
+       |enc AS (
+       |  SELECT doc_id, lang, n_words,
+       |         CAST((length(e) - length(replace(e, '||', ''))) // 2 + 1
+       |              - (n_words - 1) AS BIGINT) AS n_tokens
+       |  FROM raw)
        |SELECT lang, count(*) AS n_docs,
        |       CAST(sum(n_words) AS BIGINT) AS n_words,
        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,

@@ -163,6 +163,17 @@ object Streams {
         }
     }
     spark.streams.addListener(listener)
+    // the listener is necessarily registered AFTER start() (the query
+    // id doesn't exist earlier), so a query that failed or was stopped
+    // in that window has already posted its termination event to a bus
+    // we weren't on. Close the race by checking liveness after
+    // registration: if the query is already dead, clean up directly
+    // (unpersist is idempotent, so the both-paths-fire interleaving is
+    // harmless).
+    if (!query.isActive) {
+      pinned.foreach(_.unpersist())
+      spark.streams.removeListener(listener)
+    }
   }
 }
 
