@@ -512,6 +512,65 @@ object Dedup {
     s"""WITH RECURSIVE ${ccCtes(NearDupesSql)}
        |SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X69 dedup_rate_report — per-source near-dup drop rates
+  // ---------------------------------------------------------------------
+
+  /** Per-SOURCE dedup impact report over the near-dup corpus — the
+    * ops artifact every dedup campaign ships alongside the deduped
+    * output: for each source, how many docs it contributed, how many
+    * survived as cluster canonicals (min-label representative, the
+    * `near_dup_cluster` contract), how many were shadowed, and the
+    * exact per-mille drop rate. A source whose drop rate spikes
+    * between crawls is re-serving content it already shipped — the
+    * dedup-side complement of the `source_unigram_drift` content-mix
+    * signal, and the number a crawl-scheduling loop feeds back on.
+    *
+    * Source attribution: the corpus's injected near-dup variants ride
+    * the synthetic [[ReKeyA]] id band, so every doc maps to its
+    * original id (`doc_id mod 2⁴⁰` here, spelled as the conditional
+    * subtraction both engines share) and takes THAT doc's source —
+    * deterministic, join-recoverable, no source column needs to ride
+    * the dedup relations themselves.
+    *
+    * Scale shape: the shared CC label relation ([[clusterLabelsOf]] —
+    * computed once per session via the signature stage) joined to the
+    * domain-cardinality source map on the original id (AQE-owned;
+    * broadcast at harness scale, shuffle at web scale), then ONE
+    * map-combinable source-keyed aggregate. Nothing new shuffles
+    * beyond the candidate family's own audited machinery. */
+  val dedupRateReport: Q = (spark, dir) => {
+    val labels = clusterLabelsOf(withNearDupes(spark, dir))
+    val srcOf = graft.Tables.documents(spark, dir).select(
+      col("doc_id").as("orig_id"), col("source"))
+    labels
+      .withColumn("orig_id",
+        when(col("doc_id") >= ReKeyA, col("doc_id") - ReKeyA).otherwise(col("doc_id")))
+      .join(srcOf, "orig_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        expr("((n_docs - n_kept) * 1000L) div n_docs").as("drop_permille"))
+      .orderBy("source")
+  }
+  val dedupRateReportSql: String =
+    s"""WITH RECURSIVE ${ccCtes(NearDupesSql)}
+       |SELECT source, n_docs, n_kept,
+       |       n_docs - n_kept AS n_dropped,
+       |       CAST(((n_docs - n_kept) * 1000) // n_docs AS BIGINT) AS drop_permille
+       |FROM (
+       |  SELECT d.source, count(*) AS n_docs,
+       |         CAST(sum(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_kept
+       |  FROM labels l
+       |  JOIN documents d
+       |    ON d.doc_id = CASE WHEN l.doc_id >= $ReKeyA
+       |                       THEN l.doc_id - $ReKeyA ELSE l.doc_id END
+       |  GROUP BY d.source)
+       |ORDER BY source""".stripMargin
+
   /** Dedup RESOLUTION — the step after clustering that the pipeline
     * actually ships: per near-dup cluster, keep the most complete copy
     * (max token count, ties to the smallest doc_id) and record how many
@@ -1138,6 +1197,7 @@ object Dedup {
     "exact_substr_cut" -> exactSubstrCut,
     "minhash_lsh_candidates" -> minhashLshCandidates,
     "near_dup_cluster" -> nearDupCluster,
+    "dedup_rate_report" -> dedupRateReport,
     "dedup_resolve" -> dedupResolve,
     "corpus_chunk_dedup" -> corpusChunkDedup,
     "simhash_fingerprint" -> simhashFingerprint,
@@ -1152,6 +1212,7 @@ object Dedup {
     "exact_substr_cut" -> exactSubstrCutSql,
     "minhash_lsh_candidates" -> minhashLshCandidatesSql,
     "near_dup_cluster" -> nearDupClusterSql,
+    "dedup_rate_report" -> dedupRateReportSql,
     "dedup_resolve" -> dedupResolveSql,
     "corpus_chunk_dedup" -> corpusChunkDedupSql,
     "simhash_fingerprint" -> simhashFingerprintSql,

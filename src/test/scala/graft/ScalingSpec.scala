@@ -97,7 +97,11 @@ class ScalingSpec extends AnyFunSuite {
       // source-keyed exchange + the constant-model DSIR stage; every
       // constituent is individually decade-measured, so the composed
       // growth should be their max (~linear)
-      "mix_pipeline")
+      "mix_pipeline",
+      // r15: the dedup-rate rollup — the staged CC labels + a
+      // domain-map join + source-keyed agg; growth should track
+      // near_dup_cluster's
+      "dedup_rate_report")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
