@@ -101,7 +101,10 @@ class ScalingSpec extends AnyFunSuite {
       // r15: the dedup-rate rollup — the staged CC labels + a
       // domain-map join + source-keyed agg; growth should track
       // near_dup_cluster's
-      "dedup_rate_report")
+      "dedup_rate_report",
+      // r15: the fertility rollup — the X52 encode pass (measured via
+      // bpe_encode) into a language-keyed aggregate; expected ~linear
+      "bpe_fertility")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
