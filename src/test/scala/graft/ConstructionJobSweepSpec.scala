@@ -48,7 +48,10 @@ class ConstructionJobSweepSpec extends AnyFunSuite {
     "ann_ivf_topk", "kmeans_assign",
     "minhash_lsh_candidates", "minhash_jaccard_estimate",
     "ann_lsh_bucket_top1", "semdedup_prune", "ngram_jaccard_pairs",
-    "exact_substr_spans", "exact_substr_cut")
+    "exact_substr_spans", "exact_substr_cut",
+    // the CC label loop again, through the rate rollup (X69 rides the
+    // same staged signature + checkpointed fixpoint as near_dup_cluster)
+    "dedup_rate_report")
 
   test("query construction is lazy (no jobs before the first action)") {
     val jobs = new AtomicInteger(0)
