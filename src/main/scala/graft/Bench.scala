@@ -64,14 +64,27 @@ object Bench {
     // compute (state is wiped between runs — only JVM/JIT warm-up
     // carries, which is exactly the noise-floor a steady-state
     // measurement should exclude).
-    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val first = run(name, fn)
-      var best = math.min(first, run(name, fn))
-      if (best > 0.5) best = math.min(best, run(name, fn))
+    val sampled = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var samples = List(run(name, fn), run(name, fn))
+      if (samples.min > 0.5) samples ::= run(name, fn)
+      name -> samples.filterNot(_.isInfinite).sorted
+    }
+    val results = sampled.map { case (name, ss) =>
       // every run failed → record the parseable -1.0 sentinel ("Infinity"
       // would break the driver's json.load for the whole record)
-      name -> (if (best.isInfinite) -1.0 else best)
+      name -> (if (ss.isEmpty) -1.0 else ss.min)
     }
+    // round-over-round comparability: alongside the per-query mins,
+    // record how many isolated samples each min was taken over and the
+    // median-based total — the min-total converges to the machine's
+    // clean capability, the median-total tracks the session's actual
+    // contention, and the gap between them IS the host-drift band that
+    // otherwise reads as a regression across rounds
+    def median(ss: List[Double]): Double = ss(ss.size / 2) // ss sorted, nonempty
+    val totalMedian = sampled.collect {
+      case (_, ss) if ss.nonEmpty => median(ss) }.sum
+    val samplesJson = sampled.map { case (k, ss) => s"\"$k\":${ss.size}" }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // failures are ALSO listed by name so a sign-unaware consumer
@@ -81,7 +94,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedArr,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$total%.3f,"total_median":$totalMedian%.3f,"samples":$samplesJson,"queries":$qs,"failed":$failedArr,"sf":"$sfDir"}"""
     println(line)
     // The full record above is ~4 KB at the 111-query registry; a log
     // tail capture (the driver keeps the last ~2 KB of stdout) chops its
@@ -117,10 +130,15 @@ object Bench {
     // path IDENTITY, not string equality: a trailing slash or symlinked
     // spelling of the canonical dir must not silently skip the durable
     // record (the exact loss mode this block exists to prevent)
+    // if either side can't resolve (dataset moved/symlink swapped since
+    // the run started), fall back to plain string equality so the exact
+    // canonical spelling still records instead of silently skipping
     val canonicalSf =
       try java.nio.file.Paths.get(sfDir).toRealPath() ==
         java.nio.file.Paths.get("/root/testdata/sf0.1").toRealPath()
-      catch { case scala.util.control.NonFatal(_) => false }
+      catch { case scala.util.control.NonFatal(_) =>
+        sfDir == "/root/testdata/sf0.1"
+      }
     if (args.isEmpty && canonicalSf &&
         java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt"))) {
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),

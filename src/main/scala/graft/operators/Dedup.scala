@@ -540,7 +540,7 @@ object Dedup {
     * map-combinable source-keyed aggregate. Nothing new shuffles
     * beyond the candidate family's own audited machinery. */
   val dedupRateReport: Q = (spark, dir) => {
-    val labels = clusterLabelsOf(withNearDupes(spark, dir))
+    val labels = clusterLabels(spark, dir)
     val srcOf = graft.Tables.documents(spark, dir).select(
       col("doc_id").as("orig_id"), col("source"))
     labels
@@ -1144,9 +1144,18 @@ object Dedup {
     * first spelling briefly reintroduced: a suite run measured the
     * NEXT query +19 s from its heap churn; the row-local form removed
     * both the churn and two shuffles).
+    *
+    * The corpus IS persisted: it feeds both the span derivation and
+    * the join-back, and unlike the bigram family's single-consumer
+    * relations (where a persist serializes concurrent AQE subtrees and
+    * LOSES — docs/SCALE.md r15/r16), here the second consumer re-ran
+    * the whole scan+union chain. Interleaved min-of-5 at sf0.1 (r16):
+    * persisted 1.534 s vs 1.618 unpersisted (median 1.557 vs 1.734,
+    * faster in all five rounds) — the [[corpusChunkDedup]] crossover,
+    * same direction.
     */
   val exactSubstrCut: Q = (spark, dir) => {
-    val corpus = withExactDupes(spark, dir)
+    val corpus = withExactDupes(spark, dir).persist()
     val spans = substrSpansOf(corpus).groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     corpus.join(spans, Seq("doc_id"), "left")

@@ -529,31 +529,35 @@ object TrainingMix {
     *
     * Scale shape: the audited fluency relation (one corpus bigram
     * pass) → a source-cardinality aggregate (domains ≪ docs at any
-    * scale, map-combinable) → two one-row global aggregates attached
-    * by broadcast cross joins (the one-row scalar-attach pattern the
-    * nested-loop sweep allows) → a row-parallel projection over the
-    * domain relation. Nothing past the fluency pass is corpus-sized. */
+    * scale, map-combinable) → global-window scalar attaches over the
+    * domain relation (one single partition of ≤ domains rows — see the
+    * measurement note on [[doremiFromFluency]]) → a row-parallel
+    * projection. Nothing past the fluency pass is corpus-sized. */
   /** Core on an explicit per-doc (source, fluency) relation so specs
     * can feed constructed loss profiles (uniform corpus → uniform
     * weights, one hard domain → that domain weighted up) alongside the
     * registered query's oracle check. */
-  private[operators] def doremiFromFluency(fl: DataFrame): DataFrame = {
-    val perSrc = fl
-      .groupBy("source")
+  private[operators] def doremiFromFluency(fl: DataFrame): DataFrame =
+    // the baseline and normalizing total are GLOBAL-WINDOW sums over the
+    // domain-cardinality aggregate, not 1-row agg + crossJoin attaches:
+    // each crossJoin re-derived the per-source subtree (exchange reuse
+    // kept the corpus pass single, but every reused exchange still
+    // spawns its own AQE stage cascade), where the windows run inside
+    // the one domain-sized relation — a single partition of ≤ domains
+    // rows, trivially bounded at any corpus scale. Interleaved min-of-5
+    // at sf0.1 (r16): 1.233 s windows vs 1.735 crossJoins (median
+    // 1.334 vs 1.808, faster in all five rounds). Same exact-integer
+    // arithmetic; orderBy(source) pins the oracle order.
+    fl.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("fluency")).as("fsum"))
       .select(col("source"), col("n_docs"), col("fsum"),
         expr("fsum div n_docs").as("fluency"))
-    val base = perSrc.agg(expr("sum(fsum) div sum(n_docs)").as("baseline"))
-    val scored = perSrc.crossJoin(base)
-      .select(col("source"), col("n_docs"), col("fluency"),
-        greatest(lit(0L), col("baseline") - col("fluency")).as("excess"))
-    val total = scored.agg(sum(col("excess") + lit(DoremiSmooth)).as("score_total"))
-    scored.crossJoin(total)
-      .select(col("source"), col("n_docs"), col("fluency"), col("excess"),
-        expr(s"((excess + $DoremiSmooth) * 1000L) div score_total")
-          .as("weight_permille"))
+      .withColumn("baseline", expr("sum(fsum) OVER () div sum(n_docs) OVER ()"))
+      .withColumn("excess", greatest(lit(0L), col("baseline") - col("fluency")))
+      .withColumn("weight_permille",
+        expr(s"((excess + $DoremiSmooth) * 1000L) div (sum(excess + $DoremiSmooth) OVER ())"))
+      .select("source", "n_docs", "fluency", "excess", "weight_permille")
       .orderBy("source")
-  }
 
   val doremiWeights: Q = (spark, dir) =>
     doremiFromFluency(TextAnalysis.bigramFluency(spark, dir))
@@ -691,7 +695,26 @@ object TrainingMix {
     * on the filtered relation; the funnel is one (source, lang)
     * aggregate after a doc-keyed left join of the selection verdicts.
     * Nothing pairwise, nothing corpus-global but the stages' own
-    * audited exchanges. */
+    * audited exchanges.
+    *
+    * Two relations ARE persisted (r16, interleaved min-of-5 at sf0.1
+    * against the unpersisted r15 spelling — 1.443 s vs 1.663 min,
+    * 1.470 vs 1.715 median):
+    *  - the budget relation `b` — consumed by the DSIR stage AND the
+    *    funnel aggregate, which otherwise re-ran the scan + gate-stats
+    *    join + budget windows end to end;
+    *  - the survivor GRAM relation — the model aggregate and the
+    *    scoring join both explode it, and sharing one materialization
+    *    also lets the gram-weighted mean ride the model relation as a
+    *    global window (bucket-cardinality partition) instead of a
+    *    1-row crossJoin whose subtree re-aggregated the grams.
+    * Both caches are corpus-bounded rows (docs; grams ≈ tokens) —
+    * at 100 TB the same two relations are the campaign's stage tables
+    * (docs/SCALE.md), materialized to storage rather than memory.
+    * The model join is INNER here (the fused model is trained on
+    * exactly the gram relation being scored, so every probed bucket
+    * exists by construction); [[dsirScore]] keeps the left join for
+    * callers scoring foreign docs against a frozen model. */
   val mixPipeline: Q = (spark, dir) => {
     val d = Tables.documents(spark, dir)
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
@@ -714,8 +737,8 @@ object TrainingMix {
           s" * ${Curation.BudgetNum}) div ${Curation.BudgetDen}"))
       .withColumn("spent", coalesce(sum(gatedTok).over(spendW), lit(0L)))
       .withColumn("keep2", col("g1") && col("spent") < col("budget"))
+      .persist()
     val survivors = b.filter(col("keep2"))
-    val (model, mean) = dsirModelOf(survivors.select("doc_id", "lang", "text"))
     // stage 3 funnel numbers WITHOUT a doc-keyed verdict join back onto
     // the corpus: `source` and `n_tok` ride the scoring aggregate's key
     // (both functionally dependent on doc_id — zero extra shuffle, the
@@ -724,16 +747,25 @@ object TrainingMix {
     // domain-cardinality relations joined at domain size. The previous
     // spelling shuffled the corpus AND the verdicts by doc_id just to
     // recover columns the aggregate could have carried.
-    val stage3 = survivors
-      .withColumn("words", split(col("text"), " "))
+    val grams = survivors.withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 2)
       .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
         explode(expr(s"transform(graft_winhash(words, 2), h -> h % $DsirBuckets)")).as("b"))
-      .join(model, Seq("b"), "left_outer")
-      .withColumn("rb", coalesce(col("rb"), lit(DsirScale)))
+      .persist()
+    val model = grams.groupBy("b")
+      .agg(count(lit(1)).as("r"),
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("t"))
+      .select(col("b"), col("r"),
+        expr(s"((t + 1L) * $DsirScale) div (r + 1L)").as("rb"))
+      // the gram-weighted mean as a global window over the ≤ DsirBuckets
+      // model rows — same DECIMAL(38,0) arithmetic as dsirModelOf's agg
+      .withColumn("gram_mean", expr(
+        """CAST(sum(CAST(rb AS DECIMAL(38,0)) * r) OVER ()
+          |     div sum(CAST(r AS DECIMAL(38,0))) OVER () AS BIGINT)""".stripMargin))
+    val stage3 = grams.join(model.select("b", "rb", "gram_mean"), Seq("b"))
       .groupBy("doc_id", "lang", "source", "n_tok")
-      .agg(count(lit(1)).as("n_grams"), sum(col("rb")).as("rsum"))
-      .crossJoin(mean)
+      .agg(count(lit(1)).as("n_grams"), sum(col("rb")).as("rsum"),
+        max(col("gram_mean")).as("gram_mean"))
       .filter(expr("rsum div n_grams") >= col("gram_mean"))
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n3_selected"), sum(col("n_tok")).as("tok_selected"))

@@ -47,7 +47,15 @@ final case class BudgetDecision(docId: Long, source: String, nTokens: Long,
   * nothing per-doc is retained, no watermark is needed.
   * `flatMapGroupsWithState` keys on source, so domains gate
   * independently and in parallel, exactly like the batch window
-  * partitions. */
+  * partitions. TRANSIENT memory is a different bound: the within-batch
+  * priority sort materializes one source's micro-batch group in a
+  * single task (`incoming.toSeq` below), so peak task memory is
+  * O(largest per-source batch) — the cost driver for a skewed mega-
+  * source. That's a property of the batch SIZE, not the stream length;
+  * the operational lever is trigger sizing (smaller micro-batches), or
+  * dropping the within-batch ORDER BY and gating in arrival order,
+  * which restores O(1) per-row streaming through the group iterator at
+  * the price of the batch op's priority semantics. */
 object BudgetStream {
 
   /** The batch op's budget formula over a reference corpus, collected

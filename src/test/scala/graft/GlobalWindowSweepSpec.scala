@@ -28,7 +28,16 @@ class GlobalWindowSweepSpec extends AnyFunSuite {
     "vocab_build" -> 1,
     "global_row_index" -> 1,
     "zorder_layout" -> 1,
-    "pipeline_layout" -> 1)
+    "pipeline_layout" -> 1,
+    // r16 scalar attaches respelled as global windows over BOUNDED
+    // aggregate relations (measured wins vs the crossJoin subtree
+    // recomputes — docs/SCALE.md r16):
+    //  - doremi_weights: baseline + normalizing total over the
+    //    per-SOURCE aggregate (domain-cardinality, corpus-independent);
+    //  - mix_pipeline: gram-weighted mean over the hashed model
+    //    relation (≤ DsirBuckets = 8192 rows by construction).
+    "doremi_weights" -> 2,
+    "mix_pipeline" -> 1)
 
   test("no registered query plans an unpartitioned window over an unbounded relation") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
