@@ -410,9 +410,19 @@ object Relational {
 
   /** P7 `cast_str_int` — string→int casts of scraped fields
     * (scrapers/user.py:52): extract the numeric `k` from the JSON props
-    * payload and cast. */
+    * payload and cast.
+    *
+    * The scan is [[Tables.fanout]]-rebalanced: the sf0.1 events file is
+    * one 2 MB scan partition, so the per-row JSON parse ran on ONE task
+    * — twice, since the range sort's sampling pass re-evaluates the
+    * projection. Fanning the scan runs both parse passes 32-way
+    * (interleaved min-of-5 at sf0.1, r16: 0.575/0.652 fanned vs
+    * 0.746/0.838 — faster all five rounds; fanout + parse-after-sort
+    * measured WORSE, 1.030, the extra exchange defeats it). At real
+    * scale the scan is many-partition by itself and fanout is a no-op
+    * by construction. */
   val castStrInt: Q = (spark, dir) =>
-    Tables.events(spark, dir)
+    Tables.fanout(Tables.events(spark, dir))
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy("event_id")
