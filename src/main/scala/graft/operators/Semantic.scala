@@ -61,7 +61,7 @@ object Semantic {
     * kernel — precomputed once so every distance below is
     * na − 2·(q·c) + ‖c‖², one fused-loop dot per centroid instead of a
     * per-element interpreted fold. */
-  private def quantShifted(vecs: DataFrame): DataFrame =
+  private[operators] def quantShifted(vecs: DataFrame): DataFrame =
     vecs.select(col("vec_id"),
       expr(s"graft_quant(embedding, ${QScale}L, ${QShift}L)").as("q"))
       .withColumn("na", expr("graft_doti(q, q)"))
@@ -281,12 +281,233 @@ object Semantic {
        |WHERE vec_id NOT IN (SELECT bid FROM drops)
        |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X70 pq_adc_topk — product-quantization ADC top-k
+  // ---------------------------------------------------------------------
+
+  /** PQ geometry: [[Dim]]=64 split into M=4 subspaces of 16 dims, 8
+    * codes per subspace → a 4-byte code per vector (16× smaller than
+    * even the int8 scalar quantization in `scalar_quantize_embeddings`).
+    * Testdata-sized: production PQ runs M=8..64, K=256 — the loop and
+    * the arithmetic are identical, only the constants grow. */
+  val PqM = 4
+  val PqSubDim = 16
+  val PqK = 8
+  private val PqQueries = 10L
+  private val PqTopK = 3
+
+  /** Per-subspace sliced columns qs{m} / their norms ns{m} attached to a
+    * quantized relation — shared by training, encoding, and the query-
+    * side ADC tables. */
+  private[operators] def withSubs(v: DataFrame): DataFrame =
+    (0 until PqM).foldLeft(v) { (df, m) =>
+      df.withColumn(s"qs$m", expr(s"slice(q, ${m * PqSubDim + 1}, $PqSubDim)"))
+        .withColumn(s"ns$m", expr(s"graft_doti(qs$m, qs$m)"))
+    }
+
+  /** Best (d, cid) struct for subspace m against driver-held centroids —
+    * [[assign]]'s literal-array distance columns on the sub-slice:
+    * d = ns_m − 2·(qs_m·c) + ‖c‖², exact longs, ties to lowest cid via
+    * `array_min` over (d, cid) structs. */
+  private def pqBest(m: Int, cents: Seq[(Long, Seq[Long], Long)]): Column = {
+    val ds = cents.sortBy(_._1).map { case (cid, c, nc) =>
+      struct(
+        (col(s"ns$m") - lit(2L) *
+          expr(s"graft_doti(qs$m, array(${c.map(v => s"${v}L").mkString(",")}))")
+          + lit(nc)).as("d"),
+        lit(cid).as("cid"))
+    }
+    array_min(array(ds: _*))
+  }
+
+  /** Train the [[PqM]] codebooks: the SAME Lloyd shape as [[kmeans]]
+    * (driver-collected K·SubDim-long state per round, per-row work
+    * distributed), with all four subspaces' centroid updates fused into
+    * ONE aggregate job — the (m, cid_m, qs_m) triples explode 4 rows per
+    * vector into a single (m, cid)-keyed map-combinable sum, so a round
+    * costs one shuffle regardless of M. Seeds: the [[PqK]] vectors with
+    * the smallest md5(vec_id) (the kmeans draw), sliced per subspace —
+    * every engine replays the identical draw. A centroid that loses all
+    * members disappears from the update aggregate (and from the oracle's
+    * c1 CTE) — codes only ever reference surviving cids. */
+  private[operators] def pqTrain(v: DataFrame): Seq[Seq[(Long, Seq[Long], Long)]] = {
+    val seeds = v.withColumn("mh", md5(col("vec_id").cast("string")))
+      .orderBy("mh").limit(PqK).select("q").collect().toSeq
+      .map(_.getSeq[Long](0))
+    var cents: Seq[Seq[(Long, Seq[Long], Long)]] = (0 until PqM).map { m =>
+      seeds.zipWithIndex.map { case (q, i) =>
+        val c = q.slice(m * PqSubDim, (m + 1) * PqSubDim)
+        (i.toLong, c, c.map(x => x * x).sum)
+      }
+    }
+    if (seeds.isEmpty) return cents
+    for (_ <- 2 to Iters) {
+      val withCid = (0 until PqM).foldLeft(v) { (df, m) =>
+        df.withColumn(s"cid$m", pqBest(m, cents(m)).getField("cid"))
+      }
+      val ex = withCid.select(explode(array((0 until PqM).map(m =>
+        struct(lit(m.toLong).as("m"), col(s"cid$m").as("cid"),
+          col(s"qs$m").as("qs"))): _*)).as("e"))
+        .select(col("e.m").as("m"), col("e.cid").as("cid"), col("e.qs").as("qs"))
+      val sums = (0 until PqSubDim).map(i => sum(col("qs").getItem(i)).as(s"s$i"))
+      val rows = ex.groupBy("m", "cid")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("m"), col("cid"),
+          array((0 until PqSubDim).map(i => expr(s"s$i div n")): _*).as("c"))
+        .withColumn("nc", expr("graft_doti(c, c)"))
+        .collect().toSeq
+      cents = (0 until PqM).map { m =>
+        rows.filter(_.getLong(0) == m.toLong)
+          .map(r => (r.getLong(1), r.getSeq[Long](2), r.getLong(3)))
+          .sortBy(_._1)
+      }
+    }
+    cents
+  }
+
+  /** Product-quantization ADC top-k (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): train a codebook per
+    * subspace, ENCODE every vector to [[PqM]] codes, and answer each
+    * query by Asymmetric Distance Computation — the query's exact
+    * sub-vectors against the corpus's quantized codes, adist =
+    * Σ_m ‖q_m − c_{m,code_m(x)}‖². This is the ANN memory-scale path
+    * the IVF/LSH queries don't cover: the searched representation is
+    * M small ints per vector, so a 10¹⁰-vector index fits a few dozen
+    * executors' RAM where raw floats need the full corpus footprint.
+    *
+    * Exactness: embeddings quantize through the same
+    * floor(x·10⁶)+shift as the k-means family, so every distance,
+    * centroid mean, and ADC table entry is an exact long and the
+    * result is bit-identical to the oracle's unrolled CTE chain
+    * (assignment ties → lowest code, rank ties → lowest vec_id).
+    *
+    * Scale shape: training state is M·K·SubDim longs through the
+    * driver per round (the kmeans Lloyd argument — O(1) in the
+    * corpus); encoding is a pure codegen projection (literal centroid
+    * arrays, no join); the scored relation is corpus × bounded-query
+    * broadcast (the cosine_topk pattern) where the corpus side carries
+    * only (vec_id, M codes) — the PQ point — and each row's adist is
+    * [[PqM]] array lookups into the query's precomputed M×K tables.
+    * The per-query ranking window partitions on q_id (the ann-family
+    * shape; at production scale the respelling is the bounded-heap
+    * `graft_topk` aggregate, same contract). */
+  val pqAdcTopk: Q = (spark, dir) => {
+    val v = withSubs(quantShifted(Tables.embeddings(spark, dir))).persist()
+    val cents = pqTrain(v)
+    if (cents.head.isEmpty)
+      // EMPTY corpus → no seeds → no codebook: the (necessarily empty)
+      // result with the correct schema, same trick as [[assign]]
+      v.select(col("vec_id").as("q_id"), lit(0L).as("rank"),
+        col("vec_id"), lit(0L).as("adist")).filter(lit(false))
+    else pqAdcOf(v, cents)
+  }
+
+  private[operators] def pqAdcOf(v: DataFrame,
+      cents: Seq[Seq[(Long, Seq[Long], Long)]]): DataFrame = {
+    val coded = (0 until PqM).foldLeft(v.toDF()) { (df, m) =>
+      df.withColumn(s"code$m", pqBest(m, cents(m)).getField("cid"))
+    }.select(col("vec_id") +: (0 until PqM).map(m => col(s"code$m")): _*)
+    // query-side ADC tables: slot cid holds d(q_m, c_{m,cid}); vanished
+    // cids keep a 0 placeholder no code can reference
+    val qrel = (0 until PqM).foldLeft(v.filter(col("vec_id") < PqQueries)) {
+      (df, m) =>
+        val byCid = cents(m).map(c => c._1 -> c).toMap
+        df.withColumn(s"tbl$m", array((0L until PqK.toLong).map { cid =>
+          byCid.get(cid) match {
+            case Some((_, c, nc)) =>
+              col(s"ns$m") - lit(2L) *
+                expr(s"graft_doti(qs$m, array(${c.map(v => s"${v}L").mkString(",")}))") +
+                lit(nc)
+            case None => lit(0L)
+          }
+        }: _*))
+    }.select(col("vec_id").as("q_id") +: (0 until PqM).map(m => col(s"tbl$m")): _*)
+    coded.crossJoin(broadcast(qrel))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adist", (0 until PqM).map(m =>
+        element_at(col(s"tbl$m"), col(s"code$m").cast("int") + 1)).reduce(_ + _))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rank") <= PqTopK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("adist"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The same per-subspace Lloyd rounds + ADC scoring as DuckDB CTEs. */
+  val pqAdcTopkSql: String = {
+    def subSlice(src: String, m: Int): String =
+      s"$src[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}]"
+    def dist(qExpr: String, cExpr: String): String =
+      s"""list_sum(list_transform(range(1, ${PqSubDim + 1}),
+         |    i -> ($qExpr[i] - $cExpr[i]) * ($qExpr[i] - $cExpr[i])))""".stripMargin
+    val perSub = (0 until PqM).map { m =>
+      s"""c0_$m AS (SELECT cid, ${subSlice("q", m)} AS c FROM seeds),
+         |d1_$m AS (
+         |  SELECT v.vec_id, c.cid, ${dist(s"${subSlice("v.q", m)}", "c.c")} AS d
+         |  FROM quant v CROSS JOIN c0_$m c),
+         |a1_$m AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM d1_$m)
+         |  WHERE rn = 1),
+         |c1_$m AS (
+         |  SELECT cid, list(cv ORDER BY pos) AS c FROM (
+         |    SELECT a.cid, r.i AS pos,
+         |           sum(v.q[${m * PqSubDim} + r.i]) // count(*) AS cv
+         |    FROM a1_$m a JOIN quant v USING (vec_id)
+         |    CROSS JOIN range(1, ${PqSubDim + 1}) r(i)
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |d2_$m AS (
+         |  SELECT v.vec_id, c.cid, ${dist(s"${subSlice("v.q", m)}", "c.c")} AS d
+         |  FROM quant v CROSS JOIN c1_$m c),
+         |a2_$m AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM d2_$m)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val adcTerms = (0 until PqM).map { m =>
+      dist(s"${subSlice("qv.q", m)}", s"k$m.c")
+    }.mkString("\n         + ")
+    val codeJoins = (0 until PqM).map { m =>
+      s"JOIN a2_$m e$m ON e$m.vec_id = x.vec_id JOIN c1_$m k$m ON k$m.cid = e$m.cid"
+    }.mkString("\n  ")
+    s"""WITH quant AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT) + $QShift) AS q
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+       |              AS BIGINT) AS cid, q
+       |  FROM quant ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $PqK),
+       |$perSub,
+       |qv AS (SELECT vec_id AS q_id, q FROM quant WHERE vec_id < $PqQueries),
+       |scored AS (
+       |  SELECT qv.q_id, x.vec_id,
+       |         CAST($adcTerms AS BIGINT) AS adist
+       |  FROM qv JOIN quant x ON x.vec_id <> qv.q_id
+       |  $codeJoins)
+       |SELECT q_id, rank, vec_id, adist FROM (
+       |  SELECT q_id, vec_id, adist,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id)
+       |              AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "kmeans_assign" -> kmeansAssign,
     "semdedup_prune" -> semdedupPrune,
+    "pq_adc_topk" -> pqAdcTopk,
   )
   val oracles: Map[String, String] = Map(
     "kmeans_assign" -> kmeansAssignSql,
     "semdedup_prune" -> semdedupPruneSql,
+    "pq_adc_topk" -> pqAdcTopkSql,
   )
 }

@@ -67,7 +67,10 @@ class NestedLoopSweepSpec extends AnyFunSuite {
     * fails. */
   private val BoundedByConstruction = Map(
     "cosine_topk_bruteforce" -> 1,
-    "ann_ivf_topk" -> 2)
+    "ann_ivf_topk" -> 2,
+    // X70: `crossJoin(broadcast(qrel))` — the hinted side is the ADC
+    // query relation, `vec_id < PqQueries` (10 rows at any corpus size)
+    "pq_adc_topk" -> 1)
 
   test("no registered query plans an unbounded nested-loop or cartesian join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, TestSpark}
+
+/** PQ/ADC mechanics beyond the oracle hash: result shape + determinism
+  * over the registered query, and the DEGENERATE-EXACTNESS law — with a
+  * corpus of ≤ PqK vectors every vector seeds its own single-member
+  * cluster, each centroid is exactly its member (floor-mean over one
+  * row), so the code identifies the vector and ADC distance equals the
+  * exact quantized L2 distance. The approximation machinery is then
+  * checked against a brute-force reference computed in the test. */
+class PqAdcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val Dir = "/root/testdata/sf0.001"
+
+  test("registered query: complete per-query rankings, no self-match, deterministic") {
+    val run1 = SparkEntry.queries("pq_adc_topk")(spark, Dir).collect()
+    val run2 = SparkEntry.queries("pq_adc_topk")(spark, Dir).collect()
+    assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq,
+      "two constructions diverge — training draw or tie-break is nondeterministic")
+    val byQ = run1.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.size).toSeq,
+        s"query $qid: ranks not contiguous from 1")
+      assert(rows.forall(_.getLong(2) != qid), s"query $qid matched itself")
+      assert(rows.forall(_.getLong(3) >= 0L), s"query $qid: negative adist")
+    }
+  }
+
+  test("degenerate exactness: corpus of PqK vectors -> ADC == exact quantized L2") {
+    import spark.implicits._
+    val dim = Semantic.PqM * Semantic.PqSubDim
+    // PqK distinct deterministic vectors, ids 0..PqK-1 (all < PqQueries
+    // so every vector is also a query)
+    val vecs: Seq[(Long, Seq[Float])] = (0 until Semantic.PqK).map { id =>
+      (id.toLong, (0 until dim).map(i =>
+        (((id * 31 + i * 17) % 97) - 48) / 100.0f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val v = Semantic.withSubs(Semantic.quantShifted(df)).persist()
+    val cents = Semantic.pqTrain(v)
+    assert(cents.size == Semantic.PqM)
+    cents.foreach { cs =>
+      assert(cs.size == Semantic.PqK, "each vector should seed its own cluster")
+      cs.foreach { case (_, c, nc) =>
+        assert(c.size == Semantic.PqSubDim)
+        assert(nc == c.map(x => x * x).sum, "nc must be the exact centroid norm")
+      }
+    }
+    val got = Semantic.pqAdcOf(v, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute-force reference on the same quantization
+    val q = vecs.map { case (id, e) =>
+      id -> e.map(x => math.floor(x.toDouble * Semantic.QScale).toLong + Semantic.QShift)
+    }.toMap
+    val expected = vecs.flatMap { case (qid, _) =>
+      vecs.filter(_._1 != qid).map { case (xid, _) =>
+        val d = q(qid).zip(q(xid)).map { case (a, b) => (a - b) * (a - b) }.sum
+        (qid, xid, d)
+      }.sortBy(p => (p._3, p._2)).take(3).zipWithIndex
+        .map { case ((_, xid, d), i) => (qid, (i + 1).toLong, xid, d) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == expected,
+      s"ADC diverges from exact L2 in the degenerate regime:\n got ${got.toSeq}\n exp $expected")
+    v.unpersist()
+  }
+}
