@@ -643,7 +643,101 @@ object Curation {
        |       CAST((d_present + (p_total - pt_present)) // 2 AS BIGINT) AS tv_micro
        |FROM pres CROSS JOIN ptot ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X71 source_overlap_matrix — cross-source containment report
+  // ---------------------------------------------------------------------
+
+  /** Shingle width for the overlap probe (3-word shingles, the dedup
+    * family's width). */
+  private val OverlapN = 3
+
+  /** Source-count cap: a shingle present in more than this many
+    * DISTINCT sources is cross-web boilerplate (navigation chrome,
+    * license text) and is dropped from the overlap measure — the same
+    * df-cap design as [[Dedup]]'s pair enumeration, keyed by source
+    * count instead of doc count. The dropped volume is surfaced per
+    * run via the `graft_overlap_dropped` observe metric. */
+  val OverlapSrcCap = 8L
+
+  /** Cross-source containment matrix — the crawl-scheduling artifact
+    * the doc-pair dedup family doesn't produce: for every ordered
+    * source pair (a, b), how much of a's discriminative shingle set
+    * also appears in b (exact per-mille containment). A high
+    * containment row means source a re-hosts b's content (mirrors,
+    * scrapers, syndication) — the signal a crawl planner uses to
+    * de-prioritize a domain BEFORE paying to crawl and dedup it, and
+    * the domain-level complement of `dedup_rate_report`'s
+    * after-the-fact drop rates. Containment (not Jaccard) on purpose:
+    * it is asymmetric, so a small mirror of a big source scores ~1000
+    * while the big source scores low — exactly the asymmetry a
+    * scheduling decision needs.
+    *
+    * Both numerator and denominator run over the CAPPED shingle set
+    * (shingles in ≤ [[OverlapSrcCap]] sources): ubiquitous boilerplate
+    * would otherwise manufacture overlap between unrelated domains.
+    * Shingles travel as [[graft.expressions.WindowHash]] 60-bit hashes
+    * (the `benchmark_contamination` trade — equi-comparison only, the
+    * oracle keeps independent string shingles; collision odds ~10⁻⁷ at
+    * harness scale).
+    *
+    * Scale shape: one corpus pass to the distinct (source, shingle)
+    * relation (map-combinable distinct), persisted once for its three
+    * consumers (denominators + both join sides); the per-shingle
+    * source count caps the self-join fan-out at [[OverlapSrcCap]]²
+    * rows per shingle BY CONSTRUCTION — at 10⁷ domains the join is
+    * bounded by shingles·cap², never domains² and never corpus-sized
+    * pairs; the report aggregates to ordered source pairs
+    * (≤ domains·cap rows). Nothing doc-keyed survives past the first
+    * aggregate. */
+  val sourceOverlapMatrix: Q = (spark, dir) => {
+    val ss = Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= OverlapN)
+      .select(col("source"),
+        explode(array_distinct(expr(s"graft_winhash(words, $OverlapN)"))).as("sh"))
+      .distinct()
+    val keep = ss.groupBy("sh").agg(count(lit(1)).as("n_src"))
+      // boilerplate-volume tripwire, same observe design as the ngram
+      // candidate metrics: rides the aggregate, zero extra jobs
+      .observe("graft_overlap_dropped",
+        sum(when(col("n_src") > OverlapSrcCap, 1L).otherwise(0L))
+          .as("dropped_shingles"))
+      .filter(col("n_src") <= OverlapSrcCap)
+    val kept = ss.join(keep.select("sh"), "sh").persist()
+    val na = kept.groupBy("source").agg(count(lit(1)).as("n_a"))
+    kept.select(col("sh"), col("source").as("src_a"))
+      .join(kept.select(col("sh"), col("source").as("src_b")), "sh")
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .join(na.withColumnRenamed("source", "src_a"), "src_a")
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        expr("(n_shared * 1000L) div n_a").as("containment_permille"))
+      .orderBy("src_a", "src_b")
+  }
+  val sourceOverlapMatrixSql: String =
+    s"""WITH ss AS (
+       |  SELECT DISTINCT source, sh FROM (
+       |    SELECT source, unnest(list_distinct(
+       |      list_transform(range(1, len(words) - ${OverlapN - 2}),
+       |        i -> ${(0 until OverlapN).map(j => s"words[i + $j]").mkString(" || ' ' || ")}))) AS sh
+       |    FROM (SELECT source, string_split(text, ' ') AS words FROM documents)
+       |    WHERE len(words) >= $OverlapN)),
+       |keep AS (
+       |  SELECT sh FROM (SELECT sh, count(*) AS n_src FROM ss GROUP BY 1)
+       |  WHERE n_src <= $OverlapSrcCap),
+       |kept AS (SELECT ss.source, ss.sh FROM ss JOIN keep USING (sh)),
+       |na AS (SELECT source, count(*) AS n_a FROM kept GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.source <> b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_shared, n_a,
+       |       CAST((n_shared * 1000) // n_a AS BIGINT) AS containment_permille
+       |FROM pairs JOIN na ON na.source = pairs.src_a
+       |ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "source_overlap_matrix" -> sourceOverlapMatrix,
     "benchmark_contamination" -> benchmarkContamination,
     "stratified_sample" -> stratifiedSample,
     "repetition_score" -> repetitionScore,
@@ -655,6 +749,7 @@ object Curation {
     "source_unigram_drift" -> sourceUnigramDrift,
   )
   val oracles: Map[String, String] = Map(
+    "source_overlap_matrix" -> sourceOverlapMatrixSql,
     "source_token_budget" -> sourceTokenBudgetSql,
     "source_unigram_drift" -> sourceUnigramDriftSql,
     "benchmark_contamination" -> benchmarkContaminationSql,
