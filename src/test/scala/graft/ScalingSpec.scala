@@ -104,7 +104,19 @@ class ScalingSpec extends AnyFunSuite {
       "dedup_rate_report",
       // r15: the fertility rollup — the X52 encode pass (measured via
       // bpe_encode) into a language-keyed aggregate; expected ~linear
-      "bpe_fertility")
+      "bpe_fertility",
+      // r16: PQ — training shuffle is the fused update aggregate's
+      // map-combined partials (M·K·SubDim slots per task, FLAT in the
+      // corpus); the scored relation is corpus × 10 bounded queries
+      // through one q_id window exchange; expected ~linear with the
+      // model-side constant
+      "pq_adc_topk",
+      // r16: the containment matrix — distinct + source-count aggs are
+      // corpus-linear; the self-join is cap²-bounded per shingle and
+      // sfx1's `_k` suffixing replicates overlap structure within
+      // copies (same 20 sources, disjoint shingles per copy), so pair
+      // volume grows with shingles, not sources²; expected ~linear
+      "source_overlap_matrix")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
