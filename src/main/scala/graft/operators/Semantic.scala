@@ -402,11 +402,33 @@ object Semantic {
     else pqAdcOf(v, cents)
   }
 
-  private[operators] def pqAdcOf(v: DataFrame,
-      cents: Seq[Seq[(Long, Seq[Long], Long)]]): DataFrame = {
-    val coded = (0 until PqM).foldLeft(v.toDF()) { (df, m) =>
+  /** Encode a prepared ([[withSubs]]) relation to (vec_id, code0..3) —
+    * a PURE PROJECTION over literal centroid arrays (no join, no
+    * shuffle, no state), shared by the batch ADC query and the
+    * streaming ingest encoder ([[graft.streaming.PqStream]]) so
+    * batch/stream parity is by shared code. */
+  private[graft] def pqEncodeSubbed(v: DataFrame,
+      cents: Seq[Seq[(Long, Seq[Long], Long)]]): DataFrame =
+    (0 until PqM).foldLeft(v.toDF()) { (df, m) =>
       df.withColumn(s"code$m", pqBest(m, cents(m)).getField("cid"))
     }.select(col("vec_id") +: (0 until PqM).map(m => col(s"code$m")): _*)
+
+  /** Encode raw (vec_id, embedding) rows — the streaming ingest shape. */
+  private[graft] def pqEncode(vecs: DataFrame,
+      cents: Seq[Seq[(Long, Seq[Long], Long)]]): DataFrame =
+    pqEncodeSubbed(withSubs(quantShifted(vecs)), cents)
+
+  /** Train the codebooks over `dir`'s embeddings — the frozen artifact
+    * a streaming deployment ships (driver-held literals; constant size
+    * M·K·SubDim longs at any corpus). */
+  private[graft] def pqTrainOn(spark: SparkSession, dir: String): Seq[Seq[(Long, Seq[Long], Long)]] = {
+    val v = withSubs(quantShifted(Tables.embeddings(spark, dir))).persist()
+    try pqTrain(v) finally { v.unpersist(); () }
+  }
+
+  private[operators] def pqAdcOf(v: DataFrame,
+      cents: Seq[Seq[(Long, Seq[Long], Long)]]): DataFrame = {
+    val coded = pqEncodeSubbed(v, cents)
     // query-side ADC tables: slot cid holds d(q_m, c_{m,cid}); vanished
     // cids keep a 0 placeholder no code can reference
     val qrel = (0 until PqM).foldLeft(v.filter(col("vec_id") < PqQueries)) {
