@@ -35,6 +35,7 @@ object SparkEntry {
     "graft_quant" -> (ch => graft.expressions.QuantArray(ch.head, ch(1), ch(2))),
     "graft_mulge" -> (ch => graft.expressions.MulGe(ch.head, ch(1), ch(2), ch(3))),
     "graft_semdedup_keep" -> (ch => graft.expressions.SemDedupKeep(ch.head)),
+    "graft_topk_min" -> (ch => graft.expressions.TopKMin(ch.head, ch(1), ch(2))),
   )
 
   private def ensure(spark: SparkSession): Unit = {

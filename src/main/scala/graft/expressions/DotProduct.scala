@@ -127,5 +127,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MulGe].getName, "graft_mulge"),
       (children: Seq[Expression]) =>
         MulGe(children.head, children(1), children(2), children(3))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk_min"),
+      new ExpressionInfo(classOf[TopKMin].getName, "graft_topk_min"),
+      (children: Seq[Expression]) => TopKMin(children.head, children(1), children(2))))
   }
 }
