@@ -30,6 +30,15 @@ import org.apache.spark.sql.types._
   * so the k winners and their order are unique — independent of
   * partitioning or merge order. Null keys/ids are ignored.
   *
+  * Key type: BIGINT or DOUBLE. Doubles ride the heap through the
+  * order-isomorphic sortable-bits transform (the Lucene
+  * `doubleToSortableLong` trick, self-inverse: flip the low 63 bits of
+  * negative-sign bit patterns), with −0.0 normalized to +0.0 FIRST so
+  * the kernel's ordering can never split a (−0.0, +0.0) tie that the
+  * SQL comparison (and the DuckDB oracle's ORDER BY) treats as equal;
+  * NaN sorts greatest (worst for a min-ranking) — callers ranking by
+  * similarity DESC pass the negated score as the key.
+  *
   * k must be a foldable int in [1, 1024]: the buffer is O(k) per
   * group per task; the operator's point is that k stays small. */
 case class TopKMin(
@@ -41,6 +50,18 @@ case class TopKMin(
   extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Long)]] {
 
   private lazy val kVal: Int = k.eval().asInstanceOf[Int]
+  private lazy val doubleKey: Boolean = key.dataType == DoubleType
+
+  /** Order-isomorphic double→long (self-inverse on the bit pattern):
+    * −0.0 normalized to +0.0, then negative-sign patterns get their
+    * low 63 bits flipped so SIGNED long comparison matches double
+    * ordering (NaN's pattern lands greatest). */
+  private def toSortable(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d + 0.0)
+    if (b < 0) b ^ 0x7fffffffffffffffL else b
+  }
+  private def fromSortable(l: Long): Double =
+    java.lang.Double.longBitsToDouble(if (l < 0) l ^ 0x7fffffffffffffffL else l)
 
   // PriorityQueue dequeues the Ordering-LARGEST element; "largest" =
   // worst = greatest (key, id), so the head is the eviction candidate.
@@ -54,14 +75,15 @@ case class TopKMin(
   override def children: Seq[Expression] = Seq(key, id, k)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
-    StructType(Seq(StructField("key", LongType), StructField("id", LongType))),
+    StructType(Seq(StructField("key", key.dataType), StructField("id", LongType))),
     containsNull = false)
   override def prettyName: String = "graft_topk_min"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (key.dataType != LongType || id.dataType != LongType)
+    if ((key.dataType != LongType && key.dataType != DoubleType) ||
+        id.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
-        s"graft_topk_min requires BIGINT (key, id), got " +
+        s"graft_topk_min requires (BIGINT|DOUBLE key, BIGINT id), got " +
           s"(${key.dataType.simpleString}, ${id.dataType.simpleString})")
     else if (!k.foldable || k.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure("graft_topk_min requires a literal int k")
@@ -89,8 +111,11 @@ case class TopKMin(
       input: InternalRow): mutable.PriorityQueue[(Long, Long)] = {
     val kv = key.eval(input)
     val iv = id.eval(input)
-    if (kv != null && iv != null)
-      offer(buf, kv.asInstanceOf[Long], iv.asInstanceOf[Long])
+    if (kv != null && iv != null) {
+      val kl = if (doubleKey) toSortable(kv.asInstanceOf[Double])
+               else kv.asInstanceOf[Long]
+      offer(buf, kl, iv.asInstanceOf[Long])
+    }
     buf
   }
 
@@ -104,7 +129,8 @@ case class TopKMin(
   override def eval(buf: mutable.PriorityQueue[(Long, Long)]): Any = {
     val best = buf.toArray.sorted(worstFirst) // ascending (key, id) = best first
     new GenericArrayData(best.map { case (kv, iv) =>
-      new GenericInternalRow(Array[Any](kv, iv))
+      val keyOut: Any = if (doubleKey) fromSortable(kv) else kv
+      new GenericInternalRow(Array[Any](keyOut, iv))
     })
   }
 

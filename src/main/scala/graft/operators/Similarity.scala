@@ -127,10 +127,18 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         expr(s"${dotSql("q_emb", "embedding")}") / (col("q_norm") * col("norm")))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id"))
+    // per-query ranking via the bounded-heap [[graft.expressions.TopKMin]]
+    // (key = −cos: min-ranking of the negated score ≡ cos DESC, ties →
+    // vec_id ASC — the identical total order the oracle's row_number
+    // uses): map tasks combine to ≤ k rows per query BEFORE the
+    // exchange, where the window spelling shuffled and sorted every
+    // scored corpus row per query — the one corpus-sized partition the
+    // r16 kernel removed from this family
+    scored.groupBy("q_id")
+      .agg(expr(s"graft_topk_min(-cos, vec_id, $TopK)").as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("vec_id"))
       .orderBy("q_id", "rank")
   }
   val cosineTopkBruteforceSql: String =
@@ -315,10 +323,14 @@ object Similarity {
         col("norm").as("c_norm")), Seq("v_id"))
       .withColumn("cos",
         expr(s"${dotSql("q_emb", "c_emb")}") / (col("q_norm") * col("c_norm")))
-    cands.withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cos").desc, col("v_id"))))
-      .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("rank").cast("long").as("rank"), col("v_id").as("vec_id"))
+    // bounded-heap ranking, the cosine_topk_bruteforce respelling (see
+    // there): the probed inverted lists are corpus/K × Probes rows per
+    // query — combined to ≤ k per map task instead of sorted whole
+    cands.groupBy("q_id")
+      .agg(expr(s"graft_topk_min(-cos, v_id, $TopK)").as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("vec_id"))
       .orderBy("q_id", "rank")
   }
   val annIvfTopkSql: String =

@@ -51,6 +51,41 @@ class TopKMinSpec extends AnyFunSuite {
     }
   }
 
+  test("double keys: heap == sort-and-take, and -0.0 ties with +0.0") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "g STRING, key DOUBLE, id BIGINT")
+    val rng = new scala.util.Random(271)
+    (1 to 8).foreach { trial =>
+      val k = 1 + rng.nextInt(5)
+      val rows = (0 until 50 + rng.nextInt(100)).map { i =>
+        // mixed signs + exact duplicates (tie territory)
+        (s"g${rng.nextInt(3)}", (rng.nextInt(9) - 4) / 4.0, i.toLong)
+      }
+      val expected = rows.groupBy(_._1).view.mapValues { g =>
+        g.map(t => (t._2, t._3)).sortBy(p => (p._1, p._2)).take(k)
+      }.toMap
+      Seq(1, 32).foreach { parts =>
+        val got = spark.createDataFrame(
+          rows.map { case (g, key, id) => Row(g, key, id) }.asJava, schema)
+          .repartition(parts)
+          .groupBy("g").agg(expr(s"graft_topk_min(key, id, $k)").as("top"))
+          .collect()
+          .map { r =>
+            r.getString(0) -> r.getSeq[Row](1).map(s => (s.getDouble(0), s.getLong(1)))
+          }.toMap
+        assert(got == expected, s"trial $trial parts $parts k $k")
+      }
+    }
+    // −0.0 must tie with +0.0 (id decides), not sort before it — the
+    // SQL-comparison semantics the oracle's ORDER BY also uses
+    val zrows = Seq(Row("z", 0.0, 5L), Row("z", -0.0, 9L), Row("z", -1.0, 7L))
+    val got = spark.createDataFrame(zrows.asJava, schema)
+      .groupBy("g").agg(expr("graft_topk_min(key, id, 3)").as("top"))
+      .collect().head.getSeq[Row](1).map(s => s.getLong(1))
+    assert(got == Seq(7L, 5L, 9L), s"zero-tie ordering wrong: $got")
+  }
+
   test("nulls ignored; k past the group returns the whole group ranked") {
     import scala.jdk.CollectionConverters._
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
