@@ -468,8 +468,11 @@ object Semantic {
       .orderBy("q_id", "rank")
   }
 
-  /** The same per-subspace Lloyd rounds + ADC scoring as DuckDB CTEs. */
-  val pqAdcTopkSql: String = {
+  /** The same per-subspace Lloyd rounds + ADC scoring as a DuckDB CTE
+    * list producing `quant(vec_id, q)`, `qv(q_id, q)`, and
+    * `scored(q_id, vec_id, adist)` — shared by the top-k oracle and
+    * the recall-report oracle (caller opens the WITH). */
+  private def pqCtes: String = {
     def subSlice(src: String, m: Int): String =
       s"$src[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}]"
     def dist(qExpr: String, cExpr: String): String =
@@ -510,7 +513,7 @@ object Semantic {
     val codeJoins = (0 until PqM).map { m =>
       s"JOIN a2_$m e$m ON e$m.vec_id = x.vec_id JOIN c1_$m k$m ON k$m.cid = e$m.cid"
     }.mkString("\n  ")
-    s"""WITH quant AS (
+    s"""quant AS (
        |  SELECT vec_id,
        |         list_transform(embedding,
        |           x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT) + $QShift) AS q
@@ -525,23 +528,110 @@ object Semantic {
        |  SELECT qv.q_id, x.vec_id,
        |         CAST($adcTerms AS BIGINT) AS adist
        |  FROM qv JOIN quant x ON x.vec_id <> qv.q_id
-       |  $codeJoins)
+       |  $codeJoins)""".stripMargin
+  }
+
+  val pqAdcTopkSql: String =
+    s"""WITH $pqCtes
        |SELECT q_id, rank, vec_id, adist FROM (
        |  SELECT q_id, vec_id, adist,
        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id)
        |              AS BIGINT) AS rank
        |  FROM scored)
        |WHERE rank <= $PqTopK ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X72 pq_recall_report — ADC-vs-exact recall audit
+  // ---------------------------------------------------------------------
+
+  /** Per-query RECALL of the PQ/ADC top-k against the exact top-k on
+    * the same quantized vectors — the tuning artifact a PQ deployment
+    * reads before committing (M, K): quantization error costs recall,
+    * and this report prices it on the corpus's own query set, exactly
+    * as [[Similarity.lshBandRecall]] prices the banding choice for the
+    * MinHash family. n_hits = |ADC top-k ∩ exact top-k| per query,
+    * recall_permille = n_hits·1000 div k — exact integers.
+    *
+    * The exact side runs on the SHIFTED quantized vectors (the shift
+    * cancels in differences, so distances equal unshifted exact
+    * quantized L2) and ranks on the same bounded-heap kernel by
+    * (d, vec_id) — the identical total order the oracle's row_number
+    * uses.
+    *
+    * Scale shape: both scorings are corpus × bounded-query broadcasts
+    * (the family's audited shape — the exact side is the brute-force
+    * baseline a recall AUDIT inherently pays on its sampled query
+    * set, never on all pairs); both rankings combine map-side to ≤ k
+    * rows per query; the report is query-cardinality. */
+  private[operators] def pqRecallOf(v: DataFrame,
+      cents: Seq[Seq[(Long, Seq[Long], Long)]]): DataFrame = {
+    val pqTop = pqAdcOf(v, cents).select(col("q_id"), col("vec_id"))
+    val qrel = v.filter(col("vec_id") < PqQueries)
+      .select(col("vec_id").as("q_id"), col("q").as("q_q"), col("na").as("q_na"))
+    val exactTop = v.select(col("vec_id"), col("q"), col("na"))
+      .crossJoin(broadcast(qrel.select(col("q_id"), col("q_q"), col("q_na"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d", col("na") - lit(2L) * expr("graft_doti(q, q_q)") + col("q_na"))
+      .groupBy("q_id")
+      .agg(expr(s"graft_topk_min(d, vec_id, $PqTopK)").as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("vec_id"))
+    val hits = pqTop.join(exactTop, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    qrel.select("q_id")
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_permille", expr(s"(n_hits * 1000L) div $PqTopK"))
+      .orderBy("q_id")
   }
+
+  val pqRecallReport: Q = (spark, dir) => {
+    val v = withSubs(quantShifted(Tables.embeddings(spark, dir))).persist()
+    val cents = pqTrain(v)
+    if (cents.head.isEmpty)
+      v.select(col("vec_id").as("q_id"), lit(0L).as("n_hits"),
+        lit(0L).as("recall_permille")).filter(lit(false))
+    else pqRecallOf(v, cents)
+  }
+  val pqRecallReportSql: String =
+    s"""WITH $pqCtes,
+       |pq_top AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $PqTopK),
+       |ex AS (
+       |  SELECT qv.q_id, x.vec_id,
+       |         list_sum(list_transform(range(1, ${PqM * PqSubDim + 1}),
+       |             i -> (qv.q[i] - x.q[i]) * (qv.q[i] - x.q[i]))) AS d
+       |  FROM qv JOIN quant x ON x.vec_id <> qv.q_id),
+       |ex_top AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rank
+       |    FROM ex)
+       |  WHERE rank <= $PqTopK),
+       |hits AS (
+       |  SELECT a.q_id, count(*) AS n_hits
+       |  FROM pq_top a JOIN ex_top b ON a.q_id = b.q_id AND a.vec_id = b.vec_id
+       |  GROUP BY 1)
+       |SELECT q.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST((coalesce(h.n_hits, 0) * 1000) // $PqTopK AS BIGINT)
+       |         AS recall_permille
+       |FROM (SELECT DISTINCT q_id FROM qv) q LEFT JOIN hits h ON h.q_id = q.q_id
+       |ORDER BY q.q_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "kmeans_assign" -> kmeansAssign,
     "semdedup_prune" -> semdedupPrune,
     "pq_adc_topk" -> pqAdcTopk,
+    "pq_recall_report" -> pqRecallReport,
   )
   val oracles: Map[String, String] = Map(
     "kmeans_assign" -> kmeansAssignSql,
     "semdedup_prune" -> semdedupPruneSql,
     "pq_adc_topk" -> pqAdcTopkSql,
+    "pq_recall_report" -> pqRecallReportSql,
   )
 }

@@ -52,10 +52,10 @@ class ConstructionJobSweepSpec extends AnyFunSuite {
     // the CC label loop again, through the rate rollup (X69 rides the
     // same staged signature + checkpointed fixpoint as near_dup_cluster)
     "dedup_rate_report",
-    // X70: the PQ codebooks train through the same driver-collected
+    // X70/X72: the PQ codebooks train through the same driver-collected
     // Lloyd rounds as kmeans_assign (seed draw + one fused update
     // aggregate at construction; state M·K·SubDim longs, O(1) in corpus)
-    "pq_adc_topk")
+    "pq_adc_topk", "pq_recall_report")
 
   test("query construction is lazy (no jobs before the first action)") {
     val jobs = new AtomicInteger(0)

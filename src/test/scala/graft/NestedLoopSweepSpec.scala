@@ -70,7 +70,10 @@ class NestedLoopSweepSpec extends AnyFunSuite {
     "ann_ivf_topk" -> 2,
     // X70: `crossJoin(broadcast(qrel))` — the hinted side is the ADC
     // query relation, `vec_id < PqQueries` (10 rows at any corpus size)
-    "pq_adc_topk" -> 1)
+    "pq_adc_topk" -> 1,
+    // X72: the same bounded query relation broadcast twice — once for
+    // the ADC scoring, once for the exact-baseline scoring
+    "pq_recall_report" -> 2)
 
   test("no registered query plans an unbounded nested-loop or cartesian join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

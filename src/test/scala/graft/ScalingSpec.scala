@@ -111,6 +111,10 @@ class ScalingSpec extends AnyFunSuite {
       // through one q_id window exchange; expected ~linear with the
       // model-side constant
       "pq_adc_topk",
+      // r16: the PQ recall audit — both scorings are corpus × bounded-
+      // query broadcasts ranked on the bounded heap, so shuffle rows
+      // stay model-/query-bounded like pq_adc_topk's
+      "pq_recall_report",
       // r16: the containment matrix — distinct + source-count aggs are
       // corpus-linear; the self-join is cap²-bounded per shingle and
       // sfx1's `_k` suffixing replicates overlap structure within

@@ -64,6 +64,17 @@ class PqAdcSpec extends AnyFunSuite {
     }.sortBy(r => (r._1, r._2))
     assert(got.toSeq == expected,
       s"ADC diverges from exact L2 in the degenerate regime:\n got ${got.toSeq}\n exp $expected")
+    // corollary: with ADC ≡ exact L2, the recall report must read a
+    // perfect 1000 for every query — the law that anchors the report's
+    // semantics (and the harness corpus's ~0–333 permille rows are then
+    // meaningful evidence that M=4/K=8 is too coarse for RANDOM
+    // vectors, the exact verdict a PQ tuning audit exists to deliver)
+    val recall = Semantic.pqRecallOf(v, cents).collect()
+    assert(recall.length == Semantic.PqK)
+    recall.foreach { r =>
+      assert(r.getLong(1) == 3L && r.getLong(2) == 1000L,
+        s"query ${r.getLong(0)}: degenerate recall must be perfect, got ${r.getLong(2)}")
+    }
     v.unpersist()
   }
 }
