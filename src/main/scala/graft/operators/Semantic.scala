@@ -294,7 +294,7 @@ object Semantic {
   val PqSubDim = 16
   val PqK = 8
   private val PqQueries = 10L
-  private val PqTopK = 3
+  private[graft] val PqTopK = 3
 
   /** Per-subspace sliced columns qs{m} / their norms ns{m} attached to a
     * quantized relation — shared by training, encoding, and the query-
@@ -429,12 +429,13 @@ object Semantic {
     try pqTrain(v) finally { v.unpersist(); () }
   }
 
-  private[operators] def pqAdcOf(v: DataFrame,
-      cents: Seq[Seq[(Long, Seq[Long], Long)]]): DataFrame = {
-    val coded = pqEncodeSubbed(v, cents)
-    // query-side ADC tables: slot cid holds d(q_m, c_{m,cid}); vanished
-    // cids keep a 0 placeholder no code can reference
-    val qrel = (0 until PqM).foldLeft(v.filter(col("vec_id") < PqQueries)) {
+  /** Query-side ADC tables over a PREPARED ([[withSubs]]) relation:
+    * (q_id, tbl0..tblM-1) where slot cid of tbl_m holds d(q_m,
+    * c_{m,cid}); vanished cids keep a 0 placeholder no code can
+    * reference. */
+  private def pqQueryTablesSubbed(v: DataFrame,
+      cents: Seq[Seq[(Long, Seq[Long], Long)]]): DataFrame =
+    (0 until PqM).foldLeft(v.filter(col("vec_id") < PqQueries)) {
       (df, m) =>
         val byCid = cents(m).map(c => c._1 -> c).toMap
         df.withColumn(s"tbl$m", array((0L until PqK.toLong).map { cid =>
@@ -447,6 +448,30 @@ object Semantic {
           }
         }: _*))
     }.select(col("vec_id").as("q_id") +: (0 until PqM).map(m => col(s"tbl$m")): _*)
+
+  /** The frozen standing-query ADC tables over `dir`'s embeddings —
+    * the 10-row artifact [[graft.streaming.AnnMonitorStream]] joins to
+    * every micro-batch. */
+  private[graft] def pqQueryTables(spark: SparkSession, dir: String,
+      cents: Seq[Seq[(Long, Seq[Long], Long)]]): DataFrame =
+    pqQueryTablesSubbed(withSubs(quantShifted(Tables.embeddings(spark, dir))), cents)
+
+  /** ADC-score raw (vec_id, embedding) rows against a codebook and a
+    * query-table relation: (q_id, vec_id, adist), self-matches
+    * excluded — shared by the batch top-k and the streaming monitor
+    * (stream-static join on the stream side). */
+  private[graft] def pqAdcScore(vecs: DataFrame,
+      cents: Seq[Seq[(Long, Seq[Long], Long)]], qrel: DataFrame): DataFrame =
+    pqEncode(vecs, cents).crossJoin(broadcast(qrel))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adist", (0 until PqM).map(m =>
+        element_at(col(s"tbl$m"), col(s"code$m").cast("int") + 1)).reduce(_ + _))
+      .select(col("q_id"), col("vec_id"), col("adist"))
+
+  private[operators] def pqAdcOf(v: DataFrame,
+      cents: Seq[Seq[(Long, Seq[Long], Long)]]): DataFrame = {
+    val coded = pqEncodeSubbed(v, cents)
+    val qrel = pqQueryTablesSubbed(v, cents)
     // per-query ranking via the bounded-heap [[graft.expressions.TopKMin]]
     // aggregate, NOT a q_id-partitioned row_number window: the window
     // spelling shuffles and sorts every scored candidate per query
