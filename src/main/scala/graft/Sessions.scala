@@ -31,6 +31,18 @@ object Sessions {
       // executor memory this harness runs with, and the same tuning a
       // production cluster applies per its own task memory budget.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // Align whole-stage-codegen's fallback threshold with HotSpot's
+      // compile limit: the JVM REFUSES to JIT any method over 8000
+      // bytecode bytes (-XX:DontCompileHugeMethods, on by default), so
+      // a generated method in Spark's default dead zone (8000–65535)
+      // runs in the BYTECODE INTERPRETER — measured 3× slower than
+      // Spark's own interpreted expression path on the PQ encode
+      // stage's 32 literal-centroid dot products (docs/SCALE.md r16:
+      // 1.66 s codegen'd-but-uncompilable vs 0.53 s fallen back, same
+      // plan). At this limit Spark falls back to interpreted
+      // evaluation exactly where the JIT would have bailed anyway;
+      // stages whose methods compile are untouched.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       // engine extensions: native expressions (graft_dot, …)
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -395,7 +395,13 @@ object Semantic {
     * bench scale vs the window spelling (interleaved min-of-5:
     * 1.831/1.961 vs 1.855/2.002) and adopted for the scale shape. */
   val pqAdcTopk: Q = (spark, dir) => {
-    val v = withSubs(quantShifted(Tables.embeddings(spark, dir))).persist()
+    // fanout BEFORE quantization: the sf-sized embeddings file is ONE
+    // scan partition, so the whole train/encode/score chain otherwise
+    // runs single-task (interleaved min-of-5 at sf0.1, r16: fanned
+    // 1.517/1.578 vs 1.923/2.007 — faster all five rounds); at real
+    // scale the scan is many-partition and fanout is a no-op
+    val v = withSubs(quantShifted(
+      Tables.fanout(Tables.embeddings(spark, dir)))).persist()
     val cents = pqTrain(v)
     if (cents.head.isEmpty)
       // EMPTY corpus → no seeds → no codebook: the (necessarily empty)
@@ -425,7 +431,9 @@ object Semantic {
     * a streaming deployment ships (driver-held literals; constant size
     * M·K·SubDim longs at any corpus). */
   private[graft] def pqTrainOn(spark: SparkSession, dir: String): Seq[Seq[(Long, Seq[Long], Long)]] = {
-    val v = withSubs(quantShifted(Tables.embeddings(spark, dir))).persist()
+    // fanout: same single-scan-partition reasoning as [[pqAdcTopk]]
+    val v = withSubs(quantShifted(
+      Tables.fanout(Tables.embeddings(spark, dir)))).persist()
     try pqTrain(v) finally { v.unpersist(); () }
   }
 
@@ -611,7 +619,9 @@ object Semantic {
   }
 
   val pqRecallReport: Q = (spark, dir) => {
-    val v = withSubs(quantShifted(Tables.embeddings(spark, dir))).persist()
+    // fanout: same single-scan-partition reasoning as [[pqAdcTopk]]
+    val v = withSubs(quantShifted(
+      Tables.fanout(Tables.embeddings(spark, dir)))).persist()
     val cents = pqTrain(v)
     if (cents.head.isEmpty)
       v.select(col("vec_id").as("q_id"), lit(0L).as("n_hits"),
