@@ -80,7 +80,12 @@ object Bench {
     // clean capability, the median-total tracks the session's actual
     // contention, and the gap between them IS the host-drift band that
     // otherwise reads as a regression across rounds
-    def median(ss: List[Double]): Double = ss(ss.size / 2) // ss sorted, nonempty
+    // ss sorted, nonempty; even sizes average the two middle elements —
+    // most queries record exactly 2 samples, and upper-of-two would
+    // systematically overstate the host-drift band this field measures
+    def median(ss: List[Double]): Double =
+      if (ss.size % 2 == 1) ss(ss.size / 2)
+      else (ss(ss.size / 2 - 1) + ss(ss.size / 2)) / 2.0
     val totalMedian = sampled.collect {
       case (_, ss) if ss.nonEmpty => median(ss) }.sum
     val samplesJson = sampled.map { case (k, ss) => s"\"$k\":${ss.size}" }

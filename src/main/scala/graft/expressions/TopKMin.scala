@@ -146,7 +146,9 @@ case class TopKMin(
     val bb = java.nio.ByteBuffer.wrap(b)
     val buf = createAggregationBuffer()
     val n = bb.getInt()
-    (0 until n).foreach(_ => buf.enqueue((bb.getLong(), bb.getLong())))
+    // offer (not enqueue) so the O(k) bound holds locally even for
+    // foreign bytes — serialized buffers we wrote are already ≤ k
+    (0 until n).foreach(_ => offer(buf, bb.getLong(), bb.getLong()))
     buf
   }
 

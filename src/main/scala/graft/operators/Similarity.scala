@@ -119,8 +119,14 @@ object Similarity {
     * deterministic. Output: (q_id, rank, vec_id) — integers only.
     */
   val cosineTopkBruteforce: Q = (spark, dir) => {
+    // norm > 0 guard: a zero-norm vector would make cos NaN, and the
+    // min-heap ranking of −cos orders NaN LAST where the oracle's
+    // ORDER BY cos DESC ranks NaN first — excluding degenerate vectors
+    // (mirrored in the oracle CTE) removes the divergence instead of
+    // leaving it as an undocumented precondition
     val e = Tables.embeddingsD(spark, dir)
       .withColumn("norm", expr(s"sqrt(${dotSql("embedding", "embedding")})"))
+      .filter(col("norm") > 0)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
     val scored = e.crossJoin(broadcast(q))
@@ -142,8 +148,9 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
   val cosineTopkBruteforceSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding,
-       |  sqrt(${dotDuck("embedding", "embedding")}) AS norm FROM $EmbD),
+    s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
+       |  sqrt(${dotDuck("embedding", "embedding")}) AS norm FROM $EmbD)
+       |  WHERE norm > 0),
        |scored AS (
        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
        |         ${dotDuck("q.embedding", "c.embedding")} / (q.norm * c.norm) AS cos
@@ -296,8 +303,10 @@ object Similarity {
     * cost is probes/K of the corpus per query instead of all of it.
     */
   val annIvfTopk: Q = (spark, dir) => {
+    // norm > 0: same NaN-vs-heap guard as cosine_topk_bruteforce
     val e = Tables.embeddingsD(spark, dir)
       .withColumn("norm", expr(s"sqrt(${dotSql("embedding", "embedding")})"))
+      .filter(col("norm") > 0)
       .cache()
     val stride = ivfStride(e.count())
     val cent = e.filter(col("vec_id") % stride === 0)
@@ -334,8 +343,9 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
   val annIvfTopkSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding,
-       |  sqrt(${dotDuck("embedding", "embedding")}) AS norm FROM $EmbD),
+    s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
+       |  sqrt(${dotDuck("embedding", "embedding")}) AS norm FROM $EmbD)
+       |  WHERE norm > 0),
        |cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb, norm AS cent_norm
        |         FROM e WHERE vec_id %
        |           (SELECT GREATEST(1, CAST(ceil(count(*) / $IvfK.0) AS BIGINT)) FROM e) = 0),

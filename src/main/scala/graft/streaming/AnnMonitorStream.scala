@@ -64,11 +64,15 @@ object AnnMonitorStream {
         case (qId, incoming, state: GroupState[Seq[(Long, Long)]]) =>
           val prev = state.getOption.getOrElse(Seq.empty)
           // fold the batch into the bounded heap: k smallest under the
-          // kernel's (adist, vec_id) total order. Batch + state both
+          // kernel's (adist, vec_id) total order, AT MOST ONE entry per
+          // vec_id (best adist wins) — a vec_id re-delivered with a
+          // changed embedding (vector update / replay) must displace
+          // its old score, not occupy two ranks. Batch + state both
           // small (≤ batch candidates per query; state ≤ k), so the
-          // sort-take spelling IS the bounded heap here
+          // group-min + sort-take spelling IS the bounded heap here
           val next = (prev ++ incoming.map(s => (s.adist, s.vec_id)))
-            .distinct.sorted.take(k)
+            .groupBy(_._2).valuesIterator.map(_.min).toSeq
+            .sorted.take(k)
           if (next == prev) Iterator.empty
           else {
             state.update(next)

@@ -61,6 +61,47 @@ class AnnMonitorStreamSpec extends AnyFunSuite {
     assert(emitted.forall(_ <= batchRows.size * 3))
   }
 
+  test("a re-delivered vec_id with a changed embedding occupies ONE rank") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vecs = graft.Tables.embeddings(spark, Dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => IncomingVec(r.getLong(0), r.getSeq[Float](1)))
+    val in = MemoryStream[IncomingVec]
+    val latest = scala.collection.mutable.Map.empty[Long, Seq[(Long, Long, Long)]]
+    val q = AnnMonitorStream.start(in.toDS(), Dir, "ann-monitor-redeliver") {
+      (updates, _) =>
+        val rows = updates.collect()
+        latest.synchronized {
+          rows.groupBy(_.q_id).foreach { case (qid, rs) =>
+            latest(qid) = rs.sortBy(_.rank).map(r => (r.rank, r.vec_id, r.adist)).toSeq
+          }
+        }
+    }
+    try {
+      in.addData(vecs.toSeq); q.processAllAvailable()
+      // vector update: the worst-ranked id of the smallest query gets
+      // the rank-1 vector's embedding — its ADC score becomes rank-1's
+      // exactly, so it must DISPLACE its own stale entry, not join it
+      val q0 = latest.keys.min
+      val top = latest(q0)
+      val (_, v1, d1) = top.head
+      val vLast = top.last._2
+      val emb1 = vecs.find(_.vec_id == v1).get.embedding
+      in.addData(Seq(IncomingVec(vLast, emb1))); q.processAllAvailable()
+      val after = latest(q0)
+      assert(after.map(_._2).distinct.size == after.size,
+        s"same vec_id occupies two ranks after re-delivery: $after")
+      val moved = after.filter(_._2 == vLast)
+      assert(moved.nonEmpty && moved.head._3 == d1,
+        s"re-delivered $vLast should carry rank-1's adist $d1, got $moved")
+      // and across every query, no id holds two ranks
+      latest.foreach { case (qid, rs) =>
+        assert(rs.map(_._2).distinct.size == rs.size, s"dup ids for query $qid: $rs")
+      }
+    } finally q.stop()
+  }
+
   test("a batch that changes nothing emits nothing") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
