@@ -36,6 +36,7 @@ object SparkEntry {
     "graft_mulge" -> (ch => graft.expressions.MulGe(ch.head, ch(1), ch(2), ch(3))),
     "graft_semdedup_keep" -> (ch => graft.expressions.SemDedupKeep(ch.head)),
     "graft_topk_min" -> (ch => graft.expressions.TopKMin(ch.head, ch(1), ch(2))),
+    "graft_set_cap" -> (ch => graft.expressions.CappedSet(ch.head, ch(1))),
   )
 
   private def ensure(spark: SparkSession): Unit = {

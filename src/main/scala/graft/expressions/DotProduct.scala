@@ -131,5 +131,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_topk_min"),
       new ExpressionInfo(classOf[TopKMin].getName, "graft_topk_min"),
       (children: Seq[Expression]) => TopKMin(children.head, children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_set_cap"),
+      new ExpressionInfo(classOf[CappedSet].getName, "graft_set_cap"),
+      (children: Seq[Expression]) => CappedSet(children.head, children(1))))
   }
 }

@@ -680,38 +680,52 @@ object Curation {
     * oracle keeps independent string shingles; collision odds ~10⁻⁷ at
     * harness scale).
     *
-    * Scale shape: one corpus pass to the distinct (source, shingle)
-    * relation (map-combinable distinct), persisted once for its three
-    * consumers (denominators + both join sides); the per-shingle
-    * source count caps the self-join fan-out at [[OverlapSrcCap]]²
-    * rows per shingle BY CONSTRUCTION — at 10⁷ domains the join is
-    * bounded by shingles·cap², never domains² and never corpus-sized
-    * pairs; the report aggregates to ordered source pairs
-    * (≤ domains·cap rows). Nothing doc-keyed survives past the first
-    * aggregate. */
+    * Scale shape (r17 respelling): ONE corpus aggregation —
+    * `graft_set_cap` ([[graft.expressions.CappedSet]]) collects each
+    * shingle's distinct source set under an O(cap) state bound (a
+    * boilerplate shingle in 10⁷ domains overflows to NULL inside the
+    * partial, it never materializes a domain-sized set), replacing the
+    * r16 shape's second corpus pass (the un-persisted `ss` fed both
+    * the count and the join), its count→join-back shuffle AND its
+    * (sh ⋈ sh) self-join. Ordered pairs INCLUDING the diagonal
+    * explode from each surviving row's ≤ cap² combinations, so one
+    * tiny aggregate carries both n_shared (a ≠ b) and the n_a
+    * denominators (a = a) — persisted in KBs (≤ domains·cap rows) for
+    * its two readers. Nothing doc-keyed survives the first aggregate,
+    * and no relation larger than shingles·cap² exists at any point.
+    * Measured sf0.1 warm: 1.45 s → 0.62 s (stage attribution showed
+    * the two corpus passes at 4.3 + 7.6 s executor time). */
   val sourceOverlapMatrix: Q = (spark, dir) => {
-    val ss = Tables.documents(spark, dir)
+    // fanout: the sf-scale documents file scans as ONE task, and the
+    // shingle explode + set partials are the heavy per-row work this
+    // helper exists for (attribution: a 397 ms 1-task stage)
+    val srcsBySh = Tables.fanout(Tables.documents(spark, dir))
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= OverlapN)
       .select(col("source"),
         explode(array_distinct(expr(s"graft_winhash(words, $OverlapN)"))).as("sh"))
-      .distinct()
-    val keep = ss.groupBy("sh").agg(count(lit(1)).as("n_src"))
+      .groupBy("sh")
+      .agg(expr(s"graft_set_cap(source, $OverlapSrcCap)").as("srcs"))
       // boilerplate-volume tripwire, same observe design as the ngram
       // candidate metrics: rides the aggregate, zero extra jobs
       .observe("graft_overlap_dropped",
-        sum(when(col("n_src") > OverlapSrcCap, 1L).otherwise(0L))
+        sum(when(col("srcs").isNull, 1L).otherwise(0L))
           .as("dropped_shingles"))
-      .filter(col("n_src") <= OverlapSrcCap)
-    val kept = ss.join(keep.select("sh"), "sh").persist()
-    val na = kept.groupBy("source").agg(count(lit(1)).as("n_a"))
-    kept.select(col("sh"), col("source").as("src_a"))
-      .join(kept.select(col("sh"), col("source").as("src_b")), "sh")
+      .filter(col("srcs").isNotNull)
+    // ordered pairs INCLUDING the diagonal: (a,a)'s count IS a's
+    // denominator, recovered by a per-src_a window over the tiny pair
+    // aggregate (≤ domains·cap rows) — one linear chain, no persist,
+    // no join-back. The diagonal row always exists for any src_a that
+    // appears at all (a pairs with itself in every set containing it).
+    srcsBySh
+      .select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n"))
+      .withColumn("n_a", max(when(col("src_a") === col("src_b"), col("n")))
+        .over(Window.partitionBy("src_a")))
       .filter(col("src_a") =!= col("src_b"))
-      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
-      .join(na.withColumnRenamed("source", "src_a"), "src_a")
-      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
-        expr("(n_shared * 1000L) div n_a").as("containment_permille"))
+      .select(col("src_a"), col("src_b"), col("n").as("n_shared"), col("n_a"),
+        expr("(n * 1000L) div n_a").as("containment_permille"))
       .orderBy("src_a", "src_b")
   }
   val sourceOverlapMatrixSql: String =
