@@ -442,7 +442,8 @@ object Semantic {
     * c_{m,cid}); vanished cids keep a 0 placeholder no code can
     * reference. */
   private def pqQueryTablesSubbed(v: DataFrame,
-      cents: Seq[Seq[(Long, Seq[Long], Long)]]): DataFrame =
+      cents: Seq[Seq[(Long, Seq[Long], Long)]],
+      keep: Seq[Column] = Seq.empty): DataFrame =
     (0 until PqM).foldLeft(v.filter(col("vec_id") < PqQueries)) {
       (df, m) =>
         val byCid = cents(m).map(c => c._1 -> c).toMap
@@ -455,7 +456,8 @@ object Semantic {
             case None => lit(0L)
           }
         }: _*))
-    }.select(col("vec_id").as("q_id") +: (0 until PqM).map(m => col(s"tbl$m")): _*)
+    }.select(col("vec_id").as("q_id") +:
+      ((0 until PqM).map(m => col(s"tbl$m")) ++ keep): _*)
 
   /** The frozen standing-query ADC tables over `dir`'s embeddings —
     * the 10-row artifact [[graft.streaming.AnnMonitorStream]] joins to
@@ -598,21 +600,47 @@ object Semantic {
     * rows per query; the report is query-cardinality. */
   private[operators] def pqRecallOf(v: DataFrame,
       cents: Seq[Seq[(Long, Seq[Long], Long)]]): DataFrame = {
-    val pqTop = pqAdcOf(v, cents).select(col("q_id"), col("vec_id"))
-    val qrel = v.filter(col("vec_id") < PqQueries)
+    // FUSED audit pass (r17): the r16 spelling ran two corpus ×
+    // bounded-query broadcasts (the ADC chain, then the exact
+    // baseline), ranked each with its own aggregate, and joined the
+    // two top-k relations into a hits count — five shuffle stages and
+    // a 14-job cascade for a 10-row report. Both scorings read the
+    // SAME corpus row against the SAME broadcast query row, so one
+    // crossJoin computes adist AND exact d per candidate, ONE
+    // aggregate carries both bounded heaps (two `graft_topk_min`
+    // buffers side by side — still O(queries·k) state, map-side
+    // combined), and the intersection that was a join + count agg
+    // becomes per-row array algebra over two ≤ k arrays. Measured
+    // sf0.1 warm: 1.43 s / 14 jobs → ~1.3 s / 12 jobs — the fusion
+    // halves the scored volume but the floor is the serial
+    // train-side job chain (persist build, seed draw, Lloyd round),
+    // which is O(1) in the corpus and amortizes at scale.
+    val coded = (0 until PqM).foldLeft(v.toDF()) { (df, m) =>
+      df.withColumn(s"code$m", pqBest(m, cents(m)).getField("cid"))
+    }.select(col("vec_id") +: col("q") +: col("na") +:
+      (0 until PqM).map(m => col(s"code$m")): _*)
+    val qexact = v.filter(col("vec_id") < PqQueries)
       .select(col("vec_id").as("q_id"), col("q").as("q_q"), col("na").as("q_na"))
-    val exactTop = v.select(col("vec_id"), col("q"), col("na"))
-      .crossJoin(broadcast(qrel.select(col("q_id"), col("q_q"), col("q_na"))))
+    // ADC tables and exact-side columns come off the SAME filtered
+    // rows — built as one projection, not a self-join of two 10-row
+    // derivations of the identical subtree
+    val qrel = pqQueryTablesSubbed(v, cents, keep = Seq(
+      col("q").as("q_q"), col("na").as("q_na")))
+    val both = coded.crossJoin(broadcast(qrel))
       .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adist", (0 until PqM).map(m =>
+        element_at(col(s"tbl$m"), col(s"code$m").cast("int") + 1)).reduce(_ + _))
       .withColumn("d", col("na") - lit(2L) * expr("graft_doti(q, q_q)") + col("q_na"))
       .groupBy("q_id")
-      .agg(expr(s"graft_topk_min(d, vec_id, $PqTopK)").as("top"))
-      .select(col("q_id"), explode(col("top")).as("t"))
-      .select(col("q_id"), col("t.id").as("vec_id"))
-    val hits = pqTop.join(exactTop, Seq("q_id", "vec_id"))
-      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
-    qrel.select("q_id")
-      .join(hits, Seq("q_id"), "left_outer")
+      .agg(expr(s"graft_topk_min(adist, vec_id, $PqTopK)").as("ta"),
+        expr(s"graft_topk_min(d, vec_id, $PqTopK)").as("te"))
+      .select(col("q_id"),
+        size(array_intersect(expr("transform(ta, t -> t.id)"),
+          expr("transform(te, t -> t.id)"))).cast("long").as("n_hits"))
+    // left join from the query set keeps the oracle's row-per-query
+    // contract even for a degenerate corpus with no candidates
+    qexact.select("q_id")
+      .join(both, Seq("q_id"), "left_outer")
       .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("recall_permille", expr(s"(n_hits * 1000L) div $PqTopK"))
       .orderBy("q_id")
