@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.Dedup.h60Duck
 
 /** Semantic (embedding-space) curation: k-means cluster assignment and
   * SemDeDup-style within-cluster near-duplicate pruning — the
@@ -685,16 +686,141 @@ object Semantic {
        |FROM (SELECT DISTINCT q_id FROM qv) q LEFT JOIN hits h ON h.q_id = q.q_id
        |ORDER BY q.q_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X73 hard_negative_mine — contrastive hard-negative mining
+  // ---------------------------------------------------------------------
+
+  /** Negatives mined per query. */
+  val HardNegK = 5
+
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * anchor in the bounded query set, the [[HardNegK]] NEAREST vectors
+    * carrying a DIFFERENT label — the semantically-closest wrong
+    * answers, which is exactly what a contrastive loss wants in the
+    * denominator (random negatives are trivially separable and teach
+    * nothing; see e.g. SimCSE/DPR hard-negative practice). Distances
+    * are exact longs on the shared shifted-quantized representation
+    * (‖a−b‖² = na − 2·a·b + nb), so ranking is bit-identical across
+    * engines; ties break to the lower vec_id, the family's total
+    * order.
+    *
+    * Scale shape: the family's audited corpus × bounded-anchor
+    * broadcast — the label constraint is a row-local filter BEFORE the
+    * ranking aggregate, and the per-anchor ranking is the bounded-heap
+    * `graft_topk_min` (map tasks combine to ≤ k pairs per anchor
+    * before the exchange). One corpus pass, O(partitions·anchors·k)
+    * shuffled rows, no window, no per-label shuffle. */
+  val hardNegativeMine: Q = (spark, dir) => {
+    val e = Tables.fanout(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr(s"graft_quant(embedding, ${QScale}L, ${QShift}L)").as("q"))
+      .withColumn("na", expr("graft_doti(q, q)"))
+    val anchors = e.filter(col("vec_id") < PqQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("q").as("q_q"), col("na").as("q_na"))
+    e.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("d",
+        col("na") - lit(2L) * expr("graft_doti(q, q_q)") + col("q_na"))
+      .groupBy("q_id")
+      .agg(expr(s"graft_topk_min(d, vec_id, $HardNegK)").as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("vec_id"), col("t.key").as("dist"))
+      .orderBy("q_id", "rank")
+  }
+  val hardNegativeMineSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT) + $QShift) AS q
+       |  FROM embeddings),
+       |en AS (
+       |  SELECT vec_id, label, q,
+       |         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS na
+       |  FROM e),
+       |scored AS (
+       |  SELECT a.vec_id AS q_id, c.vec_id,
+       |         CAST(c.na - 2 * list_sum(list_transform(range(1, ${Dim + 1}),
+       |                i -> c.q[i] * a.q[i])) + a.na AS BIGINT) AS d
+       |  FROM en a JOIN en c
+       |    ON a.vec_id < $PqQueries AND c.vec_id <> a.vec_id AND c.label <> a.label)
+       |SELECT q_id, rank, vec_id, dist FROM (
+       |  SELECT q_id, vec_id, d AS dist,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id)
+       |              AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $HardNegK ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X74 cluster_balanced_sample — diversity sampling by cluster quota
+  // ---------------------------------------------------------------------
+
+  /** Per-cluster pick quota. */
+  val ClusterQuota = 25
+
+  /** Cluster-balanced subsampling: run the shared k-means core, then
+    * take up to [[ClusterQuota]] vectors PER CLUSTER by a content-keyed
+    * hash draw — the diversity-sampling pass (cf. k-center/cluster-
+    * balanced selection in data-curation practice) that keeps a
+    * capped, representative slice of every semantic region instead of
+    * letting the corpus's head clusters dominate the training mix.
+    * The draw key is `h60('cbs:' || vec_id)` — deterministic,
+    * engine-reproducible, and INDEPENDENT of the seed draw's
+    * `md5(vec_id)` stream (prefixing decorrelates the two uses of the
+    * same id).
+    *
+    * Scale shape: the k-means core's audited shape (driver-held
+    * centroid literals, assignment as a pure projection), then ONE
+    * bounded-heap `graft_topk_min` aggregate keyed by cluster — map
+    * tasks combine to ≤ quota picks per cluster BEFORE the exchange,
+    * so the sample never sorts a cluster's full membership anywhere
+    * (the window spelling would range-sort corpus-sized cluster
+    * partitions; the reservoir_sample pre-filter trick doesn't apply
+    * because the quota here is per-CLUSTER, K of which are constant).
+    * n_total rides the same aggregate. */
+  val clusterBalancedSample: Q = (spark, dir) => {
+    val a = kmeans(quantShifted(Tables.embeddings(spark, dir)))
+    a.withColumn("hk", Dedup.h60(concat(lit("cbs:"), col("vec_id"))))
+      .groupBy("cid")
+      .agg(expr(s"graft_topk_min(hk, vec_id, $ClusterQuota)").as("picks"),
+        count(lit(1)).as("n_total"))
+      .select(col("cid").as("cluster"), col("n_total"),
+        posexplode(col("picks")).as(Seq("pos", "t")))
+      .select(col("cluster"), (col("pos") + 1).cast("long").as("pick_rank"),
+        col("t.id").as("vec_id"), col("n_total"))
+      .orderBy("cluster", "pick_rank")
+  }
+  val clusterBalancedSampleSql: String =
+    s"""WITH ${kmeansCtes("embeddings")},
+       |hk AS (
+       |  SELECT vec_id, cid,
+       |         ${h60Duck("'cbs:' || CAST(vec_id AS VARCHAR)")} AS hk
+       |  FROM a2),
+       |picked AS (
+       |  SELECT cid AS cluster, vec_id,
+       |         row_number() OVER (PARTITION BY cid ORDER BY hk, vec_id) AS pick_rank,
+       |         count(*) OVER (PARTITION BY cid) AS n_total
+       |  FROM hk)
+       |SELECT cluster, CAST(pick_rank AS BIGINT) AS pick_rank, vec_id,
+       |       CAST(n_total AS BIGINT) AS n_total
+       |FROM picked WHERE pick_rank <= $ClusterQuota
+       |ORDER BY cluster, pick_rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "kmeans_assign" -> kmeansAssign,
     "semdedup_prune" -> semdedupPrune,
     "pq_adc_topk" -> pqAdcTopk,
     "pq_recall_report" -> pqRecallReport,
+    "hard_negative_mine" -> hardNegativeMine,
+    "cluster_balanced_sample" -> clusterBalancedSample,
   )
   val oracles: Map[String, String] = Map(
     "kmeans_assign" -> kmeansAssignSql,
     "semdedup_prune" -> semdedupPruneSql,
     "pq_adc_topk" -> pqAdcTopkSql,
     "pq_recall_report" -> pqRecallReportSql,
+    "hard_negative_mine" -> hardNegativeMineSql,
+    "cluster_balanced_sample" -> clusterBalancedSampleSql,
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Dedup.{h60, h60Duck}
+import graft.operators.Dedup.{h60, h60Duck, h60Sql}
 
 /** The last mile of a training-data pipeline, after dedup/quality/
   * sampling: balance the language mix and pack documents into
@@ -836,7 +836,105 @@ object TrainingMix {
        |FROM k LEFT JOIN sc USING (doc_id)
        |GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X75 span_corruption — T5-style denoising-instance construction
+  // ---------------------------------------------------------------------
+
+  /** Per-token corruption rate (per-mille). T5 trains at 15%; the
+    * geometry below (independent token coins whose RUNS become spans)
+    * trades the paper's mean-span-3 Poisson draw for a fully
+    * deterministic, engine-reproducible mask — the structure
+    * (sentinel-compacted input, sentinel-prefixed target spans) is the
+    * paper's. */
+  private val MaskPermille = 150
+
+  /** Span-corruption instance construction (Raffel et al. 2020, T5
+    * §3.1.4): mask a deterministic subset of each doc's tokens, then
+    * emit the denoising pair geometry — the INPUT keeps unmasked
+    * tokens with each masked RUN collapsed to one sentinel, the TARGET
+    * is each run's tokens prefixed by its sentinel. The mask coin is
+    * content-keyed (`h60('mask:' || doc_id || ':' || pos)`), so the
+    * same corpus yields the same instances on any engine, run, or
+    * partitioning — the property that makes a 100 TB pretraining set
+    * resumable and auditable (a `rand()` mask is neither). Consecutive
+    * masked tokens merge into one span exactly as T5's sentinel
+    * compaction does.
+    *
+    * Output is the instance GEOMETRY plus content fingerprints
+    * (`h60` of the constructed input/target strings) rather than the
+    * strings themselves — integer-exact for the oracle hash while
+    * still pinning the full construction byte-for-byte; a production
+    * writer emits the strings from the identical expressions.
+    *
+    * Scale shape: pure projection — per-row array algebra over the
+    * token list (mask array built once per row and multiply-referenced
+    * in ONE select, so CollapseProject cannot inline it into the
+    * consuming lambdas — the LambdaInvariantSpec rule); no explode, no
+    * join, no shuffle but the output sort. Row-parallel at any corpus
+    * size. */
+  val spanCorruption: Q = (spark, dir) => {
+    val runStart = "element_at(m, i) AND (CASE WHEN i = 1 THEN true " +
+      "ELSE NOT element_at(m, i - 1) END)"
+    Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("m", expr(
+        s"""transform(sequence(1, size(words)),
+           |  i -> ${h60Sql("concat('mask:', doc_id, ':', i)")} % 1000 < $MaskPermille)""".stripMargin))
+      .select(
+        col("doc_id"),
+        size(col("words")).cast("long").as("n_tokens"),
+        expr("size(filter(m, x -> x))").cast("long").as("n_masked"),
+        expr(
+          s"""size(filter(transform(sequence(1, size(words)),
+             |  i -> CASE WHEN $runStart THEN true ELSE false END), x -> x))""".stripMargin)
+          .cast("long").as("n_spans"),
+        h60(expr(
+          s"""array_join(filter(transform(sequence(1, size(words)),
+             |  i -> CASE WHEN $runStart THEN '<extra_id>'
+             |            WHEN element_at(m, i) THEN CAST(NULL AS STRING)
+             |            ELSE element_at(words, i) END),
+             |  x -> x IS NOT NULL), ' ')""".stripMargin)).as("input_fp"),
+        h60(expr(
+          s"""array_join(filter(transform(sequence(1, size(words)),
+             |  i -> CASE WHEN $runStart THEN concat('<extra_id> ', element_at(words, i))
+             |            WHEN element_at(m, i) THEN element_at(words, i)
+             |            ELSE CAST(NULL AS STRING) END),
+             |  x -> x IS NOT NULL), ' ')""".stripMargin)).as("target_fp"))
+      .orderBy("doc_id")
+  }
+  val spanCorruptionSql: String = {
+    val coin = h60Duck("'mask:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
+    val runStart = "m[i] AND (CASE WHEN i = 1 THEN true ELSE NOT m[i - 1] END)"
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |msk AS (
+       |  SELECT doc_id, words,
+       |         list_transform(range(1, len(words) + 1),
+       |           i -> $coin % 1000 < $MaskPermille) AS m
+       |  FROM w)
+       |SELECT doc_id,
+       |       CAST(len(words) AS BIGINT) AS n_tokens,
+       |       CAST(len(list_filter(m, x -> x)) AS BIGINT) AS n_masked,
+       |       CAST(len(list_filter(list_transform(range(1, len(words) + 1),
+       |         i -> CASE WHEN $runStart THEN true ELSE false END), x -> x))
+       |         AS BIGINT) AS n_spans,
+       |       ${h60Duck(
+      // COALESCE: DuckDB's array_to_string of an EMPTY list is NULL
+      // where Spark's array_join is '' (an all-masked or zero-mask doc)
+      s"""COALESCE(array_to_string(list_filter(list_transform(range(1, len(words) + 1),
+         |         i -> CASE WHEN $runStart THEN '<extra_id>'
+         |                   WHEN m[i] THEN NULL
+         |                   ELSE words[i] END), x -> x IS NOT NULL), ' '), '')""".stripMargin)} AS input_fp,
+       |       ${h60Duck(
+      s"""COALESCE(array_to_string(list_filter(list_transform(range(1, len(words) + 1),
+         |         i -> CASE WHEN $runStart THEN '<extra_id> ' || words[i]
+         |                   WHEN m[i] THEN words[i]
+         |                   ELSE NULL END), x -> x IS NOT NULL), ' '), '')""".stripMargin)} AS target_fp
+       |FROM msk ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "span_corruption" -> spanCorruption,
     "temperature_resample" -> temperatureResample,
     "sequence_pack" -> sequencePack,
     "dataset_split" -> datasetSplit,
@@ -849,6 +947,7 @@ object TrainingMix {
     "mix_pipeline" -> mixPipeline,
   )
   val oracles: Map[String, String] = Map(
+    "span_corruption" -> spanCorruptionSql,
     "dsir_select" -> dsirSelectSql,
     "doremi_weights" -> doremiWeightsSql,
     "length_bucket_batches" -> lengthBucketBatchesSql,

@@ -55,7 +55,11 @@ class ConstructionJobSweepSpec extends AnyFunSuite {
     // X70/X72: the PQ codebooks train through the same driver-collected
     // Lloyd rounds as kmeans_assign (seed draw + one fused update
     // aggregate at construction; state M·K·SubDim longs, O(1) in corpus)
-    "pq_adc_topk", "pq_recall_report")
+    "pq_adc_topk", "pq_recall_report",
+    // X74: the shared k-means core's driver-collected Lloyd rounds
+    // (seed draw + centroid update collects; state K·Dim longs, O(1)
+    // in corpus) run at construction, same as kmeans_assign
+    "cluster_balanced_sample")
 
   test("query construction is lazy (no jobs before the first action)") {
     val jobs = new AtomicInteger(0)

@@ -71,9 +71,12 @@ class NestedLoopSweepSpec extends AnyFunSuite {
     // X70: `crossJoin(broadcast(qrel))` — the hinted side is the ADC
     // query relation, `vec_id < PqQueries` (10 rows at any corpus size)
     "pq_adc_topk" -> 1,
-    // X72: the same bounded query relation broadcast twice — once for
-    // the ADC scoring, once for the exact-baseline scoring
-    "pq_recall_report" -> 2)
+    // X72: ONE fused corpus × bounded-query broadcast since r17 (ADC
+    // and exact-baseline scoring share the pass)
+    "pq_recall_report" -> 1,
+    // X73: corpus × 10-row anchor set, the cosine_topk shape with a
+    // row-local label filter
+    "hard_negative_mine" -> 1)
 
   test("no registered query plans an unbounded nested-loop or cartesian join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -120,7 +120,15 @@ class ScalingSpec extends AnyFunSuite {
       // sfx1's `_k` suffixing replicates overlap structure within
       // copies (same 20 sources, disjoint shingles per copy), so pair
       // volume grows with shingles, not sources²; expected ~linear
-      "source_overlap_matrix")
+      "source_overlap_matrix",
+      // r17: contrastive mining — corpus × 10 bounded anchors through
+      // one bounded-heap exchange (O(partitions·anchors·k) rows);
+      // expected ~flat shuffle with the corpus scan growing linearly
+      "hard_negative_mine",
+      // r17: cluster-quota sampling — the kmeans core's flat Lloyd
+      // shuffle + one K-keyed bounded-heap aggregate (≤ K·quota rows
+      // past the exchange); expected ~flat like pq_adc_topk's model side
+      "cluster_balanced_sample")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
