@@ -1197,10 +1197,97 @@ object Dedup {
        |ORDER BY c.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X76 dup_graph_pagerank — hub centrality over the candidate graph
+  // ---------------------------------------------------------------------
+
+  /** Rank fixed-point scale (rank values are micro-units). */
+  private val PrScale = 1000000L
+  /** Damping factor in per-mille (the classic 0.85). */
+  private val PrDamp = 850L
+  /** Power-method iterations — FIXED and unrolled in the oracle, the
+    * same bounded-loop contract as the k-means/BPE training rounds. */
+  private val PrIters = 3
+
+  /** PageRank-style hub centrality over the LSH candidate graph (Page
+    * et al. 1999; undirected candidate pairs walked in both
+    * directions): a document that band-collides with MANY others is a
+    * template/boilerplate hub — chrome, license text, mirrored
+    * navigation — and its centrality is the curation signal that flags
+    * hub-ness BEFORE any pairwise verification is paid, complementing
+    * the CC family (which answers "which component", not "how
+    * central"). Exact integer power method: r₀ = [[PrScale]],
+    * r_{t+1}(v) = ((1000−d)·scale + d·Σ_{u~v} (r_t(u) div deg(u)))
+    * div 1000 for [[PrIters]] rounds — floor division at every step,
+    * so every rank is a reproducible long on any engine; isolated
+    * docs hold the (1000−d)-floor baseline, and dangling leakage is
+    * the textbook simplification (no edges → no outflow), identical
+    * on both sides.
+    *
+    * Scale shape: rides the SESSION-STAGED signature relation (the
+    * four-consumer stage table the dedup family already shares); each
+    * of the [[PrIters]] rounds is one candidate-bounded equi-join +
+    * one `partial_sum` hash aggregate — the Pregel shape of
+    * [[nearDupCluster]] with a FIXED round count, so no checkpointing
+    * is needed (lineage depth is 3, not data-dependent); the rank
+    * relation is one row per doc and edges never exceed the
+    * band-bounded candidate volume. Edges + degrees persist across
+    * rounds (3 consumers each). */
+  val dupGraphPagerank: Q = (spark, dir) => {
+    val pairs = minhashPairs(spark, dir)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val nodes = withNearDupes(spark, dir).select("doc_id")
+    val r3 = (1 to PrIters).foldLeft(nodes.withColumn("rank", lit(PrScale))) {
+      (r, _) =>
+        val inflow = edges
+          .join(r.withColumnRenamed("doc_id", "src"), "src")
+          .join(deg, "src")
+          .select(col("dst").as("doc_id"), expr("rank div deg").as("c"))
+          .groupBy("doc_id").agg(sum(col("c")).as("inflow"))
+        nodes.join(inflow, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            expr(s"((${1000L - PrDamp} * ${PrScale}L) + $PrDamp * coalesce(inflow, 0L)) div 1000")
+              .as("rank"))
+    }
+    r3.join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("rank"), coalesce(col("deg"), lit(0L)).as("degree"))
+      .orderBy("doc_id")
+  }
+  val dupGraphPagerankSql: String = {
+    def iterCte(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT n.doc_id,
+         |         CAST(((${1000L - PrDamp} * $PrScale) + $PrDamp * COALESCE(f.inflow, 0))
+         |              // 1000 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS doc_id, sum(r.rank // d.deg) AS inflow
+         |    FROM edges e
+         |    JOIN $prev r ON r.doc_id = e.src
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) f USING (doc_id))""".stripMargin
+    s"""WITH ${minhashCtes(NearDupesSql)},
+       |nodes AS (SELECT doc_id FROM $NearDupesSql nd),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+       |          UNION ALL
+       |          SELECT doc_b AS src, doc_a AS dst FROM mh_pairs),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT doc_id, CAST($PrScale AS BIGINT) AS rank FROM nodes),
+       |${iterCte("r0", "r1")},
+       |${iterCte("r1", "r2")},
+       |${iterCte("r2", "r3")}
+       |SELECT r3.doc_id, r3.rank, COALESCE(d.deg, 0) AS degree
+       |FROM r3 LEFT JOIN deg d ON d.src = r3.doc_id
+       |ORDER BY r3.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "dup_graph_pagerank" -> dupGraphPagerank,
     "exact_dedup_documents" -> exactDedupDocuments,
     "exact_substr_spans" -> exactSubstrSpans,
     "exact_substr_cut" -> exactSubstrCut,
@@ -1216,6 +1303,7 @@ object Dedup {
     "lsh_band_recall" -> lshBandRecall,
   )
   val oracles: Map[String, String] = Map(
+    "dup_graph_pagerank" -> dupGraphPagerankSql,
     "exact_dedup_documents" -> exactDedupDocumentsSql,
     "exact_substr_spans" -> exactSubstrSpansSql,
     "exact_substr_cut" -> exactSubstrCutSql,

@@ -59,7 +59,10 @@ class ConstructionJobSweepSpec extends AnyFunSuite {
     // X74: the shared k-means core's driver-collected Lloyd rounds
     // (seed draw + centroid update collects; state K·Dim longs, O(1)
     // in corpus) run at construction, same as kmeans_assign
-    "cluster_balanced_sample")
+    "cluster_balanced_sample",
+    // X76: rides the session-staged minhash signature relation (the
+    // dedup family's stage table materializes with its first consumer)
+    "dup_graph_pagerank")
 
   test("query construction is lazy (no jobs before the first action)") {
     val jobs = new AtomicInteger(0)

@@ -128,7 +128,11 @@ class ScalingSpec extends AnyFunSuite {
       // r17: cluster-quota sampling — the kmeans core's flat Lloyd
       // shuffle + one K-keyed bounded-heap aggregate (≤ K·quota rows
       // past the exchange); expected ~flat like pq_adc_topk's model side
-      "cluster_balanced_sample")
+      "cluster_balanced_sample",
+      // r17: candidate-graph PageRank — 3 fixed rounds of edge-join +
+      // rank agg over the band-bounded candidate relation; shuffle
+      // should track minhash_lsh_candidates' with a ×3 round constant
+      "dup_graph_pagerank")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
