@@ -872,10 +872,17 @@ object TrainingMix {
     * consuming lambdas — the LambdaInvariantSpec rule); no explode, no
     * join, no shuffle but the output sort. Row-parallel at any corpus
     * size. */
-  val spanCorruption: Q = (spark, dir) => {
+  val spanCorruption: Q = (spark, dir) =>
+    spanCorrupt(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The corruption projection over any `(doc_id, text, …)` relation —
+    * shared by the batch query and the streaming instance builder
+    * ([[graft.streaming.CorruptStream]]), so batch/stream parity is by
+    * shared code. Stateless and row-local: safe on any micro-batch. */
+  private[graft] def spanCorrupt(docs: DataFrame): DataFrame = {
     val runStart = "element_at(m, i) AND (CASE WHEN i = 1 THEN true " +
       "ELSE NOT element_at(m, i - 1) END)"
-    Tables.documents(spark, dir)
+    docs
       .withColumn("words", split(col("text"), " "))
       .withColumn("m", expr(
         s"""transform(sequence(1, size(words)),
@@ -900,7 +907,6 @@ object TrainingMix {
              |            WHEN element_at(m, i) THEN element_at(words, i)
              |            ELSE CAST(NULL AS STRING) END),
              |  x -> x IS NOT NULL), ' ')""".stripMargin)).as("target_fp"))
-      .orderBy("doc_id")
   }
   val spanCorruptionSql: String = {
     val coin = h60Duck("'mask:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
