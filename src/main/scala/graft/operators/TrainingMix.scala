@@ -873,7 +873,15 @@ object TrainingMix {
     * join, no shuffle but the output sort. Row-parallel at any corpus
     * size. */
   val spanCorruption: Q = (spark, dir) =>
-    spanCorrupt(Tables.documents(spark, dir)).orderBy("doc_id")
+    // fanout: the sf-sized documents file is ONE scan partition and the
+    // corruption is md5-per-position heavy — the cast_str_int case
+    // (1.22 s committed → 0.57 s warm). Project-THEN-sort on purpose:
+    // the sort-first spelling (so the range sampler wouldn't re-run
+    // the md5 chain) measured WORSE (1.02 vs 0.57 warm) because the
+    // sampler sizes partitions on the cheap pre-projection bytes and
+    // the heavy projection then runs in the sort's few output
+    // partitions — cast_str_int's parse-after-sort rejection replayed.
+    spanCorrupt(Tables.fanout(Tables.documents(spark, dir))).orderBy("doc_id")
 
   /** The corruption projection over any `(doc_id, text, …)` relation —
     * shared by the batch query and the streaming instance builder
