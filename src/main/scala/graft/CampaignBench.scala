@@ -22,7 +22,9 @@ object CampaignBench {
     * dedup campaign actually runs as one session. */
   private val Family = Seq(
     "minhash_lsh_candidates", "minhash_jaccard_estimate", "lsh_band_recall",
-    "near_dup_cluster", "dedup_resolve", "dedup_rate_report")
+    "near_dup_cluster", "dedup_resolve", "dedup_rate_report",
+    // r17: the candidate-graph centrality rides the same stage table
+    "dup_graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
