@@ -1,9 +1,14 @@
 package graft
 
-/** Throwaway interleaved A/B harness (deleted after recording the
-  * decision in docs/SCALE.md, per the measurement discipline): runs the
-  * named query alternating variant confs inside ONE JVM, min/median of
-  * N per variant. Usage: runMain graft.ABench <sfDir> <query> [reps]
+/** Standing interleaved A/B harness for the measurement discipline
+  * (docs/SCALE.md): per-query wall times swing ±50% across JVM
+  * invocations on this host, so perf decisions are made ONLY from
+  * interleaved min-of-N comparisons inside one JVM. This main runs the
+  * named query alternating the variant conf (currently AQE on/off —
+  * edit the two `spark.conf.set` lines for a different axis; code
+  * variants still use throwaway runMains). Decisions it produced are
+  * ledgered in docs/SCALE.md §r17+.
+  * Usage: runMain graft.ABench <sfDir> <query> [reps]
   */
 object ABench {
   def main(args: Array[String]): Unit = {

@@ -877,10 +877,11 @@ object TrainingMix {
     // corruption is md5-per-position heavy — the cast_str_int case
     // (1.22 s committed → 0.57 s warm). Project-THEN-sort on purpose:
     // the sort-first spelling (so the range sampler wouldn't re-run
-    // the md5 chain) measured WORSE (1.02 vs 0.57 warm) because the
-    // sampler sizes partitions on the cheap pre-projection bytes and
-    // the heavy projection then runs in the sort's few output
-    // partitions — cast_str_int's parse-after-sort rejection replayed.
+    // the md5 chain) measured WORSE (1.02 vs 0.57 warm; its profile
+    // shows a ~0.5 s single-task stage consuming the sort) —
+    // cast_str_int's parse-after-sort rejection replayed. Both
+    // spellings must be measured per site (SortSamplingSpec's 2×
+    // re-evaluation pulls the other way), never assumed.
     spanCorrupt(Tables.fanout(Tables.documents(spark, dir))).orderBy("doc_id")
 
   /** The corruption projection over any `(doc_id, text, …)` relation —
