@@ -807,7 +807,168 @@ object Semantic {
        |FROM picked WHERE pick_rank <= $ClusterQuota
        |ORDER BY cluster, pick_rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X77 knn_label_eval — embedding label-coherence probe (kNN vote)
+  // ---------------------------------------------------------------------
+
+  /** Neighbors voting per query. */
+  val KnnK = 5
+
+  /** kNN label-coherence evaluation: classify each bounded-set query
+    * by the majority label of its [[KnnK]] exact nearest neighbors and
+    * report the verdict — the standard embedding-quality probe (a
+    * label-coherent space classifies its own points correctly; random
+    * embeddings score at chance), run before anyone trains on the
+    * vectors. Ties: rank ties → lower vec_id (the family order), vote
+    * ties → lower label.
+    *
+    * The neighbor LABEL rides the bounded heap packed into the id —
+    * `id = vec_id·16 + label` is strictly monotone in vec_id (labels
+    * are one-per-vector and < 16, spec-asserted), so (d, packed) ranks
+    * identically to the oracle's (d, vec_id) while the vote needs NO
+    * join back to the corpus for labels: one corpus pass total, the
+    * vote itself is queries·k rows. */
+  val knnLabelEval: Q = (spark, dir) => {
+    val e = Tables.fanout(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr(s"graft_quant(embedding, ${QScale}L, ${QShift}L)").as("q"))
+      .withColumn("na", expr("graft_doti(q, q)"))
+    val anchors = e.filter(col("vec_id") < PqQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("q").as("q_q"), col("na").as("q_na"))
+    e.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d",
+        col("na") - lit(2L) * expr("graft_doti(q, q_q)") + col("q_na"))
+      .groupBy("q_id", "q_label")
+      .agg(expr(s"graft_topk_min(d, vec_id * 16L + label, $KnnK)").as("top"))
+      .select(col("q_id"), col("q_label"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("q_label"), expr("t.id % 16").as("nb_label"))
+      .groupBy("q_id", "q_label", "nb_label").agg(count(lit(1)).as("cnt"))
+      .groupBy("q_id", "q_label")
+      .agg(max_by(col("nb_label"),
+        struct(col("cnt"), (-col("nb_label")).as("n"))).as("pred_label"))
+      .select(col("q_id"), col("q_label").as("true_label"), col("pred_label"),
+        (col("q_label") === col("pred_label")).as("correct"))
+      .orderBy("q_id")
+  }
+  val knnLabelEvalSql: String =
+    s"""WITH en AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT) + $QShift) AS q
+       |  FROM embeddings),
+       |en2 AS (
+       |  SELECT vec_id, label, q,
+       |         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS na
+       |  FROM en),
+       |scored AS (
+       |  SELECT a.vec_id AS q_id, a.label AS q_label,
+       |         c.vec_id, c.label AS nb_label,
+       |         CAST(c.na - 2 * list_sum(list_transform(range(1, ${Dim + 1}),
+       |                i -> c.q[i] * a.q[i])) + a.na AS BIGINT) AS d
+       |  FROM en2 a JOIN en2 c ON a.vec_id < $PqQueries AND c.vec_id <> a.vec_id),
+       |top AS (
+       |  SELECT q_id, q_label, nb_label FROM (
+       |    SELECT q_id, q_label, nb_label,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rn
+       |    FROM scored) WHERE rn <= $KnnK),
+       |votes AS (
+       |  SELECT q_id, q_label, nb_label, count(*) AS cnt
+       |  FROM top GROUP BY 1, 2, 3)
+       |SELECT q_id, q_label AS true_label, pred_label,
+       |       q_label = pred_label AS correct
+       |FROM (
+       |  SELECT q_id, q_label, nb_label AS pred_label,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cnt DESC, nb_label) AS vr
+       |  FROM votes) WHERE vr = 1
+       |ORDER BY q_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X78 embedding_decontam — eval-set decontamination in embedding space
+  // ---------------------------------------------------------------------
+
+  /** Bounded eval-set size (the held-out suite a deployment freezes). */
+  val EvalN = 50L
+
+  /** Embedding-space decontamination: flag every training vector whose
+    * cosine against ANY eval vector exceeds τ = 0.9 — the semantic
+    * complement of `split_contamination`'s n-gram audit (a paraphrased
+    * leak shares no 5-gram but lands next to its source in embedding
+    * space). The corpus includes a synthesized LEAK — re-keyed copies
+    * of every even-id eval vector, the way held-out examples actually
+    * reappear in a crawl — so the positive path is provably exercised
+    * on random testdata (cos(copy, source) = 1).
+    *
+    * Exact arithmetic: signed quantization floor(x·10⁶) (no shift —
+    * cosine needs signed dots), and the τ² test is the overflow-free
+    * `graft_mulge` 128-bit rational compare
+    * `(10·dot)² ≥ (τ²·100)·na·nb` with dot > 0 — no float anywhere,
+    * the semdedup numeric policy.
+    *
+    * Scale shape: eval suites are FIXED-SIZE while the corpus grows
+    * (the benchmark_contamination argument), so the scoring pass is
+    * corpus × bounded-eval broadcast with a row-local threshold test;
+    * the match count is a map-combinable hash aggregate on vec_id and
+    * the verdict join-back touches only (vec_id) columns. */
+  val embeddingDecontam: Q = (spark, dir) => {
+    val base = Tables.fanout(Tables.embeddings(spark, dir))
+      .select(col("vec_id"),
+        expr(s"graft_quant(embedding, ${QScale}L, 0L)").as("q"))
+      .withColumn("na", expr("graft_doti(q, q)"))
+    val eval = base.filter(col("vec_id") < EvalN)
+      .select(col("vec_id").as("e_id"), col("q").as("e_q"), col("na").as("e_na"))
+    // train = the rest ∪ leaked re-crawls of even-id eval vectors
+    val train = base.filter(col("vec_id") >= EvalN)
+      .unionByName(base.filter(col("vec_id") < EvalN && col("vec_id") % 2 === 0)
+        .select((col("vec_id") + Dedup.ReKeyA).as("vec_id"), col("q"), col("na")))
+    val matches = train.crossJoin(broadcast(eval))
+      .withColumn("dot", expr("graft_doti(q, e_q)"))
+      .filter(col("dot") > 0 &&
+        expr("graft_mulge(10L * dot, 10L * dot, 81L * na, e_na)"))
+      .groupBy("vec_id").agg(count(lit(1)).as("n_matched"))
+    train.select("vec_id")
+      .join(matches, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("keep", col("n_matched") === 0L)
+      .orderBy("vec_id")
+  }
+  val embeddingDecontamSql: String =
+    s"""WITH qn AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |base AS (
+       |  SELECT vec_id, q,
+       |         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS na
+       |  FROM qn),
+       |ev AS (SELECT vec_id AS e_id, q AS e_q, na AS e_na FROM base
+       |       WHERE vec_id < $EvalN),
+       |train AS (
+       |  SELECT vec_id, q, na FROM base WHERE vec_id >= $EvalN
+       |  UNION ALL
+       |  SELECT vec_id + ${Dedup.ReKeyA} AS vec_id, q, na FROM base
+       |  WHERE vec_id < $EvalN AND vec_id % 2 = 0),
+       |m AS (
+       |  SELECT t.vec_id, count(*) AS n_matched FROM (
+       |    SELECT t.vec_id,
+       |           CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |                i -> t.q[i] * e.e_q[i])) AS BIGINT) AS dot,
+       |           t.na, e.e_na
+       |    FROM train t CROSS JOIN ev e) t
+       |  WHERE dot > 0
+       |    AND CAST(dot AS HUGEINT) * dot * 100
+       |        >= 81 * CAST(na AS HUGEINT) * e_na
+       |  GROUP BY t.vec_id)
+       |SELECT t.vec_id, COALESCE(m.n_matched, 0) AS n_matched,
+       |       COALESCE(m.n_matched, 0) = 0 AS keep
+       |FROM train t LEFT JOIN m ON m.vec_id = t.vec_id
+       |ORDER BY t.vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "knn_label_eval" -> knnLabelEval,
+    "embedding_decontam" -> embeddingDecontam,
     "kmeans_assign" -> kmeansAssign,
     "semdedup_prune" -> semdedupPrune,
     "pq_adc_topk" -> pqAdcTopk,
@@ -816,6 +977,8 @@ object Semantic {
     "cluster_balanced_sample" -> clusterBalancedSample,
   )
   val oracles: Map[String, String] = Map(
+    "knn_label_eval" -> knnLabelEvalSql,
+    "embedding_decontam" -> embeddingDecontamSql,
     "kmeans_assign" -> kmeansAssignSql,
     "semdedup_prune" -> semdedupPruneSql,
     "pq_adc_topk" -> pqAdcTopkSql,

@@ -76,7 +76,11 @@ class NestedLoopSweepSpec extends AnyFunSuite {
     "pq_recall_report" -> 1,
     // X73: corpus × 10-row anchor set, the cosine_topk shape with a
     // row-local label filter
-    "hard_negative_mine" -> 1)
+    "hard_negative_mine" -> 1,
+    // X77: the same bounded anchor broadcast, ranked with packed ids
+    "knn_label_eval" -> 1,
+    // X78: corpus × the FIXED-SIZE eval suite (50 rows at any corpus)
+    "embedding_decontam" -> 1)
 
   test("no registered query plans an unbounded nested-loop or cartesian join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

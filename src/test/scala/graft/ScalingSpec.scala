@@ -132,7 +132,11 @@ class ScalingSpec extends AnyFunSuite {
       // r17: candidate-graph PageRank — 3 fixed rounds of edge-join +
       // rank agg over the band-bounded candidate relation; shuffle
       // should track minhash_lsh_candidates' with a ×3 round constant
-      "dup_graph_pagerank")
+      "dup_graph_pagerank",
+      // r17: kNN vote + eval decontamination — both corpus × bounded
+      // broadcasts with map-combined aggregates; expected ~flat
+      // shuffle like hard_negative_mine's
+      "knn_label_eval", "embedding_decontam")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)

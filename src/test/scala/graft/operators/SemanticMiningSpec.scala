@@ -46,6 +46,43 @@ class SemanticMiningSpec extends AnyFunSuite {
     }
   }
 
+  test("knn label eval equals brute force; packed ids stay order-isomorphic") {
+    val vecs = quantized()
+    // the id-packing trick (vec_id·16 + label) is order-isomorphic to
+    // vec_id ONLY while labels fit 4 bits — assert the data contract
+    vecs.values.foreach { case (l, _) => assert(l >= 0 && l < 16) }
+    def d(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val want = vecs.keys.filter(_ < 10L).toSeq.sorted.map { qid =>
+      val (qLabel, qq) = vecs(qid)
+      val top = vecs.toSeq.filter(_._1 != qid)
+        .map { case (vid, (l, cq)) => (d(qq, cq), vid, l) }
+        .sortBy(t => (t._1, t._2)).take(Semantic.KnnK)
+      val votes = top.groupBy(_._3).view.mapValues(_.size).toSeq
+      val pred = votes.maxBy { case (l, n) => (n, -l) }._1
+      (qid, qLabel, pred, qLabel == pred)
+    }
+    val got = SparkEntry.queries("knn_label_eval")(spark, Dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == want, "kNN vote diverges from brute force")
+  }
+
+  test("decontam drops exactly the injected leaks on random embeddings") {
+    val rows = SparkEntry.queries("embedding_decontam")(spark, Dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    val dropped = rows.filter(!_._3).map(_._1).toSet
+    // the injected leaks: re-keyed copies of even-id eval vectors —
+    // each matches its source exactly (cos = 1 > τ); random vectors
+    // never reach τ = 0.9, so the drop set is exactly the leak set
+    val wantDropped = (0L until Semantic.EvalN).filter(_ % 2 == 0)
+      .map(_ + Dedup.ReKeyA).toSet
+    assert(dropped == wantDropped,
+      s"drop set diverges: extra=${dropped -- wantDropped} missing=${wantDropped -- dropped}")
+    rows.foreach { case (_, n, keep) => assert(keep == (n == 0L)) }
+  }
+
   test("cluster sample: quota respected, members real, every cluster covered") {
     val assignRows = SparkEntry.queries("kmeans_assign")(spark, Dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // vec_id -> cluster
