@@ -12,9 +12,9 @@ package graft
   */
 object ABench {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: graft.ABench <sfDir> <query> [reps]")
     val spark = Sessions.get("graft-abench")
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val name = args(1)
+    val Array(dir, name) = args.take(2)
     val reps = if (args.length > 2) args(2).toInt else 5
     val fn = SparkEntry.queries(name)
     def run(): Double = {
@@ -34,7 +34,13 @@ object ABench {
       spark.conf.set("spark.sql.adaptive.enabled", "true"); a += run()
       spark.conf.set("spark.sql.adaptive.enabled", "false"); b += run()
     }
-    def stats(xs: Seq[Double]) = f"min ${xs.min}%.3f med ${xs.sorted.apply(xs.size / 2)}%.3f  [${xs.map(x => f"$x%.2f").mkString(" ")}]"
+    // even sizes average the two middle samples — the Bench.scala
+    // median rule; upper-of-two would bias every A/B read here
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    def stats(xs: Seq[Double]) = f"min ${xs.min}%.3f med ${median(xs)}%.3f  [${xs.map(x => f"$x%.2f").mkString(" ")}]"
     println(s"[abench] $name AQE-on:  ${stats(a.toSeq)}")
     println(s"[abench] $name AQE-off: ${stats(b.toSeq)}")
     spark.stop()

@@ -418,10 +418,19 @@ object Semantic {
     * streaming ingest encoder ([[graft.streaming.PqStream]]) so
     * batch/stream parity is by shared code. */
   private[graft] def pqEncodeSubbed(v: DataFrame,
-      cents: Seq[Seq[(Long, Seq[Long], Long)]]): DataFrame =
+      cents: Seq[Seq[(Long, Seq[Long], Long)]],
+      keep: Seq[Column] = Seq.empty): DataFrame =
     (0 until PqM).foldLeft(v.toDF()) { (df, m) =>
       df.withColumn(s"code$m", pqBest(m, cents(m)).getField("cid"))
-    }.select(col("vec_id") +: (0 until PqM).map(m => col(s"code$m")): _*)
+    }.select(col("vec_id") +: ((0 until PqM).map(m => col(s"code$m")) ++ keep): _*)
+
+  /** The ADC distance of a coded row against the joined query tables —
+    * Σ_m tbl_m[code_m + 1]; ONE definition shared by the batch top-k,
+    * the recall audit, and the streaming monitor so the coding
+    * arithmetic cannot silently diverge between paths. */
+  private def adcDist: Column =
+    (0 until PqM).map(m =>
+      element_at(col(s"tbl$m"), col(s"code$m").cast("int") + 1)).reduce(_ + _)
 
   /** Encode raw (vec_id, embedding) rows — the streaming ingest shape. */
   private[graft] def pqEncode(vecs: DataFrame,
@@ -475,8 +484,7 @@ object Semantic {
       cents: Seq[Seq[(Long, Seq[Long], Long)]], qrel: DataFrame): DataFrame =
     pqEncode(vecs, cents).crossJoin(broadcast(qrel))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adist", (0 until PqM).map(m =>
-        element_at(col(s"tbl$m"), col(s"code$m").cast("int") + 1)).reduce(_ + _))
+      .withColumn("adist", adcDist)
       .select(col("q_id"), col("vec_id"), col("adist"))
 
   private[operators] def pqAdcOf(v: DataFrame,
@@ -494,8 +502,7 @@ object Semantic {
     // spelling and the oracle's row_number
     coded.crossJoin(broadcast(qrel))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adist", (0 until PqM).map(m =>
-        element_at(col(s"tbl$m"), col(s"code$m").cast("int") + 1)).reduce(_ + _))
+      .withColumn("adist", adcDist)
       .groupBy("q_id")
       .agg(expr(s"graft_topk_min(adist, vec_id, $PqTopK)").as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
@@ -616,10 +623,7 @@ object Semantic {
     // halves the scored volume but the floor is the serial
     // train-side job chain (persist build, seed draw, Lloyd round),
     // which is O(1) in the corpus and amortizes at scale.
-    val coded = (0 until PqM).foldLeft(v.toDF()) { (df, m) =>
-      df.withColumn(s"code$m", pqBest(m, cents(m)).getField("cid"))
-    }.select(col("vec_id") +: col("q") +: col("na") +:
-      (0 until PqM).map(m => col(s"code$m")): _*)
+    val coded = pqEncodeSubbed(v, cents, keep = Seq(col("q"), col("na")))
     val qexact = v.filter(col("vec_id") < PqQueries)
       .select(col("vec_id").as("q_id"), col("q").as("q_q"), col("na").as("q_na"))
     // ADC tables and exact-side columns come off the SAME filtered
@@ -629,8 +633,7 @@ object Semantic {
       col("q").as("q_q"), col("na").as("q_na")))
     val both = coded.crossJoin(broadcast(qrel))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adist", (0 until PqM).map(m =>
-        element_at(col(s"tbl$m"), col(s"code$m").cast("int") + 1)).reduce(_ + _))
+      .withColumn("adist", adcDist)
       .withColumn("d", col("na") - lit(2L) * expr("graft_doti(q, q_q)") + col("q_na"))
       .groupBy("q_id")
       .agg(expr(s"graft_topk_min(adist, vec_id, $PqTopK)").as("ta"),
@@ -841,7 +844,14 @@ object Semantic {
       .withColumn("d",
         col("na") - lit(2L) * expr("graft_doti(q, q_q)") + col("q_na"))
       .groupBy("q_id", "q_label")
-      .agg(expr(s"graft_topk_min(d, vec_id * 16L + label, $KnnK)").as("top"))
+      // runtime guard, not just a spec assertion: a label outside
+      // [0,16) would silently corrupt both the packed tie order and
+      // the unpacked vote — fail the query loudly instead
+      .agg(expr(s"""graft_topk_min(d, vec_id * 16L +
+           |  (CASE WHEN label >= 0 AND label < 16 THEN label
+           |        ELSE CAST(raise_error(
+           |          'knn_label_eval: label outside [0,16) breaks the id packing')
+           |          AS BIGINT) END), $KnnK)""".stripMargin).as("top"))
       .select(col("q_id"), col("q_label"), explode(col("top")).as("t"))
       .select(col("q_id"), col("q_label"), expr("t.id % 16").as("nb_label"))
       .groupBy("q_id", "q_label", "nb_label").agg(count(lit(1)).as("cnt"))
@@ -912,10 +922,14 @@ object Semantic {
     * the match count is a map-combinable hash aggregate on vec_id and
     * the verdict join-back touches only (vec_id) columns. */
   val embeddingDecontam: Q = (spark, dir) => {
+    // persisted: base is read ~5 ways (eval broadcast, both train
+    // arms, and train again on each side of the verdict join) — the
+    // PQ family's persisted-v pattern, not 5 quantization scans
     val base = Tables.fanout(Tables.embeddings(spark, dir))
       .select(col("vec_id"),
         expr(s"graft_quant(embedding, ${QScale}L, 0L)").as("q"))
       .withColumn("na", expr("graft_doti(q, q)"))
+      .persist()
     val eval = base.filter(col("vec_id") < EvalN)
       .select(col("vec_id").as("e_id"), col("q").as("e_q"), col("na").as("e_na"))
     // train = the rest ∪ leaked re-crawls of even-id eval vectors

@@ -36,7 +36,16 @@ case class AnnTopkUpdate(q_id: Long, rank: Long, vec_id: Long, adist: Long)
   * vec_id ASC) — [[graft.expressions.TopKMin]]'s exact total order —
   * so replaying the whole corpus through ANY micro-batch split ends
   * in the batch query's rows bit-for-bit
-  * (`AnnMonitorStreamSpec` proves it). */
+  * (`AnnMonitorStreamSpec` proves it).
+  *
+  * Vector updates: at most one state entry per vec_id, LATEST
+  * delivery wins in both directions — an improved re-delivery
+  * displaces upward, a worsened one drops its stale entry and
+  * re-competes (and may leave the top-k; the freed slot refills only
+  * from later deliveries, because O(k) state cannot resurrect
+  * candidates it already evicted — the inherent bounded-state
+  * monitor trade; a deployment needing exact revocation recovery
+  * keeps the full scored relation instead, at O(corpus) state). */
 object AnnMonitorStream {
 
   /** Train codebooks on `refDir`, freeze the standing-query ADC
@@ -64,14 +73,24 @@ object AnnMonitorStream {
         case (qId, incoming, state: GroupState[Seq[(Long, Long)]]) =>
           val prev = state.getOption.getOrElse(Seq.empty)
           // fold the batch into the bounded heap: k smallest under the
-          // kernel's (adist, vec_id) total order, AT MOST ONE entry per
-          // vec_id (best adist wins) — a vec_id re-delivered with a
-          // changed embedding (vector update / replay) must displace
-          // its old score, not occupy two ranks. Batch + state both
-          // small (≤ batch candidates per query; state ≤ k), so the
-          // group-min + sort-take spelling IS the bounded heap here
-          val next = (prev ++ incoming.map(s => (s.adist, s.vec_id)))
+          // kernel's (adist, vec_id) total order, AT MOST ONE entry
+          // per vec_id with the LATEST delivery winning — a vec_id
+          // re-delivered with a changed embedding (vector update /
+          // replay) displaces its old score in BOTH directions: its
+          // stale state entry is dropped first, then its batch-best
+          // score competes fresh. A worsened vector may thus fall out
+          // of the top-k entirely; the freed slot refills only from
+          // later deliveries (bounded O(k) state cannot resurrect
+          // previously evicted candidates — the inherent top-k-monitor
+          // trade, stated in the class scaladoc). Within a batch a
+          // duplicated vec_id folds to its best score (micro-batches
+          // are unordered sets). Batch + state both small (≤ batch
+          // candidates per query; state ≤ k), so group-min +
+          // sort-take IS the bounded heap here
+          val batchBest = incoming.map(s => (s.adist, s.vec_id)).toSeq
             .groupBy(_._2).valuesIterator.map(_.min).toSeq
+          val redelivered = batchBest.map(_._2).toSet
+          val next = (prev.filterNot(e => redelivered.contains(e._2)) ++ batchBest)
             .sorted.take(k)
           if (next == prev) Iterator.empty
           else {

@@ -99,6 +99,20 @@ class AnnMonitorStreamSpec extends AnyFunSuite {
       latest.foreach { case (qid, rs) =>
         assert(rs.map(_._2).distinct.size == rs.size, s"dup ids for query $qid: $rs")
       }
+      // WORSENING direction: rank-1's vector now gets vLast's ORIGINAL
+      // embedding, so its new adist is the known dLast — the stale d1
+      // entry must vanish (latest delivery wins), not shadow it
+      val dLast = top.last._3
+      assume(dLast != d1, "degenerate corpus: all top-k adists equal")
+      val embLast = vecs.find(_.vec_id == vLast).get.embedding
+      in.addData(Seq(IncomingVec(v1, embLast))); q.processAllAvailable()
+      val after2 = latest(q0)
+      assert(!after2.exists(e => e._2 == v1 && e._3 == d1),
+        s"stale best score for $v1 survived a worsening re-delivery: $after2")
+      val moved2 = after2.filter(_._2 == v1)
+      moved2.foreach { e =>
+        assert(e._3 == dLast, s"worsened $v1 should carry adist $dLast, got $e") }
+      assert(after2.map(_._2).distinct.size == after2.size)
     } finally q.stop()
   }
 
