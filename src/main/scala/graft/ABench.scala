@@ -25,14 +25,17 @@ object ABench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       dt
     }
+    val Key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    def confA(): Unit = spark.conf.set(Key, "1MB")  // Spark default
+    def confB(): Unit = spark.conf.set(Key, "64KB")
     // warmup both confs
-    spark.conf.set("spark.sql.adaptive.enabled", "true"); run()
-    spark.conf.set("spark.sql.adaptive.enabled", "false"); run()
+    confA(); run()
+    confB(); run()
     val a = scala.collection.mutable.ArrayBuffer.empty[Double]
     val b = scala.collection.mutable.ArrayBuffer.empty[Double]
     (1 to reps).foreach { _ =>
-      spark.conf.set("spark.sql.adaptive.enabled", "true"); a += run()
-      spark.conf.set("spark.sql.adaptive.enabled", "false"); b += run()
+      confA(); a += run()
+      confB(); b += run()
     }
     // even sizes average the two middle samples — the Bench.scala
     // median rule; upper-of-two would bias every A/B read here
@@ -41,8 +44,8 @@ object ABench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     def stats(xs: Seq[Double]) = f"min ${xs.min}%.3f med ${median(xs)}%.3f  [${xs.map(x => f"$x%.2f").mkString(" ")}]"
-    println(s"[abench] $name AQE-on:  ${stats(a.toSeq)}")
-    println(s"[abench] $name AQE-off: ${stats(b.toSeq)}")
+    println(s"[abench] $name A(minPartitionSize=1MB):  ${stats(a.toSeq)}")
+    println(s"[abench] $name B(minPartitionSize=64KB): ${stats(b.toSeq)}")
     spark.stop()
   }
 }

@@ -43,6 +43,17 @@ object Sessions {
       // evaluation exactly where the JIT would have bailed anyway;
       // stages whose methods compile are untouched.
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      // AQE coalesces post-shuffle partitions by BYTES; a CPU-dense
+      // but byte-light stage (the tfidf/bm25 family's aggregate
+      // chains: ~100-200 ms of per-stage compute over ≪ 1MB of
+      // shuffle) lands on ONE task under the 1MB default floor —
+      // bm25_topk's profile showed every stage single-task. A 64KB
+      // floor keeps such stages spread (interleaved min-of-5:
+      // bm25 0.65/0.68 vs 0.70/0.75, pipeline_layout 4.44 vs 4.62,
+      // spans/bigram/fluency a wash — no measured regression). At
+      // production scale partitions exceed either floor, so this
+      // only affects the constants regime.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
       // engine extensions: native expressions (graft_dot, …)
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.ui.enabled", "false")
