@@ -25,9 +25,13 @@ object ABench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       dt
     }
-    val Key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
-    def confA(): Unit = spark.conf.set(Key, "1MB")  // Spark default
-    def confB(): Unit = spark.conf.set(Key, "64KB")
+    // axis: default = the adopted coalesce floor vs Spark's default;
+    // override with <key> <valueA> <valueB> as args 4-6
+    val (key, va, vb) =
+      if (args.length >= 6) (args(3), args(4), args(5))
+      else ("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1MB", "64KB")
+    def confA(): Unit = spark.conf.set(key, va)
+    def confB(): Unit = spark.conf.set(key, vb)
     // warmup both confs
     confA(); run()
     confB(); run()
@@ -44,8 +48,8 @@ object ABench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     def stats(xs: Seq[Double]) = f"min ${xs.min}%.3f med ${median(xs)}%.3f  [${xs.map(x => f"$x%.2f").mkString(" ")}]"
-    println(s"[abench] $name A(minPartitionSize=1MB):  ${stats(a.toSeq)}")
-    println(s"[abench] $name B(minPartitionSize=64KB): ${stats(b.toSeq)}")
+    println(s"[abench] $name A($key=$va): ${stats(a.toSeq)}")
+    println(s"[abench] $name B($key=$vb): ${stats(b.toSeq)}")
     spark.stop()
   }
 }
