@@ -921,28 +921,44 @@ object Semantic {
     * corpus × bounded-eval broadcast with a row-local threshold test;
     * the match count is a map-combinable hash aggregate on vec_id and
     * the verdict join-back touches only (vec_id) columns. */
+  /** Signed quantization of raw (vec_id, embedding) rows — the
+    * decontam representation (no shift: cosine needs signed dots). */
+  private[graft] def quantSigned(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"),
+      expr(s"graft_quant(embedding, ${QScale}L, 0L)").as("q"))
+      .withColumn("na", expr("graft_doti(q, q)"))
+
+  /** The frozen eval suite over `dir`'s embeddings — the broadcastable
+    * artifact both the batch audit and the streaming ingest gate
+    * ([[graft.streaming.DecontamStream]]) score against. */
+  private[graft] def decontamEvalRel(spark: SparkSession, dir: String): DataFrame =
+    quantSigned(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") < EvalN)
+      .select(col("vec_id").as("e_id"), col("q").as("e_q"), col("na").as("e_na"))
+
+  /** (vec_id, n_matched) for every quantSigned row matching ≥ 1 eval
+    * vector above τ — the shared threshold core (exact `graft_mulge`
+    * arithmetic), ONE definition for batch and stream. */
+  private[graft] def decontamMatches(vecs: DataFrame, ev: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(ev))
+      .withColumn("dot", expr("graft_doti(q, e_q)"))
+      .filter(col("dot") > 0 &&
+        expr("graft_mulge(10L * dot, 10L * dot, 81L * na, e_na)"))
+      .groupBy("vec_id").agg(count(lit(1)).as("n_matched"))
+
   val embeddingDecontam: Q = (spark, dir) => {
     // persisted: base is read ~5 ways (eval broadcast, both train
     // arms, and train again on each side of the verdict join) — the
     // PQ family's persisted-v pattern, not 5 quantization scans
-    val base = Tables.fanout(Tables.embeddings(spark, dir))
-      .select(col("vec_id"),
-        expr(s"graft_quant(embedding, ${QScale}L, 0L)").as("q"))
-      .withColumn("na", expr("graft_doti(q, q)"))
-      .persist()
+    val base = quantSigned(Tables.fanout(Tables.embeddings(spark, dir))).persist()
     val eval = base.filter(col("vec_id") < EvalN)
       .select(col("vec_id").as("e_id"), col("q").as("e_q"), col("na").as("e_na"))
     // train = the rest ∪ leaked re-crawls of even-id eval vectors
     val train = base.filter(col("vec_id") >= EvalN)
       .unionByName(base.filter(col("vec_id") < EvalN && col("vec_id") % 2 === 0)
         .select((col("vec_id") + Dedup.ReKeyA).as("vec_id"), col("q"), col("na")))
-    val matches = train.crossJoin(broadcast(eval))
-      .withColumn("dot", expr("graft_doti(q, e_q)"))
-      .filter(col("dot") > 0 &&
-        expr("graft_mulge(10L * dot, 10L * dot, 81L * na, e_na)"))
-      .groupBy("vec_id").agg(count(lit(1)).as("n_matched"))
     train.select("vec_id")
-      .join(matches, Seq("vec_id"), "left_outer")
+      .join(decontamMatches(train, eval), Seq("vec_id"), "left_outer")
       .select(col("vec_id"), coalesce(col("n_matched"), lit(0L)).as("n_matched"))
       .withColumn("keep", col("n_matched") === 0L)
       .orderBy("vec_id")
