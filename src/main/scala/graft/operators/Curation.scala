@@ -750,8 +750,166 @@ object Curation {
        |FROM pairs JOIN na ON na.source = pairs.src_a
        |ORDER BY src_a, src_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X79 char_diversity_gate — character-histogram concentration filter
+  // ---------------------------------------------------------------------
+
+  /** The fixed alphabet whose per-character counts the gate histograms:
+    * lowercase letters, digits, space — the corpus's full character set
+    * (`covered` in the output proves it row by row; characters outside
+    * the alphabet would surface as `n_len - covered > 0`, never
+    * silently skew the index). */
+  private val GateAlphabet: Seq[Char] = ('a' to 'z') ++ ('0' to '9') :+ ' '
+
+  /** Character-diversity gate — the "аaаaаa…"/mojibake/ASCII-art class
+    * of garbage filter every crawl pipeline runs before tokenization.
+    * Per doc, over the character HISTOGRAM (counts of each alphabet
+    * char): distinct character count, the modal character's count, and
+    * the Simpson concentration index Σc² / n² (the collision
+    * probability of two random character draws — the exact-rational
+    * stand-in for character entropy under the repo's no-`ln` numeric
+    * policy: both rank "how concentrated is this distribution", and
+    * Simpson needs only integer sums and ONE terminal division, so it
+    * is bit-identical across engines where an entropy's Σp·log p float
+    * accumulation is not). A doc fails the gate when its histogram is
+    * too concentrated (5·Σc² > n², i.e. Simpson > 0.2) or its alphabet
+    * is too narrow (< 8 distinct characters) — both comparisons kept in
+    * INTEGER form so the gate decision never touches a float.
+    *
+    * Per-char counts are `n − length(replace(text, c, ''))` over the
+    * 37-char fixed alphabet — row-local string ops with NO explode and
+    * NO per-char shuffle (the explode+groupBy spelling would shuffle
+    * corpus×chars rows to build a histogram each row already holds).
+    * The whole operator is one codegen'd projection over the scan:
+    * zero exchanges, linear in corpus bytes, trivially 100 TB-safe.
+    */
+  /** The gate over any (doc_id, text) relation — shared by the
+    * registered query, the spec's crafted-corpus branch tests, and the
+    * streaming twin (batch/stream parity by construction). */
+  private[graft] def charDiversityCore(d: DataFrame): DataFrame = {
+    val cnts = GateAlphabet.zipWithIndex.map { case (c, i) =>
+      val lit = if (c == ' ') "' '" else s"'$c'"
+      expr(s"length(text) - length(replace(text, $lit, ''))")
+        .cast("long").as(s"c$i")
+    }
+    val idx = GateAlphabet.indices
+    val sumSq = idx.map(i => s"c$i * c$i").mkString(" + ")
+    val covered = idx.map(i => s"c$i").mkString(" + ")
+    val distinct = idx.map(i => s"(CASE WHEN c$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    val top = s"greatest(${idx.map(i => s"c$i").mkString(", ")})"
+    d.filter(length(col("text")) > 0)
+      .select(col("doc_id") +: length(col("text")).cast("long").as("n_len") +: cnts: _*)
+      .select(col("doc_id"), col("n_len"),
+        expr(covered).cast("long").as("covered"),
+        expr(distinct).cast("long").as("distinct_chars"),
+        expr(top).cast("long").as("top_char_cnt"),
+        expr(sumSq).cast("long").as("sum_sq"))
+      .withColumn("simpson", col("sum_sq").cast("double") / (col("n_len") * col("n_len")))
+      .withColumn("gate",
+        when(col("sum_sq") * 5 > col("n_len") * col("n_len"), "concentrated")
+          .when(col("distinct_chars") < 8, "narrow")
+          .otherwise("ok"))
+  }
+
+  val charDiversityGate: Q = (spark, dir) =>
+    charDiversityCore(Tables.documents(spark, dir)).orderBy("doc_id")
+  val charDiversityGateSql: String = {
+    val cnts = GateAlphabet.zipWithIndex.map { case (c, i) =>
+      val lit = if (c == ' ') "' '" else s"'$c'"
+      s"length(text) - length(replace(text, $lit, '')) AS c$i"
+    }.mkString(",\n       |         ")
+    val idx = GateAlphabet.indices
+    val sumSq = idx.map(i => s"c$i * c$i").mkString(" + ")
+    val covered = idx.map(i => s"c$i").mkString(" + ")
+    val distinct = idx.map(i => s"(CASE WHEN c$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    val top = s"greatest(${idx.map(i => s"c$i").mkString(", ")})"
+    s"""SELECT doc_id, n_len, covered, distinct_chars, top_char_cnt, sum_sq,
+       |       CAST(sum_sq AS DOUBLE) / (n_len * n_len) AS simpson,
+       |       CASE WHEN sum_sq * 5 > n_len * n_len THEN 'concentrated'
+       |            WHEN distinct_chars < 8 THEN 'narrow'
+       |            ELSE 'ok' END AS gate
+       |FROM (
+       |  SELECT doc_id, n_len,
+       |         CAST($covered AS BIGINT) AS covered,
+       |         CAST($distinct AS BIGINT) AS distinct_chars,
+       |         CAST($top AS BIGINT) AS top_char_cnt,
+       |         CAST($sumSq AS BIGINT) AS sum_sq
+       |  FROM (
+       |    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_len,
+       |         ${cnts.stripMargin}
+       |    FROM documents WHERE length(text) > 0))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // X80 domain_token_gini — corpus concentration report (Lorenz + Gini)
+  // ---------------------------------------------------------------------
+
+  /** Corpus-concentration report: per-source token masses as a Lorenz
+    * curve (sources ranked by ascending mass, cumulative share) with
+    * the Gini coefficient attached — the one-page answer to "is this
+    * corpus dominated by a handful of domains?" that sits next to
+    * [[sourceTokenBudget]] (the cap) and `doremi_weights` (the
+    * re-weighting) in a mix audit. Gini uses the exact rank formula
+    * G = (2·Σᵢ i·mᵢ − (n+1)·T) / (n·T) over the ascending ordering —
+    * all-integer numerator and denominator, surfaced as a permille
+    * `div` so the report is float-free.
+    *
+    * Scale shape: ONE map-side-combinable aggregate collapses the
+    * corpus to source cardinality (20 here; thousands in production —
+    * either way vocab-sized), and every window below it runs over that
+    * tiny relation on a single partition by construction. The corpus
+    * is scanned exactly once; shuffled rows = number of sources. */
+  /** The report over any (source, text) relation — exposed for the
+    * spec's uniform-corpus zero-Gini law. */
+  private[graft] def domainTokenGiniCore(d: DataFrame): DataFrame = {
+    val masses = d
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+    val byMass = Window.orderBy(col("tokens"), col("source"))
+    val all = Window.partitionBy()
+    masses
+      .withColumn("rank_asc", row_number().over(byMass).cast("long"))
+      .withColumn("cum_tokens",
+        sum(col("tokens")).over(byMass.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum(col("tokens")).over(all))
+      .withColumn("n_sources", count(lit(1)).over(all))
+      .withColumn("cum_share_permille",
+        expr("(cum_tokens * 1000) div total"))
+      .withColumn("gini_permille", expr(
+        """(1000 * (2 * sum(rank_asc * tokens) OVER () - (n_sources + 1) * total))
+          | div (n_sources * total)""".stripMargin))
+      .select("source", "n_docs", "tokens", "rank_asc", "cum_tokens",
+        "cum_share_permille", "gini_permille")
+      .orderBy("rank_asc")
+  }
+
+  val domainTokenGini: Q = (spark, dir) =>
+    domainTokenGiniCore(Tables.documents(spark, dir))
+  val domainTokenGiniSql: String =
+    """WITH m AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1),
+      |r AS (
+      |  SELECT source, n_docs, tokens,
+      |         CAST(row_number() OVER (ORDER BY tokens, source) AS BIGINT) AS rank_asc,
+      |         CAST(sum(tokens) OVER (ORDER BY tokens, source
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+      |         CAST(sum(tokens) OVER () AS BIGINT) AS total,
+      |         CAST(count(*) OVER () AS BIGINT) AS n_sources
+      |  FROM m)
+      |SELECT source, n_docs, tokens, rank_asc, cum_tokens,
+      |       CAST((cum_tokens * 1000) // total AS BIGINT) AS cum_share_permille,
+      |       CAST((1000 * (2 * sum(rank_asc * tokens) OVER () - (n_sources + 1) * total))
+      |            // (n_sources * total) AS BIGINT) AS gini_permille
+      |FROM r ORDER BY rank_asc""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "source_overlap_matrix" -> sourceOverlapMatrix,
+    "char_diversity_gate" -> charDiversityGate,
+    "domain_token_gini" -> domainTokenGini,
     "benchmark_contamination" -> benchmarkContamination,
     "stratified_sample" -> stratifiedSample,
     "repetition_score" -> repetitionScore,
@@ -764,6 +922,8 @@ object Curation {
   )
   val oracles: Map[String, String] = Map(
     "source_overlap_matrix" -> sourceOverlapMatrixSql,
+    "char_diversity_gate" -> charDiversityGateSql,
+    "domain_token_gini" -> domainTokenGiniSql,
     "source_token_budget" -> sourceTokenBudgetSql,
     "source_unigram_drift" -> sourceUnigramDriftSql,
     "benchmark_contamination" -> benchmarkContaminationSql,
