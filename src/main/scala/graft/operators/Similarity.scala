@@ -376,6 +376,142 @@ object Similarity {
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X81 ivf_nprobe_recall — the IVF tuning curve (recall@k vs nprobe)
+  // ---------------------------------------------------------------------
+
+  private val RecallProbes = Seq(1, 2, 4)
+  private val RecallK = 10
+
+  /** The IVF deployment's ONE tuning artifact: recall@[[RecallK]]
+    * against the exact top-k for each nprobe in [[RecallProbes]] — the
+    * curve that tells an operator where to set nprobe before pointing
+    * the index at production traffic, completing the audit family
+    * ([[lshBandRecall]] prices the MinHash banding, `pq_recall_report`
+    * the PQ codebook, this the IVF cell/probe trade).
+    *
+    * FUSED single-pass shape (the r17 `pq_recall_report` lesson applied
+    * at design time instead of re-learned): each query ranks ALL
+    * [[IvfK]] cells once (`prn` = the cell's probe rank for that
+    * query), so a vector's candidacy at nprobe = p is the row-local
+    * predicate `prn ≤ p` — ONE corpus × bounded-query scoring pass
+    * feeds FOUR bounded heaps side by side (the exact baseline plus one
+    * conditional heap per probe depth, null-keyed rows skipped by the
+    * kernel), and recall is per-row array algebra over ≤ k-element
+    * arrays. The alternative — one ADC-style chain per nprobe — would
+    * re-scan the corpus |probes| + 1 times.
+    *
+    * Scale shape: centroids are K = [[IvfK]] rows (broadcast, O(1) in
+    * corpus); the scoring join is the family's audited corpus ×
+    * bounded-query broadcast (each corpus vector joins exactly ONE
+    * qcells row per query — its cell's rank row), combined map-side to
+    * ≤ 4·k rows per query before the exchange; the report is
+    * queries × |probes| rows. The exact side is the brute-force
+    * baseline a recall audit inherently pays on its bounded query set.
+    */
+  val ivfNprobeRecall: Q = (spark, dir) => {
+    val e = Tables.embeddingsD(spark, dir)
+      .withColumn("norm", expr(s"sqrt(${dotSql("embedding", "embedding")})"))
+      .filter(col("norm") > 0)
+      .cache()
+    val stride = ivfStride(e.count())
+    val cent = e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        col("norm").as("cent_norm"))
+    val withCos = e.crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        expr(s"${dotSql("embedding", "cent_emb")}") / (col("norm") * col("cent_norm")))
+    val assign = withCos.groupBy(col("vec_id").as("v_id"))
+      .agg(max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("n"))).as("cell"))
+    // every cell ranked per query — candidacy at any probe depth is a
+    // row-local comparison against this one rank column
+    val qcells = withCos.filter(col("vec_id") < NumQueries)
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("cent_id").as("cell"), col("prn"))
+    val scored = qcells
+      .join(assign, Seq("cell"))
+      .filter(col("v_id") =!= col("q_id"))
+      .join(e.select(col("vec_id").as("v_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm")), Seq("v_id"))
+      .withColumn("cos",
+        expr(s"${dotSql("q_emb", "c_emb")}") / (col("q_norm") * col("c_norm")))
+    val heapCols =
+      expr(s"graft_topk_min(-cos, v_id, $RecallK)").as("ex") +:
+        RecallProbes.map(p => expr(
+          s"graft_topk_min(CASE WHEN prn <= $p THEN -cos END, v_id, $RecallK)")
+          .as(s"iv$p"))
+    val hits = scored.groupBy("q_id")
+      .agg(heapCols.head, heapCols.tail: _*)
+      .select(col("q_id"), explode(array(RecallProbes.map(p =>
+        struct(lit(p.toLong).as("nprobe"),
+          size(array_intersect(expr(s"transform(iv$p, t -> t.id)"),
+            expr("transform(ex, t -> t.id)"))).cast("long").as("n_hits"))): _*)).as("r"))
+      .select(col("q_id"), col("r.nprobe").as("nprobe"), col("r.n_hits").as("n_hits"))
+    // row-per-(query, nprobe) contract even for a degenerate corpus
+    e.filter(col("vec_id") < NumQueries).select(col("vec_id").as("q_id"))
+      .crossJoin(spark.createDataFrame(RecallProbes.map(p => Tuple1(p.toLong)))
+        .toDF("nprobe"))
+      .join(hits, Seq("q_id", "nprobe"), "left_outer")
+      .select(col("q_id"), col("nprobe"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_permille", expr(s"(n_hits * 1000L) div $RecallK"))
+      .orderBy("q_id", "nprobe")
+  }
+  val ivfNprobeRecallSql: String =
+    s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
+       |  sqrt(${dotDuck("embedding", "embedding")}) AS norm FROM $EmbD)
+       |  WHERE norm > 0),
+       |cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb, norm AS cent_norm
+       |         FROM e WHERE vec_id %
+       |           (SELECT GREATEST(1, CAST(ceil(count(*) / $IvfK.0) AS BIGINT)) FROM e) = 0),
+       |withcos AS (
+       |  SELECT e.vec_id, e.embedding, e.norm, c.cent_id,
+       |         ${dotDuck("e.embedding", "c.cent_emb")} / (e.norm * c.cent_norm) AS ccos
+       |  FROM e CROSS JOIN cent c),
+       |assign AS (
+       |  SELECT vec_id AS v_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+       |    FROM withcos) WHERE rn = 1),
+       |qcells AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm,
+       |         cent_id AS cell, prn FROM (
+       |    SELECT vec_id, embedding, norm, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS prn
+       |    FROM withcos WHERE vec_id < $NumQueries)),
+       |scored AS (
+       |  SELECT qc.q_id, a.v_id, qc.prn,
+       |         ${dotDuck("qc.q_emb", "e2.embedding")} / (qc.q_norm * e2.norm) AS cos
+       |  FROM qcells qc
+       |  JOIN assign a ON a.cell = qc.cell AND a.v_id <> qc.q_id
+       |  JOIN e e2 ON e2.vec_id = a.v_id),
+       |ex_top AS (
+       |  SELECT q_id, v_id FROM (
+       |    SELECT q_id, v_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, v_id) AS rnk
+       |    FROM scored) WHERE rnk <= $RecallK),
+       |iv_top AS (
+       |  SELECT np, q_id, v_id FROM (
+       |    SELECT p.np, s.q_id, s.v_id,
+       |           row_number() OVER (PARTITION BY p.np, s.q_id
+       |                              ORDER BY s.cos DESC, s.v_id) AS rnk
+       |    FROM scored s JOIN (VALUES ${RecallProbes.map(p => s"($p)").mkString(", ")})
+       |      p(np) ON s.prn <= p.np) WHERE rnk <= $RecallK),
+       |hits AS (
+       |  SELECT i.np, i.q_id, count(*) AS n_hits
+       |  FROM iv_top i JOIN ex_top x ON x.q_id = i.q_id AND x.v_id = i.v_id
+       |  GROUP BY 1, 2)
+       |SELECT q.q_id, CAST(p.np AS BIGINT) AS nprobe,
+       |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST((coalesce(h.n_hits, 0) * 1000) // $RecallK AS BIGINT)
+       |         AS recall_permille
+       |FROM (SELECT vec_id AS q_id FROM e WHERE vec_id < $NumQueries) q
+       |CROSS JOIN (VALUES ${RecallProbes.map(p => s"($p)").mkString(", ")}) p(np)
+       |LEFT JOIN hits h ON h.q_id = q.q_id AND h.np = p.np
+       |ORDER BY q.q_id, nprobe""".stripMargin
+
+  // ---------------------------------------------------------------------
   // 5. random_projection — Johnson–Lindenstrauss dimensionality reduction
   // ---------------------------------------------------------------------
 
@@ -513,6 +649,7 @@ object Similarity {
     "embedding_cosine_near_dup" -> embeddingCosineNearDup,
     "ann_lsh_bucket_top1" -> annLshBucketTop1,
     "ann_ivf_topk" -> annIvfTopk,
+    "ivf_nprobe_recall" -> ivfNprobeRecall,
     "random_projection" -> randomProjection,
     "scalar_quantize_embeddings" -> scalarQuantizeEmbeddings,
     "embedding_audit" -> embeddingAudit,
@@ -522,6 +659,7 @@ object Similarity {
     "embedding_cosine_near_dup" -> embeddingCosineNearDupSql,
     "ann_lsh_bucket_top1" -> annLshBucketTop1Sql,
     "ann_ivf_topk" -> annIvfTopkSql,
+    "ivf_nprobe_recall" -> ivfNprobeRecallSql,
     "random_projection" -> randomProjectionSql,
     "scalar_quantize_embeddings" -> scalarQuantizeEmbeddingsSql,
     "embedding_audit" -> embeddingAuditSql,

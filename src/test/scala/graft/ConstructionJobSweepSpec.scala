@@ -62,7 +62,10 @@ class ConstructionJobSweepSpec extends AnyFunSuite {
     "cluster_balanced_sample",
     // X76: rides the session-staged minhash signature relation (the
     // dedup family's stage table materializes with its first consumer)
-    "dup_graph_pagerank")
+    "dup_graph_pagerank",
+    // X81: the IVF training step again — one scalar count derives the
+    // centroid stride, same as ann_ivf_topk
+    "ivf_nprobe_recall")
 
   test("query construction is lazy (no jobs before the first action)") {
     val jobs = new AtomicInteger(0)

@@ -80,7 +80,11 @@ class NestedLoopSweepSpec extends AnyFunSuite {
     // X77: the same bounded anchor broadcast, ranked with packed ids
     "knn_label_eval" -> 1,
     // X78: corpus × the FIXED-SIZE eval suite (50 rows at any corpus)
-    "embedding_decontam" -> 1)
+    "embedding_decontam" -> 1,
+    // X81: ann_ivf_topk's two plannings of corpus × broadcast(cent)
+    // (cent ≤ IvfK rows by the stride rule) plus the queries × 3-row
+    // probe-depth VALUES relation in the report-shape join
+    "ivf_nprobe_recall" -> 3)
 
   test("no registered query plans an unbounded nested-loop or cartesian join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -136,7 +136,15 @@ class ScalingSpec extends AnyFunSuite {
       // r17: kNN vote + eval decontamination — both corpus × bounded
       // broadcasts with map-combined aggregates; expected ~flat
       // shuffle like hard_negative_mine's
-      "knn_label_eval", "embedding_decontam")
+      "knn_label_eval", "embedding_decontam",
+      // r17: the IVF tuning curve — the centroid/assignment flow is
+      // ann_ivf_topk's (K constant, broadcast), the four bounded heaps
+      // combine map-side to ≤ 4·k rows per query; expected ~linear
+      // scan growth with query-bounded shuffle like pq_recall_report
+      "ivf_nprobe_recall",
+      // r17: the concentration report — one map-combined agg collapses
+      // the corpus to source cardinality; shuffle = #sources, ~flat
+      "domain_token_gini")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
