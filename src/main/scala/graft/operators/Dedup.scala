@@ -1283,6 +1283,105 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // X82 fuzzy_fingerprint_join — edit-distance join by deletion variants
+  // ---------------------------------------------------------------------
+
+  /** Initials fingerprint width: first letter of the first [[FpTokens]]
+    * tokens, so fingerprints are ≤ 16 chars and the deletion
+    * neighborhood is ≤ 17 strings per doc. */
+  private val FpTokens = 16
+
+  /** Per-variant candidate cap — the family's LSH-bucket discipline
+    * applied to deletion buckets. A fingerprint shared verbatim by a
+    * boilerplate template in 10⁷ docs would otherwise make ONE variant
+    * bucket quadratic; past the cap such a bucket is dropped whole (its
+    * members are exact-dedup's job, not fuzzy-join's). */
+  private val FuzzyCap = 64
+
+  /** Edit-distance-≤1 document pairs over an initials fingerprint (the
+    * first letter of each of the first [[FpTokens]] tokens) — the
+    * SymSpell/spelling-correction join respelled for corpus near-dup
+    * triage: two docs whose fingerprints differ by at most one
+    * insert/delete/substitute are candidate re-crawls with a dropped or
+    * swapped leading word.
+    *
+    * Candidate generation is the deletion-neighborhood theorem, not a
+    * similarity search: ed(s, t) ≤ 1 ⟹ ({s} ∪ del₁(s)) ∩
+    * ({t} ∪ del₁(t)) ≠ ∅ (equal strings share s itself; a substitution
+    * at position i means deleting i from both sides collides; an indel
+    * means one side IS the other's deletion). So grouping docs by each
+    * of their ≤ [[FpTokens]] + 1 deletion variants finds EVERY ed ≤ 1
+    * pair — completeness is a theorem, verified wholesale against a
+    * brute-force oracle in FuzzyJoinSpec — and the final
+    * `levenshtein ≤ 1` filter removes the neighborhood's false
+    * positives (ed-2 strings can share a variant).
+    *
+    * Scale shape: the variant fanout is a BOUNDED projection (≤ 17
+    * rows/doc, each ≤ 16 chars); the only corpus-sized exchange is the
+    * variant hash-aggregate, where kernel #14 `graft_set_cap` keeps
+    * per-bucket state O([[FuzzyCap]]) under ANY skew (an over-cap
+    * bucket nulls out at the first partial — the skewed key never
+    * materializes); pair enumeration is per-bucket ARRAY algebra (no
+    * join anywhere in the plan), emitting ≤ C(cap, 2) rows per bucket
+    * before the distinct. Members are `lpad`-encoded so the kernel's
+    * sorted-string set IS doc_id order and every emitted pair has
+    * doc_a < doc_b by construction. */
+  val fuzzyFingerprintJoin: Q = (spark, dir) => {
+    val fp = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      expr(s"array_join(transform(slice(split(text, ' ', -1), 1, $FpTokens)," +
+        " w -> substring(w, 1, 1)), '')").as("fp"))
+    val members = fp
+      .select(
+        concat(lpad(col("doc_id").cast("string"), 12, "0"), lit("|"), col("fp"))
+          .as("member"),
+        explode(expr(
+          "array_distinct(concat(array(fp), transform(sequence(1, length(fp)), " +
+            "i -> concat(substring(fp, 1, i - 1), substring(fp, i + 1, length(fp))))))"
+        )).as("variant"))
+    val buckets = members.groupBy("variant")
+      .agg(expr(s"graft_set_cap(member, $FuzzyCap)").as("s"))
+      .filter(col("s").isNotNull && size(col("s")) >= 2)
+    buckets
+      .select(explode(expr(
+        "flatten(transform(s, (x, i) -> " +
+          "transform(slice(s, i + 2, size(s)), y -> struct(x, y))))")).as("p"))
+      .select(col("p.x").as("ma"), col("p.y").as("mb"))
+      .distinct()
+      .select(
+        expr("CAST(substring(ma, 1, 12) AS BIGINT)").as("doc_a"),
+        expr("CAST(substring(mb, 1, 12) AS BIGINT)").as("doc_b"),
+        levenshtein(expr("substring(ma, 14, 1000)"), expr("substring(mb, 14, 1000)"))
+          .cast("long").as("d"))
+      .filter(col("d") <= 1)
+      .orderBy("doc_a", "doc_b")
+  }
+  val fuzzyFingerprintJoinSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         list_aggr(list_transform(str_split(text, ' ')[1:$FpTokens],
+       |                   w -> substr(w, 1, 1)), 'string_agg', '') AS fp
+       |  FROM documents),
+       |v AS (
+       |  SELECT doc_id, fp,
+       |         unnest(list_distinct(list_prepend(fp,
+       |           list_transform(range(1, length(fp) + 1),
+       |             i -> substr(fp, 1, CAST(i - 1 AS INT))
+       |                  || substr(fp, CAST(i + 1 AS INT)))))) AS variant
+       |  FROM f),
+       |b AS (
+       |  SELECT variant, doc_id, fp FROM v
+       |  QUALIFY count(*) OVER (PARTITION BY variant) <= $FuzzyCap),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       |                  a.fp AS fpa, b2.fp AS fpb
+       |  FROM b a JOIN b b2 ON a.variant = b2.variant AND a.doc_id < b2.doc_id)
+       |SELECT doc_a, doc_b, CAST(levenshtein(fpa, fpb) AS BIGINT) AS d
+       |FROM cand
+       |WHERE levenshtein(fpa, fpb) <= 1
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------
 
@@ -1301,6 +1400,7 @@ object Dedup {
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
     "minhash_jaccard_estimate" -> minhashJaccardEstimate,
     "lsh_band_recall" -> lshBandRecall,
+    "fuzzy_fingerprint_join" -> fuzzyFingerprintJoin,
   )
   val oracles: Map[String, String] = Map(
     "dup_graph_pagerank" -> dupGraphPagerankSql,
@@ -1317,5 +1417,6 @@ object Dedup {
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "minhash_jaccard_estimate" -> minhashJaccardEstimateSql,
     "lsh_band_recall" -> lshBandRecallSql,
+    "fuzzy_fingerprint_join" -> fuzzyFingerprintJoinSql,
   )
 }

@@ -37,7 +37,14 @@ class GlobalWindowSweepSpec extends AnyFunSuite {
     //  - mix_pipeline: gram-weighted mean over the hashed model
     //    relation (≤ DsirBuckets = 8192 rows by construction).
     "doremi_weights" -> 2,
-    "mix_pipeline" -> 1)
+    "mix_pipeline" -> 1,
+    // r17 domain_token_gini: the Lorenz rank/prefix-sum, the scalar
+    // total/count, and the Gini numerator all window over the
+    // per-SOURCE mass aggregate (domain-cardinality, corpus-
+    // independent — the corpus collapses in the ONE hash aggregate
+    // above them); a global ordering over sources is the report's
+    // semantics, not an accident.
+    "domain_token_gini" -> 3)
 
   test("no registered query plans an unpartitioned window over an unbounded relation") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -144,7 +144,12 @@ class ScalingSpec extends AnyFunSuite {
       "ivf_nprobe_recall",
       // r17: the concentration report — one map-combined agg collapses
       // the corpus to source cardinality; shuffle = #sources, ~flat
-      "domain_token_gini")
+      "domain_token_gini",
+      // r17: deletion-neighborhood join — the variant fanout is a
+      // bounded ≤17-rows/doc projection into ONE capped-set exchange
+      // (per-bucket state O(cap) under any skew); pairs are per-bucket
+      // array algebra, so shuffle grows with variants, ~linear
+      "fuzzy_fingerprint_join")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
