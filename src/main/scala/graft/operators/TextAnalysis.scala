@@ -34,16 +34,15 @@ object TextAnalysis {
     "zh" -> Seq("spark", "hash", "sort"),
   )
 
-  /** Language ID: count marker-token hits per class over the token
-    * stream, predict the argmax (ties broken by class-list order, i.e.
-    * the first class with the max score — deterministic). Expressed as
-    * pure array expressions: one pass, no explode, no shuffle.
-    */
-  val langIdNgram: Q = (spark, dir) => {
-    val d = Tables.documents(spark, dir).withColumn("words", split(col("text"), " "))
-    val scored = Markers.foldLeft(d) { case (df, (cls, ms)) =>
-      val inList = ms.map(m => s"w = '$m'").mkString(" OR ")
-      df.withColumn(s"s_$cls", expr(s"size(filter(words, w -> $inList))").cast("long"))
+  /** Per-class marker scores + first-wins argmax over any documents
+    * relation — the scoring core shared by `lang_id_ngram` (the
+    * doc-level listing) and `lang_id_confusion` (the eval rollup).
+    * Pure array expressions: one pass, no explode, no shuffle. */
+  private def langIdScored(d: DataFrame): DataFrame = {
+    val scored = Markers.foldLeft(d.withColumn("words", split(col("text"), " "))) {
+      case (df, (cls, ms)) =>
+        val inList = ms.map(m => s"w = '$m'").mkString(" OR ")
+        df.withColumn(s"s_$cls", expr(s"size(filter(words, w -> $inList))").cast("long"))
     }
     // argmax with first-wins tiebreak: fold a (best_score, best_cls) pair.
     val best = Markers.tail.foldLeft(
@@ -52,28 +51,90 @@ object TextAnalysis {
         when(col(s"s_$cls") > acc.getField("sc"),
           struct(col(s"s_$cls").as("sc"), lit(cls).as("cls"))).otherwise(acc)
     }
-    scored.select(
-        (col("doc_id") +: Markers.map { case (c, _) => col(s"s_$c") }) :+
-          best.getField("cls").as("pred_lang"): _*)
-      .orderBy("doc_id")
+    scored.withColumn("pred_lang", best.getField("cls"))
   }
-  val langIdNgramSql: String = {
-    val scores = Markers.map { case (cls, ms) =>
-      val inList = ms.map(m => s"w = '$m'").mkString(" OR ")
-      s"len(list_filter(string_split(text, ' '), w -> $inList)) AS s_$cls"
-    }.mkString(",\n       ")
-    // first-wins argmax: strictly-greater chain in reverse class order.
-    val argmax = Markers.reverse.tail.foldLeft(s"'${Markers.last._1}'") {
+
+  /** Language ID: count marker-token hits per class over the token
+    * stream, predict the argmax (ties broken by class-list order, i.e.
+    * the first class with the max score — deterministic). */
+  val langIdNgram: Q = (spark, dir) =>
+    langIdScored(Tables.documents(spark, dir))
+      .select((col("doc_id") +: Markers.map { case (c, _) => col(s"s_$c") }) :+
+        col("pred_lang"): _*)
+      .orderBy("doc_id")
+
+  /** The DuckDB twin of the scoring projection (s_<cls> columns). */
+  private val langScoresSql: String = Markers.map { case (cls, ms) =>
+    val inList = ms.map(m => s"w = '$m'").mkString(" OR ")
+    s"len(list_filter(string_split(text, ' '), w -> $inList)) AS s_$cls"
+  }.mkString(",\n       ")
+  /** First-wins argmax as SQL: strictly-greater chain in reverse class
+    * order. */
+  private val langArgmaxSql: String =
+    Markers.reverse.tail.foldLeft(s"'${Markers.last._1}'") {
       case (acc, (cls, _)) =>
         val later = Markers.dropWhile(_._1 != cls).tail.map(c => s"s_$cls >= s_${c._1}")
         val earlier = Markers.takeWhile(_._1 != cls).map(c => s"s_$cls > s_${c._1}")
         s"CASE WHEN ${(earlier ++ later).mkString(" AND ")} THEN '$cls' ELSE $acc END"
     }
+  val langIdNgramSql: String =
     s"""SELECT doc_id, ${Markers.map(m => "s_" + m._1).mkString(", ")},
-       |       $argmax AS pred_lang
-       |FROM (SELECT doc_id, $scores FROM documents)
+       |       $langArgmaxSql AS pred_lang
+       |FROM (SELECT doc_id, $langScoresSql FROM documents)
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X83 lang_id_confusion — the classifier's confusion-matrix eval
+  // ---------------------------------------------------------------------
+
+  /** The language-ID classifier graded against the corpus's `lang`
+    * labels: the full (label × predicted-class) confusion lattice with
+    * both marginals and the per-true-class share — the report that
+    * turns "we run lang-ID" into "here is where it fails" (which
+    * labels leak into which predicted class) before anyone trusts the
+    * prediction as a routing key. Zero cells are kept so the contract
+    * is the full L × K lattice at any corpus.
+    *
+    * Scale shape: prediction is [[langIdScored]]'s shuffle-free
+    * projection; the corpus collapses in ONE map-side-combinable
+    * (lang, pred) count — ≤ L·K cells regardless of corpus size — and
+    * everything below (lattice join, marginal windows, permille share)
+    * runs over that bounded relation. */
+  val langIdConfusion: Q = (spark, dir) => {
+    val cells = langIdScored(Tables.documents(spark, dir))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val lattice = Tables.documents(spark, dir).select("lang").distinct()
+      .crossJoin(spark.createDataFrame(Markers.map(m => Tuple1(m._1)))
+        .toDF("pred_lang"))
+    lattice.join(cells, Seq("lang", "pred_lang"), "left_outer")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("n_true", sum("n").over(Window.partitionBy("lang")))
+      .withColumn("n_pred", sum("n").over(Window.partitionBy("pred_lang")))
+      .withColumn("share_of_true_permille", expr("(n * 1000) div n_true"))
+      .select("lang", "pred_lang", "n", "n_true", "n_pred",
+        "share_of_true_permille")
+      .orderBy("lang", "pred_lang")
   }
+  val langIdConfusionSql: String =
+    s"""WITH p AS (
+       |  SELECT lang, $langArgmaxSql AS pred_lang
+       |  FROM (SELECT lang, $langScoresSql FROM documents)),
+       |cells AS (
+       |  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM p GROUP BY 1, 2),
+       |m AS (
+       |  SELECT la.lang, la.pred_lang, COALESCE(ce.n, 0) AS n
+       |  FROM (SELECT l.lang, c.pred_lang
+       |        FROM (SELECT DISTINCT lang FROM documents) l
+       |        CROSS JOIN (VALUES ${Markers.map(m => s"('${m._1}')").mkString(", ")})
+       |          c(pred_lang)) la
+       |  LEFT JOIN cells ce USING (lang, pred_lang))
+       |SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
+       |       CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_true,
+       |       CAST(sum(n) OVER (PARTITION BY pred_lang) AS BIGINT) AS n_pred,
+       |       CAST((n * 1000) // sum(n) OVER (PARTITION BY lang) AS BIGINT)
+       |         AS share_of_true_permille
+       |FROM m ORDER BY lang, pred_lang""".stripMargin
 
   // ---------------------------------------------------------------------
   // 2. text_quality_score — length / ratio heuristics → quality bucket
@@ -540,10 +601,91 @@ object TextAnalysis {
        |FROM grams JOIN df USING (g)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X84 collocation_lift — PMI-ranked collocation mining
+  // ---------------------------------------------------------------------
+
+  /** Noise floor: a bigram must occur this often corpus-wide before it
+    * can rank (the standard collocation-mining guard — a count-1 pair
+    * of two rare words has sky-high lift and zero evidence). */
+  private val MinColloc = 5L
+  private val CollocK = 16
+
+  /** Corpus collocations ranked by lift — the classic PMI mining
+    * report (which word pairs co-occur far beyond chance), used to
+    * seed tokenizer merge candidates and phrase dictionaries. Ranking
+    * key is the N-free cohesion n_ab·10⁹ div (n_a·n_b): PMI is
+    * log(n_ab·N/(n_a·n_b)) and both the constant N and the log are
+    * monotone, so the integer cohesion ranks IDENTICALLY to PMI with
+    * zero float/log divergence risk (the [[bigramLmScore]] numeric
+    * policy). Counts are emitted alongside, so true PMI is one
+    * driver-side log away. Harness bound: n_ab·10⁹ ≤ 2.8·10¹⁴ at
+    * sfx1 — at real 10¹³-token scale the product overflows BIGINT and
+    * the one-line swap is DECIMAL(38,0) arithmetic on both engines.
+    *
+    * Scale shape: bigram and unigram counts are map-side-combinable
+    * hash aggregates over one tokenization pass each; the two stat
+    * joins are vocab-sized (AQE broadcasts the unigram side); the
+    * global top-K is kernel #4 `graft_topk` — a partial-combinable
+    * bounded heap, O(K) per task, NO global window/sort anywhere — and
+    * the stats join-back broadcasts K = [[CollocK]] rows. */
+  val collocationLift: Q = (spark, dir) => {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val grams = toks.select(explode(expr(
+        "if(size(ws) > 1, transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))), " +
+          "array())")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= MinColloc)
+      .withColumn("w1", element_at(split(col("g"), " "), 1))
+      .withColumn("w2", element_at(split(col("g"), " "), 2))
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), Seq("w2"))
+      .withColumn("cohesion_ppb",
+        expr("(n_ab * 1000000000L) div (n_a * n_b)"))
+    grams
+      .agg(expr(s"graft_topk(cohesion_ppb, g, $CollocK)").as("tops"))
+      .select(posexplode(col("tops")))
+      .select((col("pos") + 1).cast("long").as("rank"), col("col.term").as("g"))
+      .join(grams.select("g", "w1", "w2", "n_ab", "n_a", "n_b", "cohesion_ppb"),
+        Seq("g"))
+      .select("rank", "w1", "w2", "n_ab", "n_a", "n_b", "cohesion_ppb")
+      .orderBy("rank")
+  }
+  val collocationLiftSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |uni AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n_w
+       |  FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1),
+       |grams AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS n_ab
+       |  FROM (SELECT unnest(list_transform(range(1, len(ws)),
+       |          i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)])) AS g
+       |        FROM toks)
+       |  GROUP BY 1 HAVING count(*) >= $MinColloc),
+       |stats AS (
+       |  SELECT g, str_split(g, ' ')[1] AS w1, str_split(g, ' ')[2] AS w2,
+       |         n_ab, ua.n_w AS n_a, ub.n_w AS n_b,
+       |         CAST((n_ab * 1000000000) // (ua.n_w * ub.n_w) AS BIGINT)
+       |           AS cohesion_ppb
+       |  FROM grams
+       |  JOIN uni ua ON ua.w = str_split(g, ' ')[1]
+       |  JOIN uni ub ON ub.w = str_split(g, ' ')[2]),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY cohesion_ppb DESC, g)
+       |                 AS BIGINT) AS rank
+       |  FROM stats)
+       |SELECT rank, w1, w2, n_ab, n_a, n_b, cohesion_ppb
+       |FROM ranked WHERE rank <= $CollocK ORDER BY rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "top_terms_per_lang" -> topTermsPerLang,
     "top_terms_agg" -> topTermsAgg,
     "lang_id_ngram" -> langIdNgram,
+    "lang_id_confusion" -> langIdConfusion,
     "text_quality_score" -> textQualityScore,
     "token_count" -> tokenCount,
     "doc_fingerprint" -> docFingerprint,
@@ -552,11 +694,13 @@ object TextAnalysis {
     "fluency_buckets" -> fluencyBuckets,
     "winnow_fingerprints" -> winnowFingerprints,
     "ngram_novelty" -> ngramNovelty,
+    "collocation_lift" -> collocationLift,
   )
   val oracles: Map[String, String] = Map(
     "top_terms_per_lang" -> topTermsPerLangSql,
     "top_terms_agg" -> topTermsAggSql,
     "lang_id_ngram" -> langIdNgramSql,
+    "lang_id_confusion" -> langIdConfusionSql,
     "text_quality_score" -> textQualityScoreSql,
     "token_count" -> tokenCountSql,
     "doc_fingerprint" -> docFingerprintSql,
@@ -565,5 +709,6 @@ object TextAnalysis {
     "winnow_fingerprints" -> winnowFingerprintsSql,
     "ngram_novelty" -> ngramNoveltySql,
     "fluency_buckets" -> fluencyBucketsSql,
+    "collocation_lift" -> collocationLiftSql,
   )
 }

@@ -84,7 +84,10 @@ class NestedLoopSweepSpec extends AnyFunSuite {
     // X81: ann_ivf_topk's two plannings of corpus × broadcast(cent)
     // (cent ≤ IvfK rows by the stride rule) plus the queries × 3-row
     // probe-depth VALUES relation in the report-shape join
-    "ivf_nprobe_recall" -> 3)
+    "ivf_nprobe_recall" -> 3,
+    // X83: the confusion lattice — DISTINCT labels (5) × the static
+    // 5-row class relation; both sides bounded by the class inventory
+    "lang_id_confusion" -> 1)
 
   test("no registered query plans an unbounded nested-loop or cartesian join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
