@@ -149,7 +149,15 @@ class ScalingSpec extends AnyFunSuite {
       // bounded ≤17-rows/doc projection into ONE capped-set exchange
       // (per-bucket state O(cap) under any skew); pairs are per-bucket
       // array algebra, so shuffle grows with variants, ~linear
-      "fuzzy_fingerprint_join")
+      "fuzzy_fingerprint_join",
+      // r17: the confusion rollup — one map-combined (lang, pred)
+      // count collapses the corpus to ≤ L·K cells; shuffle ~flat
+      "lang_id_confusion",
+      // r17: collocation mining — bigram/unigram counts are map-
+      // combined aggs, stat joins are vocab-sized, the global top-K is
+      // the bounded-heap kernel (O(K) per task); shuffle tracks the
+      // vocabulary (sub-linear by Heaps), wall tracks the scan
+      "collocation_lift")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
