@@ -811,8 +811,17 @@ object Curation {
           .otherwise("ok"))
   }
 
+  /** Sort-FIRST spelling: `orderBy` on the raw scan, gate projection
+    * after. A trailing global sort makes the range partitioner SAMPLE
+    * its input, so the sort-last spelling ran the 37-replace projection
+    * TWICE (sample pass + shuffle write), both as 1-task stages over
+    * the sf-sized scan — measured interleaved same-JVM at sf0.1:
+    * sort-last 1.42 s / sort-first 0.32 s / fanout 0.55 s (min-of-5;
+    * docs/SCALE.md r17). Sampling now reads cheap raw rows and the
+    * heavy projection runs ONCE, parallel, after the exchange —
+    * projection and filter preserve the sort. */
   val charDiversityGate: Q = (spark, dir) =>
-    charDiversityCore(Tables.documents(spark, dir)).orderBy("doc_id")
+    charDiversityCore(Tables.documents(spark, dir).orderBy("doc_id"))
   val charDiversityGateSql: String = {
     val cnts = GateAlphabet.zipWithIndex.map { case (c, i) =>
       val lit = if (c == ' ') "' '" else s"'$c'"
