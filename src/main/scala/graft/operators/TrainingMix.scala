@@ -948,12 +948,99 @@ object TrainingMix {
        |FROM msk ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // X85 ngram_coverage_curve — train→test n-gram type coverage vs n
+  // ---------------------------------------------------------------------
+
+  /** Maximum gram width of the curve. */
+  private val CurveMaxN = 4
+
+  /** The memorization-headroom curve: for each gram width n = 1..4, the
+    * per-mille share of the TEST split's distinct n-gram types that
+    * also occur in the TRAIN split — the corpus-level answer to "how
+    * much of eval is literally seen in training, and how fast does
+    * novelty grow with n". Reads next to [[splitContamination]] (which
+    * flags individual leaked DOCS at n = 5): the curve prices the
+    * whole eval set's overlap as a function of n, the artifact a
+    * perplexity-eval design reads before trusting its numbers. Splits
+    * are [[datasetSplit]]'s own hash coin, so the curve audits the
+    * exact split the pipeline ships. Type coverage (distinct grams),
+    * deliberately — token-weighted coverage would let one stopword
+    * dominate every n.
+    *
+    * Scale shape: ONE corpus pass explodes all [[CurveMaxN]] widths
+    * together (bounded ≤ 4 grams per token); the (n, gram) aggregate
+    * with two bool-or flags is map-side combinable and collapses
+    * everything to the gram-TYPE relation (sub-corpus by Zipf/Heaps);
+    * the final rollup is [[CurveMaxN]] rows. Gram keys are h60-hashed
+    * 8-byte ints through the shuffle, never strings. */
+  val ngramCoverageCurve: Q = (spark, dir) => {
+    val tagged = Tables.documents(spark, dir)
+      .withColumn("split",
+        when(pmod(h60(concat(lit("split:"), col("doc_id"))), lit(1000))
+          < TrainPerMille, "train")
+          .when(pmod(h60(concat(lit("split:"), col("doc_id"))), lit(1000))
+            < ValPerMille, "val")
+          .otherwise("test"))
+      .filter(col("split") =!= "val")
+      .withColumn("ws", split(col("text"), " "))
+    val grams = tagged.select(col("split"), explode(expr(
+      s"""flatten(transform(sequence(1, $CurveMaxN), n ->
+         |  if(size(ws) >= n,
+         |     transform(sequence(1, size(ws) - n + 1),
+         |       i -> struct(CAST(n AS BIGINT) AS n,
+         |                   ${h60Sql(s"array_join(slice(ws, i, n), ' ')")} AS g)),
+         |     array())))""".stripMargin)).as("t"))
+      .select(col("split"), col("t.n").as("n"), col("t.g").as("g"))
+    grams.groupBy("n", "g")
+      .agg(max(col("split") === "train").as("in_train"),
+        max(col("split") === "test").as("in_test"))
+      .filter(col("in_test"))
+      .groupBy("n")
+      .agg(count(lit(1)).as("test_types"),
+        count_if(col("in_train")).as("covered_types"))
+      .withColumn("coverage_permille",
+        expr("(covered_types * 1000) div test_types"))
+      .orderBy("n")
+  }
+  val ngramCoverageCurveSql: String =
+    s"""WITH tagged AS (
+       |  SELECT CASE WHEN bucket < $TrainPerMille THEN 'train'
+       |              WHEN bucket < $ValPerMille THEN 'val'
+       |              ELSE 'test' END AS split,
+       |         string_split(text, ' ') AS ws
+       |  FROM (SELECT text,
+       |          ${h60Duck("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+       |        FROM documents)),
+       |grams AS (
+       |  SELECT split, t.n, t.g
+       |  FROM (SELECT split, unnest(flatten(list_transform(range(1, $CurveMaxN + 1),
+       |          n -> CASE WHEN len(ws) >= n THEN
+       |                 list_transform(range(1, len(ws) - CAST(n AS INT) + 2),
+       |                   i -> {'n': n,
+       |                         'g': ${h60Duck(
+                                 "array_to_string(ws[CAST(i AS INT):CAST(i + n - 1 AS INT)], ' ')")}})
+       |               ELSE [] END))) AS t
+       |        FROM tagged WHERE split <> 'val')),
+       |types AS (
+       |  SELECT n, g,
+       |         bool_or(split = 'train') AS in_train,
+       |         bool_or(split = 'test') AS in_test
+       |  FROM grams GROUP BY 1, 2)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |       CAST(count(*) AS BIGINT) AS test_types,
+       |       CAST(count(*) FILTER (in_train) AS BIGINT) AS covered_types,
+       |       CAST((count(*) FILTER (in_train) * 1000) // count(*) AS BIGINT)
+       |         AS coverage_permille
+       |FROM types WHERE in_test GROUP BY n ORDER BY n""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "span_corruption" -> spanCorruption,
     "temperature_resample" -> temperatureResample,
     "sequence_pack" -> sequencePack,
     "dataset_split" -> datasetSplit,
     "split_contamination" -> splitContamination,
+    "ngram_coverage_curve" -> ngramCoverageCurve,
     "epoch_upsample" -> epochUpsample,
     "global_row_index" -> globalRowIndex,
     "dsir_select" -> dsirSelect,
@@ -971,6 +1058,7 @@ object TrainingMix {
     "sequence_pack" -> sequencePackSql,
     "dataset_split" -> datasetSplitSql,
     "split_contamination" -> splitContaminationSql,
+    "ngram_coverage_curve" -> ngramCoverageCurveSql,
     "epoch_upsample" -> epochUpsampleSql,
     "global_row_index" -> globalRowIndexSql,
   )

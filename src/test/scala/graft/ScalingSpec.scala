@@ -157,7 +157,11 @@ class ScalingSpec extends AnyFunSuite {
       // combined aggs, stat joins are vocab-sized, the global top-K is
       // the bounded-heap kernel (O(K) per task); shuffle tracks the
       // vocabulary (sub-linear by Heaps), wall tracks the scan
-      "collocation_lift")
+      "collocation_lift",
+      // r17: the coverage curve — one 4-width gram explode into a
+      // map-combined (n, gram) type aggregate; shuffle tracks gram
+      // TYPES (sub-corpus by Heaps), rollup is 4 rows
+      "ngram_coverage_curve")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
