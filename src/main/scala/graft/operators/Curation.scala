@@ -915,7 +915,75 @@ object Curation {
       |            // (n_sources * total) AS BIGINT) AS gini_permille
       |FROM r ORDER BY rank_asc""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // 13. weighted_sample_wor — weighted sampling WITHOUT replacement
+  // ---------------------------------------------------------------------
+
+  /** Sample size per source. */
+  private val WorK = 24
+  /** Coin modulus (2^30) and the fixed-point scale of the u/w priority. */
+  private val WorCoinMod = 1L << 30
+  private val WorScale = 1000000L
+
+  /** Weighted without-replacement sampling per source — sequential
+    * Poisson / order sampling (Ohlsson's πps scheme, the Efraimidis–
+    * Spirakis u^(1/w) family's integer-friendly sibling): each doc
+    * draws a content-keyed uniform coin u and is ranked by priority
+    * u/w with w = `n_chars`, so heavier (longer) docs systematically
+    * win earlier ranks; the [[WorK]] smallest priorities per source are
+    * the sample. Sits next to [[reservoirSample]] (UNIFORM per-group
+    * reservoir, pre-filter + window) as the weighted member of the
+    * sampling family — the form a mix pipeline uses when "sample 1k
+    * docs per domain" must mean "1k docs biased toward token mass",
+    * e.g. for inspection panels or seed corpora.
+    *
+    * Exactness: the ratio u/w is spelled as the FIXED-POINT integer
+    * `(u·10⁶) div w` (u < 2³⁰ keeps the product < 2⁵⁰ — no overflow,
+    * no floats, no pow/log whose last-ulp rounding could diverge
+    * cross-engine), ties broken by doc_id — both engines rank the
+    * identical total order. The truncation changes WHICH order ties
+    * occur in vs the real ratio, not the scheme's πps character; the
+    * oracle applies the identical fixed-point priority.
+    *
+    * Scale shape: NO window, NO join — ONE map-side-combinable
+    * bounded-heap aggregate ([[graft.expressions.TopKMin]]): every map
+    * task combines its partition to ≤ [[WorK]] (priority, doc_id)
+    * pairs per source before the exchange, so shuffled rows =
+    * sources × K regardless of corpus size, and a 10⁹-doc source
+    * never materializes a sort partition (the window spelling would
+    * sort the whole group per source). */
+  /** Core on an explicit (source, doc_id, n_chars) relation so specs can
+    * feed arbitrary partitionings and degenerate weights. */
+  private[operators] def weightedSampleWorCore(docs: DataFrame): DataFrame = {
+    docs
+      .filter(col("n_chars") > 0) // u/w needs w > 0; mirrored in the oracle
+      .withColumn("u",
+        pmod(h60(concat(lit("wor:"), col("doc_id"))), lit(WorCoinMod)) + 1)
+      .withColumn("pri", expr(s"(u * $WorScale) div n_chars"))
+      .groupBy("source")
+      .agg(expr(s"graft_topk_min(pri, doc_id, $WorK)").as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("doc_id"), col("t.key").as("priority"))
+      .orderBy("source", "rank")
+  }
+  val weightedSampleWor: Q = (spark, dir) =>
+    weightedSampleWorCore(Tables.documents(spark, dir))
+  val weightedSampleWorSql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |         (${h60Duck("'wor:' || CAST(doc_id AS VARCHAR)")} % $WorCoinMod + 1)
+       |           * $WorScale // n_chars AS pri
+       |  FROM documents WHERE n_chars > 0)
+       |SELECT source, rank, doc_id, priority FROM (
+       |  SELECT source, doc_id, pri AS priority,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |           ORDER BY pri, doc_id) AS BIGINT) AS rank
+       |  FROM d)
+       |WHERE rank <= $WorK ORDER BY source, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "weighted_sample_wor" -> weightedSampleWor,
     "source_overlap_matrix" -> sourceOverlapMatrix,
     "char_diversity_gate" -> charDiversityGate,
     "domain_token_gini" -> domainTokenGini,
@@ -930,6 +998,7 @@ object Curation {
     "source_unigram_drift" -> sourceUnigramDrift,
   )
   val oracles: Map[String, String] = Map(
+    "weighted_sample_wor" -> weightedSampleWorSql,
     "source_overlap_matrix" -> sourceOverlapMatrixSql,
     "char_diversity_gate" -> charDiversityGateSql,
     "domain_token_gini" -> domainTokenGiniSql,

@@ -681,7 +681,79 @@ object TextAnalysis {
        |SELECT rank, w1, w2, n_ab, n_a, n_b, cohesion_ppb
        |FROM ranked WHERE rank <= $CollocK ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // 14. vocab_growth_curve — Heaps'-law vocabulary growth audit
+  // ---------------------------------------------------------------------
+
+  /** Prefix sizes of the curve, in permille of the corpus. */
+  private val GrowthPermilles = Seq(10L, 20L, 50L, 100L, 200L, 500L, 1000L)
+
+  /** The Heaps'-law curve: distinct token TYPES seen in the first p‰ of
+    * the corpus (by doc_id ingest order), for seven prefix sizes — the
+    * audit a tokenizer/vocab design reads before sizing a vocabulary or
+    * extrapolating dedup/df-cap behavior to the next decade of crawl
+    * (this repo's own scale arguments lean on "vocabulary grows
+    * sub-linearly"; this query measures that claim on the shipped
+    * corpus). `growth_permille` = 1000·V(p)/V(prev) exposes the
+    * saturation rate between consecutive points as an exact integer —
+    * a corpus whose curve stays near each decade's data-growth ratio
+    * is still open-vocabulary; one that collapses toward 1000 has
+    * saturated (the synthetic sf* word list saturates fast, which the
+    * spec pins as the expected signal).
+    *
+    * Scale shape: ONE corpus pass explodes tokens; the (type →
+    * min(doc_id)) first-seen aggregate is map-side combinable and
+    * collapses everything to the TYPE relation (sub-corpus by Heaps —
+    * the very law being measured); token keys cross the shuffle as h60
+    * ints, never strings. The 7-point lattice (from a 1-row max
+    * aggregate) broadcast-attaches onto the type relation; the final
+    * lag window runs over exactly 7 rows (GlobalWindowSweepSpec
+    * allowlisted). */
+  val vocabGrowthCurve: Q = (spark, dir) => {
+    val docs = Tables.documents(spark, dir)
+    val firstSeen = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), expr(h60Sql("w")).as("t"))
+      .groupBy("t").agg(min(col("doc_id")).as("first_seen"))
+    val lattice = docs.agg((max(col("doc_id")) + 1).as("n_docs"))
+      .select(col("n_docs"),
+        explode(array(GrowthPermilles.map(lit): _*)).as("permille"))
+      .select(col("permille"),
+        expr("(n_docs * permille) div 1000").as("docs_prefix"))
+    firstSeen.crossJoin(broadcast(lattice))
+      .groupBy("permille", "docs_prefix")
+      .agg(count_if(col("first_seen") < col("docs_prefix")).as("vocab_types"))
+      .withColumn("prev",
+        lag(col("vocab_types"), 1).over(Window.orderBy("permille")))
+      // first point has no predecessor: report 1000 (flat), keeping the
+      // column non-null so both engines ship the identical BIGINT column
+      .withColumn("growth_permille",
+        coalesce(expr("(vocab_types * 1000) div prev"), lit(1000L)))
+      .drop("prev")
+      .orderBy("permille")
+  }
+  val vocabGrowthCurveSql: String =
+    s"""WITH fs AS (
+       |  SELECT ${h60Duck("w")} AS t, min(doc_id) AS first_seen
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)
+       |  GROUP BY 1),
+       |lat AS (
+       |  SELECT p AS permille, (n_docs * p) // 1000 AS docs_prefix
+       |  FROM (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+       |       (SELECT CAST(unnest([${GrowthPermilles.mkString(", ")}]) AS BIGINT) AS p)),
+       |curve AS (
+       |  SELECT permille, docs_prefix,
+       |         CAST(count(*) FILTER (first_seen < docs_prefix) AS BIGINT)
+       |           AS vocab_types
+       |  FROM fs, lat GROUP BY 1, 2)
+       |SELECT permille, docs_prefix, vocab_types,
+       |       COALESCE((vocab_types * 1000) // lag(vocab_types, 1)
+       |         OVER (ORDER BY permille), 1000) AS growth_permille
+       |FROM curve ORDER BY permille""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "vocab_growth_curve" -> vocabGrowthCurve,
     "top_terms_per_lang" -> topTermsPerLang,
     "top_terms_agg" -> topTermsAgg,
     "lang_id_ngram" -> langIdNgram,
@@ -697,6 +769,7 @@ object TextAnalysis {
     "collocation_lift" -> collocationLift,
   )
   val oracles: Map[String, String] = Map(
+    "vocab_growth_curve" -> vocabGrowthCurveSql,
     "top_terms_per_lang" -> topTermsPerLangSql,
     "top_terms_agg" -> topTermsAggSql,
     "lang_id_ngram" -> langIdNgramSql,

@@ -44,7 +44,11 @@ class GlobalWindowSweepSpec extends AnyFunSuite {
     // independent — the corpus collapses in the ONE hash aggregate
     // above them); a global ordering over sources is the report's
     // semantics, not an accident.
-    "domain_token_gini" -> 3)
+    "domain_token_gini" -> 3,
+    // r18 vocab_growth_curve: the saturation-rate lag runs over the
+    // 7-point permille lattice (fixed size by construction — the corpus
+    // collapsed in the first-seen aggregate above it).
+    "vocab_growth_curve" -> 1)
 
   test("no registered query plans an unpartitioned window over an unbounded relation") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
