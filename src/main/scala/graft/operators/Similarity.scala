@@ -512,6 +512,121 @@ object Similarity {
        |ORDER BY q.q_id, nprobe""".stripMargin
 
   // ---------------------------------------------------------------------
+  // 4b. matryoshka_recall — prefix-dimension (MRL) truncation audit
+  // ---------------------------------------------------------------------
+
+  private val MrlDims = Seq(16, 32)
+  private val MrlK = 10
+
+  /** Dimension-parameterized twin of [[dotDuck]] (which is pinned to the
+    * full [[Dim]]): same ascending-index left fold, so prefix dots are
+    * bit-identical cross-engine too. */
+  private def dotDuckN(a: String, b: String, n: Int): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, $n + 1), i -> $a[i] * $b[i])),
+       |    (acc, x) -> acc + x)""".stripMargin
+
+  /** The Matryoshka/truncation audit: recall@[[MrlK]] of cosine top-k
+    * computed on the FIRST d components only (d ∈ [[MrlDims]]) against
+    * the full-[[Dim]] exact ranking — the tuning artifact for
+    * nested-representation retrieval (store/search short prefixes,
+    * re-rank long): it prices how much ranking quality each truncation
+    * buys back in storage and dot-product cost, completing the
+    * index-audit family ([[lshBandRecall]] bands, `pq_recall_report`
+    * codebooks, [[ivfNprobeRecall]] probe depth — this one needs no
+    * index at all, just the prefix).
+    *
+    * FUSED single-pass shape: prefix slices and their norms are
+    * projected ONCE per row (not per pair), so one corpus ×
+    * bounded-query broadcast pass computes cos@16/32/64 side by side
+    * and feeds THREE bounded heaps in one aggregate; recall is per-row
+    * array algebra over ≤ k-element id arrays. Rows with a zero-norm
+    * 16-prefix are excluded on both engines (nested norms are
+    * monotone: n16 > 0 ⇒ n32, n64 > 0 — the NaN-vs-heap guard this
+    * family always applies).
+    *
+    * Scale shape: query side is the family's bounded broadcast; map
+    * tasks combine to ≤ 3·k rows per query before the exchange; the
+    * report is queries × |dims| rows. */
+  val matryoshkaRecall: Q = (spark, dir) => {
+    val base = Tables.embeddingsD(spark, dir)
+      .withColumn("e16", expr("slice(embedding, 1, 16)"))
+      .withColumn("e32", expr("slice(embedding, 1, 32)"))
+      .withColumn("n16", expr(s"sqrt(${dotSql("e16", "e16")})"))
+      .withColumn("n32", expr(s"sqrt(${dotSql("e32", "e32")})"))
+      .withColumn("n64", expr(s"sqrt(${dotSql("embedding", "embedding")})"))
+      .filter(col("n16") > 0)
+    val q = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q64"),
+        col("e32").as("q32"), col("e16").as("q16"),
+        col("n64").as("qn64"), col("n32").as("qn32"), col("n16").as("qn16"))
+    val scored = base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos64",
+        expr(s"${dotSql("q64", "embedding")}") / (col("qn64") * col("n64")))
+      .withColumn("cos32",
+        expr(s"${dotSql("q32", "e32")}") / (col("qn32") * col("n32")))
+      .withColumn("cos16",
+        expr(s"${dotSql("q16", "e16")}") / (col("qn16") * col("n16")))
+    scored.groupBy("q_id")
+      .agg(expr(s"graft_topk_min(-cos64, vec_id, $MrlK)").as("ex"),
+        expr(s"graft_topk_min(-cos32, vec_id, $MrlK)").as("m32"),
+        expr(s"graft_topk_min(-cos16, vec_id, $MrlK)").as("m16"))
+      .select(col("q_id"), explode(array(MrlDims.map(d =>
+        struct(lit(d.toLong).as("dim"),
+          size(array_intersect(expr(s"transform(m$d, t -> t.id)"),
+            expr("transform(ex, t -> t.id)"))).cast("long").as("n_hits"))): _*))
+        .as("r"))
+      .select(col("q_id"), col("r.dim").as("dim"), col("r.n_hits").as("n_hits"))
+      .withColumn("recall_permille", expr(s"(n_hits * 1000) div $MrlK"))
+      .orderBy("q_id", "dim")
+  }
+  val matryoshkaRecallSql: String =
+    s"""WITH e AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, embedding,
+       |           sqrt(${dotDuckN("embedding", "embedding", 16)}) AS n16,
+       |           sqrt(${dotDuckN("embedding", "embedding", 32)}) AS n32,
+       |           sqrt(${dotDuckN("embedding", "embedding", 64)}) AS n64
+       |    FROM $EmbD)
+       |  WHERE n16 > 0),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |         ${dotDuckN("q.embedding", "c.embedding", 64)} / (q.n64 * c.n64) AS cos64,
+       |         ${dotDuckN("q.embedding", "c.embedding", 32)} / (q.n32 * c.n32) AS cos32,
+       |         ${dotDuckN("q.embedding", "c.embedding", 16)} / (q.n16 * c.n16) AS cos16
+       |  FROM e q JOIN e c ON q.vec_id < $NumQueries AND c.vec_id <> q.vec_id),
+       |ex AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY cos64 DESC, vec_id) AS rnk
+       |    FROM scored) WHERE rnk <= $MrlK),
+       |m16 AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY cos16 DESC, vec_id) AS rnk
+       |    FROM scored) WHERE rnk <= $MrlK),
+       |m32 AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY cos32 DESC, vec_id) AS rnk
+       |    FROM scored) WHERE rnk <= $MrlK),
+       |hits AS (
+       |  SELECT 16 AS d, i.q_id, count(*) AS n_hits
+       |  FROM m16 i JOIN ex x ON x.q_id = i.q_id AND x.vec_id = i.vec_id GROUP BY 2
+       |  UNION ALL
+       |  SELECT 32 AS d, i.q_id, count(*) AS n_hits
+       |  FROM m32 i JOIN ex x ON x.q_id = i.q_id AND x.vec_id = i.vec_id GROUP BY 2)
+       |SELECT q.q_id, CAST(d.dim AS BIGINT) AS dim,
+       |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST((coalesce(h.n_hits, 0) * 1000) // $MrlK AS BIGINT)
+       |         AS recall_permille
+       |FROM (SELECT vec_id AS q_id FROM e WHERE vec_id < $NumQueries) q
+       |CROSS JOIN (VALUES ${MrlDims.map(d => s"($d)").mkString(", ")}) d(dim)
+       |LEFT JOIN hits h ON h.q_id = q.q_id AND h.d = d.dim
+       |ORDER BY q.q_id, dim""".stripMargin
+
+  // ---------------------------------------------------------------------
   // 5. random_projection — Johnson–Lindenstrauss dimensionality reduction
   // ---------------------------------------------------------------------
 
@@ -650,6 +765,7 @@ object Similarity {
     "ann_lsh_bucket_top1" -> annLshBucketTop1,
     "ann_ivf_topk" -> annIvfTopk,
     "ivf_nprobe_recall" -> ivfNprobeRecall,
+    "matryoshka_recall" -> matryoshkaRecall,
     "random_projection" -> randomProjection,
     "scalar_quantize_embeddings" -> scalarQuantizeEmbeddings,
     "embedding_audit" -> embeddingAudit,
@@ -660,6 +776,7 @@ object Similarity {
     "ann_lsh_bucket_top1" -> annLshBucketTop1Sql,
     "ann_ivf_topk" -> annIvfTopkSql,
     "ivf_nprobe_recall" -> ivfNprobeRecallSql,
+    "matryoshka_recall" -> matryoshkaRecallSql,
     "random_projection" -> randomProjectionSql,
     "scalar_quantize_embeddings" -> scalarQuantizeEmbeddingsSql,
     "embedding_audit" -> embeddingAuditSql,
