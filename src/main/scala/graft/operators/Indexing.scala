@@ -539,7 +539,79 @@ object Indexing {
        |FROM t LEFT JOIN v USING (term)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X89 salted_skew_join — explicit hot-key salting, result-identical
+  // ---------------------------------------------------------------------
+
+  /** Salt fanout S. Production sizing: S ≈ hot-key rows / target
+    * partition rows, bounded by the S× replication of the dim side. */
+  val SaltBuckets = 8L
+  /** IDF fixed-point scale for the specificity score (10³, not
+    * [[IdfScale]]: the per-doc mass Σ tf·idf must stay in a LONG —
+    * at N = 10¹⁰ docs and 10⁵-token docs the sum reaches ~10¹⁸ with
+    * this scale, at the BIGINT edge but inside it). */
+  val SaltIdfScale = 1000L
+
+  /** Per-document specificity score (mean scaled IDF per token) — the
+    * quality signal "is this doc made of rare or of boilerplate
+    * vocabulary" — spelled as the registry's one EXPLICITLY SALTED
+    * join. The (doc, term, tf) relation is Zipf-skewed on `term`: a
+    * stopword's postings are a constant fraction of the corpus, so a
+    * plain term-keyed shuffle join sends one key's entire posting list
+    * to one task. Salting splits every term's left rows across
+    * [[SaltBuckets]] deterministic sub-keys (`h60(doc)%S` — content-
+    * keyed, no RNG) and replicates the vocab-sized right side ×S, so
+    * the hot key's rows land on S tasks BY CONSTRUCTION — the planner-
+    * independent spelling of what AQE's OptimizeSkewedJoin does
+    * opportunistically (AQE only rebalances sort-merge partitions it
+    * detects as skewed at runtime; the salt is the static guarantee,
+    * and the two compose). Result is provably identical to the
+    * unsalted join — the oracle runs the UNSALTED SQL, and
+    * SaltedJoinSpec pins both that equality and the S-way spread of
+    * the hottest key. At harness scale AQE broadcasts the ×S vocab
+    * side (the salt then costs nothing); at 10⁷+-term vocabularies
+    * both sides shuffle and the salt is load-bearing.
+    *
+    * Scale shape: explode → ONE map-combinable (doc, term, tf) agg;
+    * vocab-sized df agg + 1-row N attach; the salted join's right side
+    * is vocab×S (never corpus); final per-doc agg is map-combinable.
+    * All-integer scores ([[SaltIdfScale]]). */
+  val saltedSkewJoin: Q = (spark, dir) => {
+    val tf = tfRel(spark, dir)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    val idfSalted = df.crossJoin(n)
+      .withColumn("idf_m", expr(s"(n * $SaltIdfScale) div df"))
+      .select(col("term"), col("idf_m"))
+      .withColumn("salt",
+        explode(sequence(lit(0L), lit(SaltBuckets - 1))))
+    tf.withColumn("salt",
+        pmod(Dedup.h60(concat(lit("salt:"), col("doc_id"))), lit(SaltBuckets)))
+      .join(idfSalted, Seq("term", "salt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("tok_mass"),
+        sum(expr("tf * idf_m")).as("idf_mass"))
+      .withColumn("specificity_permille", expr("idf_mass div tok_mass"))
+      .orderBy("doc_id")
+  }
+  val saltedSkewJoinSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |j AS (
+       |  SELECT tf.doc_id, tf.tf, ((n.n * $SaltIdfScale) // df.df) AS idf_m
+       |  FROM tf JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |       CAST(sum(tf) AS BIGINT) AS tok_mass,
+       |       CAST(sum(tf * idf_m) AS BIGINT) AS idf_mass,
+       |       CAST(sum(tf * idf_m) // sum(tf) AS BIGINT) AS specificity_permille
+       |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "salted_skew_join" -> saltedSkewJoin,
     "tfidf_topk" -> tfidfTopk,
     "inverted_index" -> invertedIndex,
     "vocab_build" -> vocabBuild,
@@ -550,6 +622,7 @@ object Indexing {
     "vocab_coverage" -> vocabCoverage,
   )
   val oracles: Map[String, String] = Map(
+    "salted_skew_join" -> saltedSkewJoinSql,
     "tfidf_topk" -> tfidfTopkSql,
     "inverted_index" -> invertedIndexSql,
     "vocab_build" -> vocabBuildSql,

@@ -87,7 +87,14 @@ class NestedLoopSweepSpec extends AnyFunSuite {
     "ivf_nprobe_recall" -> 3,
     // X83: the confusion lattice — DISTINCT labels (5) × the static
     // 5-row class relation; both sides bounded by the class inventory
-    "lang_id_confusion" -> 1)
+    "lang_id_confusion" -> 1,
+    // X88: the family's corpus × bounded-query broadcast
+    // (vec_id < NumQueries = 10 rows at any corpus size)
+    "matryoshka_recall" -> 1,
+    // X87: type relation × the 7-point permille lattice — the lattice
+    // is a 1-row max aggregate exploded over a FIXED 7-literal array
+    // (the explode hides the one-row bound from the detector)
+    "vocab_growth_curve" -> 1)
 
   test("no registered query plans an unbounded nested-loop or cartesian join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
