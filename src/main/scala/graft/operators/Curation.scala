@@ -920,10 +920,10 @@ object Curation {
   // ---------------------------------------------------------------------
 
   /** Sample size per source. */
-  private val WorK = 24
+  private[graft] val WorK = 24
   /** Coin modulus (2^30) and the fixed-point scale of the u/w priority. */
-  private val WorCoinMod = 1L << 30
-  private val WorScale = 1000000L
+  private[graft] val WorCoinMod = 1L << 30
+  private[graft] val WorScale = 1000000L
 
   /** Weighted without-replacement sampling per source — sequential
     * Poisson / order sampling (Ohlsson's πps scheme, the Efraimidis–
