@@ -975,7 +975,13 @@ object TrainingMix {
     * the final rollup is [[CurveMaxN]] rows. Gram keys are h60-hashed
     * 8-byte ints through the shuffle, never strings. */
   val ngramCoverageCurve: Q = (spark, dir) => {
-    val tagged = Tables.documents(spark, dir)
+    // fanout: the md5-per-gram explode below is the heaviest projection
+    // in the registry (≈ 4 hashes/token), and the sf-sized documents
+    // scan is ONE partition — unfanned it ran single-task (interleaved
+    // min-of-5 at sf0.1: 2.52 s → 0.67 s fanned, faster all five;
+    // docs/SCALE.md r18). At production scale the scan is
+    // many-partition and fanout is a no-op by construction.
+    val tagged = Tables.fanout(Tables.documents(spark, dir))
       .withColumn("split",
         when(pmod(h60(concat(lit("split:"), col("doc_id"))), lit(1000))
           < TrainPerMille, "train")
