@@ -66,7 +66,14 @@ object Bench {
     // measurement should exclude).
     val sampled = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       var samples = List(run(name, fn), run(name, fn))
-      if (samples.min > 0.5) samples ::= run(name, fn)
+      // adaptive sampling for the noisy tail: queries past the 0.5 s
+      // scheduling floor get up to TWO extra isolated runs (r18: the
+      // host's ±40% per-run swing is widest exactly on the 0.8–1.5 s
+      // queries the weak rule's 1 s absolute bar cuts through, and
+      // min-of-4 measurably tightens the estimator there; sub-0.5 s
+      // queries are constants-dominated and stable at 2)
+      while (samples.min > 0.5 && samples.size < 4)
+        samples ::= run(name, fn)
       name -> samples.filterNot(_.isInfinite).sorted
     }
     val results = sampled.map { case (name, ss) =>

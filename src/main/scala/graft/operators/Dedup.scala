@@ -320,6 +320,99 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // X90 dedup_threshold_sweep — verify-threshold precision/recall curve
+  // ---------------------------------------------------------------------
+
+  /** The verify-stage tuning artifact: for every dedup threshold
+    * τ = t/12 (t = 1..12, the estimator's own granularity), the
+    * precision and recall of the MinHash ESTIMATE (n_agree ≥ t)
+    * against the EXACT shingle Jaccard (|A∩B|·12 ≥ t·|A∪B|) over the
+    * LSH candidate pairs — the curve that tells a campaign where the
+    * estimator alone may issue dedup verdicts and where candidates
+    * must pay the exact intersection pass. Completes the dedup tuning
+    * family: [[lshBandRecall]] prices candidate GENERATION (banding),
+    * this prices candidate VERIFICATION (thresholding), and
+    * [[minhashJaccardEstimate]] is the relation both read.
+    *
+    * All decisions are exact integer comparisons (cross-multiplied
+    * Jaccard, no float thresholds); undefined ratios (empty
+    * denominator) surface as −1, not NULL, keeping the column
+    * BIGINT-total on both engines.
+    *
+    * Scale shape: rides the session-staged signature relation and the
+    * candidate-BOUNDED pair relation (never all-pairs); the exact side
+    * attaches each doc's OWN shingle-hash set (row-local data, bounded
+    * by doc length) to the candidate pairs and intersects per row; the
+    * 12-point sweep is an explode on the tiny pair relation and the
+    * report is 12 rows. The h-space (h60 % MersenneP) is the signature
+    * chain's own, so hash collisions — equal on both engines — cancel
+    * in the comparison. */
+  val dedupThresholdSweep: Q = (spark, dir) => {
+    val ap = agreementPairs(spark, dir)
+    val hsets = shingled(withNearDupes(spark, dir))
+      .select(col("doc_id"), expr(s"${h60Sql("shingle")} % $MersenneP").as("h"))
+      .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
+    val jac = ap
+      .join(hsets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("ha")) + size(col("hb"))).cast("long") - col("inter"))
+    jac.select(explode(expr("sequence(1L, 12L)")).as("t"),
+        col("n_agree"), col("inter"), col("uni"))
+      .groupBy("t")
+      .agg(count_if(col("n_agree") >= col("t")).as("est_pos"),
+        count_if(col("inter") * NumHashes >= col("t") * col("uni")).as("exact_pos"),
+        count_if(col("n_agree") >= col("t") &&
+          col("inter") * NumHashes >= col("t") * col("uni")).as("tp"))
+      .withColumn("precision_permille",
+        when(col("est_pos") > 0, expr("(tp * 1000) div est_pos")).otherwise(lit(-1L)))
+      .withColumn("recall_permille",
+        when(col("exact_pos") > 0, expr("(tp * 1000) div exact_pos")).otherwise(lit(-1L)))
+      .orderBy("t")
+  }
+  val dedupThresholdSweepSql: String = {
+    val agree = (0 until NumHashes)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ${minhashCtes(NearDupesSql)},
+       |ag AS (
+       |  SELECT p.doc_a, p.doc_b, CAST($agree AS BIGINT) AS n_agree
+       |  FROM mh_pairs p
+       |  JOIN sig a ON a.doc_id = p.doc_a
+       |  JOIN sig b ON b.doc_id = p.doc_b),
+       |shd AS (SELECT DISTINCT doc_id, h FROM sh),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY 1),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM mh_pairs p
+       |  JOIN shd x ON x.doc_id = p.doc_a
+       |  JOIN shd y ON y.doc_id = p.doc_b AND y.h = x.h
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT g.n_agree, COALESCE(i.inter, 0) AS inter,
+       |         sa.n + sb.n - COALESCE(i.inter, 0) AS uni
+       |  FROM ag g
+       |  LEFT JOIN inter i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+       |  JOIN sizes sa ON sa.doc_id = g.doc_a
+       |  JOIN sizes sb ON sb.doc_id = g.doc_b),
+       |sweep AS (
+       |  SELECT t,
+       |         CAST(count(*) FILTER (n_agree >= t) AS BIGINT) AS est_pos,
+       |         CAST(count(*) FILTER (inter * $NumHashes >= t * uni) AS BIGINT)
+       |           AS exact_pos,
+       |         CAST(count(*) FILTER (n_agree >= t AND inter * $NumHashes >= t * uni)
+       |              AS BIGINT) AS tp
+       |  FROM jac, (SELECT CAST(unnest(range(1, 13)) AS BIGINT) AS t)
+       |  GROUP BY 1)
+       |SELECT t, est_pos, exact_pos, tp,
+       |       CASE WHEN est_pos > 0 THEN (tp * 1000) // est_pos ELSE -1 END
+       |         AS precision_permille,
+       |       CASE WHEN exact_pos > 0 THEN (tp * 1000) // exact_pos ELSE -1 END
+       |         AS recall_permille
+       |FROM sweep ORDER BY t""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // X67 lsh_band_recall — banding-configuration recall audit
   // ---------------------------------------------------------------------
 
@@ -1399,6 +1492,7 @@ object Dedup {
     "simhash_near_dup" -> simhashNearDup,
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
     "minhash_jaccard_estimate" -> minhashJaccardEstimate,
+    "dedup_threshold_sweep" -> dedupThresholdSweep,
     "lsh_band_recall" -> lshBandRecall,
     "fuzzy_fingerprint_join" -> fuzzyFingerprintJoin,
   )
@@ -1416,6 +1510,7 @@ object Dedup {
     "simhash_near_dup" -> simhashNearDupSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "minhash_jaccard_estimate" -> minhashJaccardEstimateSql,
+    "dedup_threshold_sweep" -> dedupThresholdSweepSql,
     "lsh_band_recall" -> lshBandRecallSql,
     "fuzzy_fingerprint_join" -> fuzzyFingerprintJoinSql,
   )
