@@ -627,6 +627,134 @@ object Similarity {
        |ORDER BY q.q_id, dim""".stripMargin
 
   // ---------------------------------------------------------------------
+  // 4c. label_centroid_audit — class coherence / separability report
+  // ---------------------------------------------------------------------
+
+  /** Fixed-point scale for centroid accumulation. */
+  private val CentScale = 1000000L
+  /** Injected coherent-class size (the positive path — see Scaladoc). */
+  private val CentDupes = 16
+  /** Synthetic-id band for the injected class (same rationale as
+    * [[graft.operators.Dedup.ReKeyA]]: 2^40 sits above any real vec_id
+    * at any scale factor). */
+  private val CentReKey = 1L << 40
+
+  /** Per-label centroid coherence and separability — the label-quality
+    * audit a classifier-filtered or clustered corpus reads before
+    * trusting its labels: for each class, the mean cosine of members
+    * to their OWN centroid (coherence) vs to their best OTHER centroid,
+    * and the margin between the two (Fisher-style separability,
+    * reported in exact permille integers). sf* labels are random, so
+    * organic margins sit near zero — the honest verdict, and the same
+    * convention as `knn_label_eval` — so the corpus is audited WITH an
+    * injected coherent class (999: [[CentDupes]] exact copies of
+    * vector 0, re-keyed into the synthetic band) whose coherence must
+    * read ≥ 999 (the 10⁻⁶ centroid quantization plus the permille
+    * floor cost at most one permille off the ideal 1000) and whose
+    * margin must be decisively positive; the spec pins both, plus the
+    * random classes' near-zero margins.
+    *
+    * Exactness: centroids are INTEGER vectors — per-component sums of
+    * `floor(v·10⁶)` (order-independent LONG arithmetic; cosine is
+    * scale-invariant, so the un-normalized integer centroid gives the
+    * identical cosine) — and every per-row cosine is floored to
+    * permille BEFORE cross-row averaging, so no float ever crosses an
+    * aggregation boundary. Means are spelled `(Σ(p+1000)) div n − 1000`
+    * to keep the integer division's numerator non-negative (Spark's
+    * `div` truncates toward zero, DuckDB's `//` floors — they agree
+    * only on non-negative numerators).
+    *
+    * Scale shape: ONE corpus pass builds the (label, dim) sums —
+    * map-combinable, collapsing to classes × 64 rows; the centroid
+    * relation is class-cardinality (broadcast, allowlisted bounded
+    * nested loop exactly like the family's query broadcasts); scoring
+    * is row-local against ≤ L centroids; the final per-label aggregate
+    * is map-combinable. The report is L+1 rows. */
+  val labelCentroidAudit: Q = (spark, dir) => {
+    val base = Tables.embeddingsD(spark, dir).select("vec_id", "embedding", "label")
+    val injected = base.filter(col("vec_id") === 0)
+      .select(explode(expr(s"sequence(0L, ${CentDupes - 1}L)")).as("k"), col("embedding"))
+      .select((lit(CentReKey) + col("k")).as("vec_id"), col("embedding"),
+        lit(999).as("label"))
+    val all = base.unionByName(injected)
+      .withColumn("norm", expr(s"sqrt(${dotSql("embedding", "embedding")})"))
+      .filter(col("norm") > 0)
+    val qv = all.withColumn("qv",
+      expr(s"transform(embedding, x -> CAST(floor(x * $CentScale) AS BIGINT))"))
+    val cent = qv.select(col("label"), posexplode(col("qv")).as(Seq("i", "v")))
+      .groupBy("label", "i").agg(sum(col("v")).as("s"))
+      .groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(i, s))), t -> CAST(t.s AS DOUBLE))")
+        .as("cvec"))
+      .withColumn("cnorm", expr(s"sqrt(${dotSql("cvec", "cvec")})"))
+      .filter(col("cnorm") > 0)
+      .select(col("label").as("clabel"), col("cvec"), col("cnorm"))
+    val scored = all.crossJoin(broadcast(cent))
+      .withColumn("cosp", expr(
+        s"CAST(floor(1000 * ${dotSql("embedding", "cvec")} / (norm * cnorm)) AS BIGINT)"))
+    val own = scored.filter(col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"), col("cosp").as("own_p"))
+    val other = scored.filter(col("label") =!= col("clabel"))
+      .groupBy("vec_id", "label").agg(max(col("cosp")).as("other_p"))
+    own.join(other, Seq("vec_id", "label"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_members"),
+        expr("sum(own_p + 1000) div count(1) - 1000").as("coherence_permille"),
+        expr("sum(other_p + 1000) div count(1) - 1000").as("other_permille"))
+      .withColumn("margin_permille",
+        col("coherence_permille") - col("other_permille"))
+      .select(col("label").cast("long").as("label"), col("n_members"),
+        col("coherence_permille"), col("other_permille"), col("margin_permille"))
+      .orderBy("label")
+  }
+  val labelCentroidAuditSql: String =
+    s"""WITH base AS (SELECT vec_id, embedding, label FROM $EmbD),
+       |inj AS (
+       |  SELECT CAST($CentReKey + k AS BIGINT) AS vec_id, embedding,
+       |         CAST(999 AS INTEGER) AS label
+       |  FROM (SELECT embedding FROM base WHERE vec_id = 0),
+       |       (SELECT unnest(range(0, $CentDupes)) AS k)),
+       |allv AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, embedding, label,
+       |           sqrt(${dotDuckN("embedding", "embedding", Dim)}) AS norm
+       |    FROM (SELECT * FROM base UNION ALL SELECT * FROM inj))
+       |  WHERE norm > 0),
+       |qv AS (SELECT vec_id, label, embedding, norm,
+       |         list_transform(embedding, x -> CAST(floor(x * $CentScale) AS BIGINT)) AS qv
+       |       FROM allv),
+       |cent0 AS (
+       |  SELECT label, i, sum(qv[i]) AS s
+       |  FROM qv, (SELECT CAST(unnest(range(1, ${Dim + 1})) AS INTEGER) AS i)
+       |  GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label, list_transform(list(s ORDER BY i), x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM cent0 GROUP BY 1),
+       |centn AS (
+       |  SELECT * FROM (
+       |    SELECT label AS clabel, cvec,
+       |           sqrt(${dotDuckN("cvec", "cvec", Dim)}) AS cnorm
+       |    FROM cent)
+       |  WHERE cnorm > 0),
+       |scored AS (
+       |  SELECT m.vec_id, m.label, c.clabel,
+       |         CAST(floor(1000 * ${dotDuckN("m.embedding", "c.cvec", Dim)}
+       |              / (m.norm * c.cnorm)) AS BIGINT) AS cosp
+       |  FROM allv m CROSS JOIN centn c),
+       |own AS (SELECT vec_id, label, cosp AS own_p FROM scored WHERE label = clabel),
+       |oth AS (SELECT vec_id, label, max(cosp) AS other_p
+       |        FROM scored WHERE label <> clabel GROUP BY 1, 2)
+       |SELECT CAST(label AS BIGINT) AS label,
+       |       CAST(count(*) AS BIGINT) AS n_members,
+       |       CAST(sum(own_p + 1000) // count(*) - 1000 AS BIGINT) AS coherence_permille,
+       |       CAST(sum(other_p + 1000) // count(*) - 1000 AS BIGINT) AS other_permille,
+       |       CAST((sum(own_p + 1000) // count(*) - 1000)
+       |            - (sum(other_p + 1000) // count(*) - 1000) AS BIGINT)
+       |         AS margin_permille
+       |FROM own JOIN oth USING (vec_id, label)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // 5. random_projection — Johnson–Lindenstrauss dimensionality reduction
   // ---------------------------------------------------------------------
 
@@ -766,6 +894,7 @@ object Similarity {
     "ann_ivf_topk" -> annIvfTopk,
     "ivf_nprobe_recall" -> ivfNprobeRecall,
     "matryoshka_recall" -> matryoshkaRecall,
+    "label_centroid_audit" -> labelCentroidAudit,
     "random_projection" -> randomProjection,
     "scalar_quantize_embeddings" -> scalarQuantizeEmbeddings,
     "embedding_audit" -> embeddingAudit,
@@ -777,6 +906,7 @@ object Similarity {
     "ann_ivf_topk" -> annIvfTopkSql,
     "ivf_nprobe_recall" -> ivfNprobeRecallSql,
     "matryoshka_recall" -> matryoshkaRecallSql,
+    "label_centroid_audit" -> labelCentroidAuditSql,
     "random_projection" -> randomProjectionSql,
     "scalar_quantize_embeddings" -> scalarQuantizeEmbeddingsSql,
     "embedding_audit" -> embeddingAuditSql,

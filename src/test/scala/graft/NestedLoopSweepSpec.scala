@@ -94,7 +94,11 @@ class NestedLoopSweepSpec extends AnyFunSuite {
     // X87: type relation × the 7-point permille lattice — the lattice
     // is a 1-row max aggregate exploded over a FIXED 7-literal array
     // (the explode hides the one-row bound from the detector)
-    "vocab_growth_curve" -> 1)
+    "vocab_growth_curve" -> 1,
+    // X91: corpus × the class-centroid relation — bounded by label
+    // cardinality (classes + the injected coherent class), the same
+    // class-inventory bound as lang_id_confusion
+    "label_centroid_audit" -> 1)
 
   test("no registered query plans an unbounded nested-loop or cartesian join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
