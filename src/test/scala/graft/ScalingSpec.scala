@@ -161,7 +161,30 @@ class ScalingSpec extends AnyFunSuite {
       // r17: the coverage curve — one 4-width gram explode into a
       // map-combined (n, gram) type aggregate; shuffle tracks gram
       // TYPES (sub-corpus by Heaps), rollup is 4 rows
-      "ngram_coverage_curve")
+      "ngram_coverage_curve",
+      // r18: weighted WOR sampling — ONE bounded-heap aggregate;
+      // shuffle = sources × K, ~flat at any corpus size
+      "weighted_sample_wor",
+      // r18: Heaps'-law audit — first-seen min-agg collapses the
+      // corpus to the TYPE relation; shuffle tracks vocabulary
+      // (sub-linear — the very law it measures)
+      "vocab_growth_curve",
+      // r18: the salted join — left side is corpus-token-shaped
+      // (~linear), right side vocab × 8; the per-doc rollup is
+      // map-combinable, so shuffle tracks tokens, not pairs
+      "salted_skew_join",
+      // r18: the verify-threshold sweep — rides the staged signatures
+      // and candidate-BOUNDED pairs; the exact side attaches per-doc
+      // bounded shingle sets to the pair relation; sweep is 12 rows
+      "dedup_threshold_sweep",
+      // r18: the centroid audit — (label, dim) sums are map-combined
+      // (classes × 64 rows), scoring is row-local vs ≤ L broadcast
+      // centroids, final agg map-combined; shuffle ~flat
+      "label_centroid_audit",
+      // r18: the truncation audit — corpus × bounded-query broadcast,
+      // three heaps combine map-side to ≤ 3·k rows per query;
+      // shuffle query-bounded (~flat), wall tracks the scan
+      "matryoshka_recall")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
