@@ -24,7 +24,10 @@ object CampaignBench {
     "minhash_lsh_candidates", "minhash_jaccard_estimate", "lsh_band_recall",
     "near_dup_cluster", "dedup_resolve", "dedup_rate_report",
     // r17: the candidate-graph centrality rides the same stage table
-    "dup_graph_pagerank")
+    "dup_graph_pagerank",
+    // r18: the verify-threshold sweep rides it too (signatures +
+    // candidate pairs both come from the staged relation)
+    "dedup_threshold_sweep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
