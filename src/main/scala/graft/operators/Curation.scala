@@ -982,7 +982,94 @@ object Curation {
        |  FROM d)
        |WHERE rank <= $WorK ORDER BY source, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // 14. filter_ablation_matrix — per-gate unique/joint drop report
+  // ---------------------------------------------------------------------
+
+  /** The four row-local gates of the ablation, as (name, bit) — bit
+    * arithmetic is spelled `(mask div bit) % 2` so both engines use
+    * plain integer ops (no `&` precedence surprises). */
+  private val AblationGates = Seq(
+    ("too_short", 8L), ("low_ttr", 4L), ("stopword_heavy", 2L), ("word_len", 1L))
+
+  /** The filter-ablation report every curation paper publishes (the
+    * Dolma/RefinedWeb-style table): for each quality gate, how many
+    * docs it flags, how many it flags UNIQUELY (no other gate fires —
+    * the gate's marginal value), and the kept remainder — the numbers
+    * that decide whether a gate earns its place in the pipeline.
+    * Gates are the registry's own row-local signals (the
+    * `text_quality_score` thresholds plus a mean-word-length band),
+    * respelled as exact integer cross-multiplications so the verdicts
+    * are bit-identical cross-engine (no float ratios at the decision
+    * boundary).
+    *
+    * Scale shape: ONE corpus pass computes a 4-bit mask per row and
+    * collapses to the ≤ 16-cell mask histogram (map-side combinable);
+    * everything below — the per-gate rollup via a 4-gate explode over
+    * the cells — runs on ≤ 64 rows. No joins, no windows; the corpus
+    * is scanned exactly once. */
+  val filterAblationMatrix: Q = (spark, dir) => {
+    val cells = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_types",
+        size(array_distinct(split(col("text"), " "))).cast("long"))
+      .withColumn("n_stop",
+        expr("CAST(size(filter(split(text, ' '), w -> w = 'a' OR w = 'the')) AS BIGINT)"))
+      .withColumn("chars_in_words", col("n_chars") - col("n_tokens") + 1)
+      .withColumn("mask",
+        expr("""IF(n_tokens < 20, 8, 0)
+               | + IF(n_types * 100 < n_tokens * 15, 4, 0)
+               | + IF(n_stop * 5 > n_tokens, 2, 0)
+               | + IF(chars_in_words < 3 * n_tokens OR chars_in_words > 8 * n_tokens, 1, 0)
+               |""".stripMargin.replace("\n", "")).cast("long"))
+      .groupBy("mask").agg(count(lit(1)).as("n"))
+    val gates = AblationGates.map { case (name, bit) =>
+      struct(lit(name).as("gate"), lit(bit).as("bit")) }
+    cells.select(explode(array(gates: _*)).as("g"), col("mask"), col("n"))
+      .groupBy(col("g.gate").as("gate"))
+      .agg(sum(col("n")).as("n_total"),
+        sum(when(expr("(mask div g.bit) % 2 = 1"), col("n")).otherwise(0L))
+          .as("n_flagged"),
+        sum(when(col("mask") === col("g.bit"), col("n")).otherwise(0L))
+          .as("n_unique"),
+        sum(when(col("mask") === 0, col("n")).otherwise(0L)).as("n_kept"))
+      .withColumn("flagged_permille", expr("(n_flagged * 1000) div n_total"))
+      .withColumn("unique_permille", expr("(n_unique * 1000) div n_total"))
+      .orderBy("gate")
+  }
+  val filterAblationMatrixSql: String = {
+    val gateRows = AblationGates
+      .map { case (n, b) => s"('$n', CAST($b AS BIGINT))" }.mkString(", ")
+    s"""WITH m AS (
+       |  SELECT CAST(IF(n_tokens < 20, 8, 0)
+       |         + IF(n_types * 100 < n_tokens * 15, 4, 0)
+       |         + IF(n_stop * 5 > n_tokens, 2, 0)
+       |         + IF(chars_in_words < 3 * n_tokens
+       |              OR chars_in_words > 8 * n_tokens, 1, 0) AS BIGINT) AS mask
+       |  FROM (
+       |    SELECT CAST(len(ws) AS BIGINT) AS n_tokens,
+       |           CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+       |           CAST(len(list_filter(ws, w -> w = 'a' OR w = 'the')) AS BIGINT)
+       |             AS n_stop,
+       |           n_chars - CAST(len(ws) AS BIGINT) + 1 AS chars_in_words
+       |    FROM (SELECT string_split(text, ' ') AS ws, n_chars FROM documents))),
+       |cells AS (SELECT mask, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1)
+       |SELECT g.gate, CAST(sum(n) AS BIGINT) AS n_total,
+       |       CAST(sum(CASE WHEN (mask // g.bit) % 2 = 1 THEN n ELSE 0 END) AS BIGINT)
+       |         AS n_flagged,
+       |       CAST(sum(CASE WHEN mask = g.bit THEN n ELSE 0 END) AS BIGINT)
+       |         AS n_unique,
+       |       CAST(sum(CASE WHEN mask = 0 THEN n ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST((sum(CASE WHEN (mask // g.bit) % 2 = 1 THEN n ELSE 0 END) * 1000)
+       |            // sum(n) AS BIGINT) AS flagged_permille,
+       |       CAST((sum(CASE WHEN mask = g.bit THEN n ELSE 0 END) * 1000)
+       |            // sum(n) AS BIGINT) AS unique_permille
+       |FROM cells, (VALUES $gateRows) g(gate, bit)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "filter_ablation_matrix" -> filterAblationMatrix,
     "weighted_sample_wor" -> weightedSampleWor,
     "source_overlap_matrix" -> sourceOverlapMatrix,
     "char_diversity_gate" -> charDiversityGate,
@@ -998,6 +1085,7 @@ object Curation {
     "source_unigram_drift" -> sourceUnigramDrift,
   )
   val oracles: Map[String, String] = Map(
+    "filter_ablation_matrix" -> filterAblationMatrixSql,
     "weighted_sample_wor" -> weightedSampleWorSql,
     "source_overlap_matrix" -> sourceOverlapMatrixSql,
     "char_diversity_gate" -> charDiversityGateSql,
