@@ -140,11 +140,71 @@ object Chunking {
        |ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // X93 prefix_cache_report — shared-prefix (template) mining
+  // ---------------------------------------------------------------------
+
+  /** Prefix width in tokens. */
+  private val PrefixK = 8
+
+  /** Shared-prefix group report — two readings of one relation: for a
+    * SERVING fleet, docs sharing their first [[PrefixK]] tokens are
+    * prefix-cache hits (every member after a group's first re-uses the
+    * cached KV block — `cacheable_tokens` prices the saving); for a
+    * TRAINING pipeline, large prefix groups are template boilerplate
+    * (shared system prompts, scraper chrome) that length- and
+    * doc-level dedup both miss. The sf* corpus's organic groups come
+    * from its planted exact duplicates (trivially shared prefixes);
+    * the injection — every 10th doc re-entering re-keyed with an
+    * appended tail — adds the case dedup CANNOT collapse (same prefix,
+    * genuinely different document), exactly how a template corpus
+    * presents. The spec recounts the whole histogram brute-force.
+    *
+    * Scale shape: ONE corpus pass hashes each doc's own prefix
+    * (row-local slice + h60 — 8-byte keys through the shuffle), one
+    * map-combinable count per prefix group, then a second aggregate
+    * over the GROUP-SIZE histogram (≤ distinct-size rows, tiny). No
+    * joins; nothing is ever pairwise. */
+  val prefixCacheReport: Q = (spark, dir) => {
+    val base = Tables.documents(spark, dir).select("doc_id", "text")
+    val reemit = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + Dedup.ReKeyA).as("doc_id"),
+        concat(col("text"), lit(" rerun variant tail")).as("text"))
+    base.unionByName(reemit)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("pfx", expr(
+        s"${Dedup.h60Sql(s"array_join(slice(ws, 1, $PrefixK), ' ')")}"))
+      .groupBy("pfx").agg(count(lit(1)).as("n"))
+      .groupBy(col("n").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .withColumn("n_docs", expr("group_size * n_groups"))
+      .withColumn("cacheable_tokens",
+        expr(s"(group_size - 1) * n_groups * $PrefixK"))
+      .orderBy("group_size")
+  }
+  val prefixCacheReportSql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${Dedup.ReKeyA}, text || ' rerun variant tail'
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |grp AS (
+       |  SELECT ${h60Duck(s"array_to_string(string_split(text, ' ')[1:$PrefixK], ' ')")}
+       |           AS pfx,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM u GROUP BY 1)
+       |SELECT n AS group_size, CAST(count(*) AS BIGINT) AS n_groups,
+       |       CAST(n * count(*) AS BIGINT) AS n_docs,
+       |       CAST((n - 1) * count(*) * $PrefixK AS BIGINT) AS cacheable_tokens
+       |FROM grp GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "prefix_cache_report" -> prefixCacheReport,
     "fixed_chunks" -> fixedChunks,
     "cdc_chunks" -> cdcChunks,
   )
   val oracles: Map[String, String] = Map(
+    "prefix_cache_report" -> prefixCacheReportSql,
     "fixed_chunks" -> fixedChunksSql,
     "cdc_chunks" -> cdcChunksSql,
   )
