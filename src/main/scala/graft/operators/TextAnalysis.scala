@@ -752,7 +752,90 @@ object TextAnalysis {
        |         OVER (ORDER BY permille), 1000) AS growth_permille
        |FROM curve ORDER BY permille""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // 15. source_ngram_specificity — domain-signature bigram mining
+  // ---------------------------------------------------------------------
+
+  /** Signatures kept per source / minimum in-source count. */
+  private val SpecTopK = 5
+  private val SpecMinCnt = 2L
+
+  /** Per-source DISTINCTIVE bigrams — domain fingerprints: each
+    * source's top bigrams ordered by (sdf ASC, cnt DESC) — rare across
+    * sources first, frequent in-source second — the artifact a
+    * curation stack reads to characterize an unknown domain or build
+    * source classifiers. (A product score cnt·idf was rejected at
+    * design time: a corpus-wide stopgram's raw count drowns the idf
+    * term; the lexicographic order makes cross-source rarity
+    * non-negotiable.) The sf* sources share one synthetic
+    * vocabulary (organic sdf ≈ S — no distinctive grams exist, the
+    * corpus-limits note on [[langIdNgram]] applies), so each source is
+    * audited WITH one injected marker doc (`marker <source>_sig`
+    * repeated — the established stand-in practice, stated honestly):
+    * the machinery must rank each source's own marker bigram first
+    * with sdf = 1, which the spec pins.
+    *
+    * Scale shape: ONE corpus pass collapses to the (source, gram)
+    * count relation (map-combinable; grams ship as strings only
+    * because they ARE the output); the cross-source df is a second
+    * vocab-shaped aggregate joined back at vocab size (AQE-owned);
+    * the [[SpecMinCnt]] pre-filter runs BEFORE the ranking window, and
+    * the window partitions by source over the per-source gram
+    * AGGREGATE — sub-linear in the corpus by Heaps, never
+    * corpus-sized (the tfidf_topk argument one level up). */
+  val sourceNgramSpecificity: Q = (spark, dir) => {
+    val base = Tables.documents(spark, dir).select("source", "text")
+    val markers = base.select("source").distinct()
+      .withColumn("text", expr(
+        "concat_ws(' ', transform(sequence(1, 3), i -> concat('marker ', source, '_sig')))"))
+    val grams = base.unionByName(markers)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(ws[i - 1], ' ', ws[i]))"))
+        .as("gram"))
+    val cnt = grams.groupBy("source", "gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= SpecMinCnt)
+    val sdf = cnt.groupBy("gram").agg(count(lit(1)).as("sdf"))
+    // specificity ORDER, not a score: rarest-across-sources first
+    // (sdf asc), in-source frequency second — a product score would
+    // let a corpus-wide stopgram's raw count drown the idf term, the
+    // exact failure the synthetic shared vocabulary would hit
+    cnt.join(sdf, "gram")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("sdf"), col("cnt").desc, col("gram"))))
+      .filter(col("rank") <= SpecTopK)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("gram"), col("cnt"), col("sdf"))
+      .orderBy("source", "rank")
+  }
+  val sourceNgramSpecificitySql: String =
+    s"""WITH u AS (
+       |  SELECT source, text FROM documents
+       |  UNION ALL
+       |  SELECT source,
+       |         array_to_string(list_transform(range(1, 4),
+       |           i -> 'marker ' || source || '_sig'), ' ') AS text
+       |  FROM (SELECT DISTINCT source FROM documents)),
+       |grams AS (
+       |  SELECT source, unnest(list_transform(range(1, len(ws)),
+       |           i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)])) AS gram
+       |  FROM (SELECT source, string_split(text, ' ') AS ws FROM u)
+       |  WHERE len(ws) >= 2),
+       |cnt AS (
+       |  SELECT source, gram, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM grams GROUP BY 1, 2 HAVING count(*) >= $SpecMinCnt),
+       |sdf AS (SELECT gram, CAST(count(*) AS BIGINT) AS sdf FROM cnt GROUP BY 1)
+       |SELECT source, rank, gram, cnt, sdf FROM (
+       |  SELECT c.source, c.gram, c.cnt, d.sdf,
+       |         CAST(row_number() OVER (PARTITION BY c.source
+       |           ORDER BY d.sdf, c.cnt DESC, c.gram) AS BIGINT) AS rank
+       |  FROM cnt c JOIN sdf d USING (gram))
+       |WHERE rank <= $SpecTopK ORDER BY source, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "source_ngram_specificity" -> sourceNgramSpecificity,
     "vocab_growth_curve" -> vocabGrowthCurve,
     "top_terms_per_lang" -> topTermsPerLang,
     "top_terms_agg" -> topTermsAgg,
@@ -769,6 +852,7 @@ object TextAnalysis {
     "collocation_lift" -> collocationLift,
   )
   val oracles: Map[String, String] = Map(
+    "source_ngram_specificity" -> sourceNgramSpecificitySql,
     "vocab_growth_curve" -> vocabGrowthCurveSql,
     "top_terms_per_lang" -> topTermsPerLangSql,
     "top_terms_agg" -> topTermsAggSql,
