@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.operators.Dedup.{h60, h60Duck}
+import graft.operators.Dedup.{h60, h60Duck, h60Sql}
 
 /** Training-data curation operators over `documents`: benchmark
   * contamination detection and deterministic stratified sampling — the
@@ -1008,9 +1008,12 @@ object Curation {
     * everything below — the per-gate rollup via a 4-gate explode over
     * the cells — runs on ≤ 64 rows. No joins, no windows; the corpus
     * is scanned exactly once. */
-  val filterAblationMatrix: Q = (spark, dir) => {
-    val cells = Tables.documents(spark, dir)
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+  /** Row-local gate-mask projection shared by the ablation matrix and
+    * the calibration audit (X95): the 4-bit mask and its input
+    * signals, appended to whatever `documents`-shaped relation comes
+    * in — pure projection, no shuffle. */
+  private def withAblationMask(df: DataFrame): DataFrame =
+    df.withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .withColumn("n_types",
         size(array_distinct(split(col("text"), " "))).cast("long"))
       .withColumn("n_stop",
@@ -1022,6 +1025,9 @@ object Curation {
                | + IF(n_stop * 5 > n_tokens, 2, 0)
                | + IF(chars_in_words < 3 * n_tokens OR chars_in_words > 8 * n_tokens, 1, 0)
                |""".stripMargin.replace("\n", "")).cast("long"))
+
+  val filterAblationMatrix: Q = (spark, dir) => {
+    val cells = withAblationMask(Tables.documents(spark, dir))
       .groupBy("mask").agg(count(lit(1)).as("n"))
     val gates = AblationGates.map { case (name, bit) =>
       struct(lit(name).as("gate"), lit(bit).as("bit")) }
@@ -1068,7 +1074,100 @@ object Curation {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // 15. quality_calibration_bins — learned score vs rule gates
+  // ---------------------------------------------------------------------
+
+  /** Per-token-score bin width (the learned score normalized by doc
+    * length lives in [−504, 504], the weight range of the X35 model)
+    * and bin count: 10 bins of width 101 cover the range exactly. */
+  private val CalBinWidth = 101L
+  private val CalMaxBin = 9L
+  private val CalShift = 504L
+
+  /** The CALIBRATION table a team builds before swapping rule gates
+    * for a learned quality filter (the C4-rules → fastText-classifier
+    * transition every curation stack makes): bin documents by the
+    * learned model's per-token score ([[Featurize.linearQualityScore]]'s
+    * integer linear model, normalized by length so long docs don't
+    * dominate the bins) and report, per bin, how many docs the RULE
+    * gates ([[filterAblationMatrix]]'s 4-bit mask) call clean. A
+    * monotone clean_permille curve says the classifier reproduces the
+    * rules' ordering; a flat one says it learned something orthogonal —
+    * the number that decides whether the swap is safe.
+    *
+    * Determinism: the per-token score is the shift trick
+    * `(score + n·504) div n − 504` (numerator non-negative, so floor
+    * and trunc division agree cross-engine — the X91 convention), and
+    * the bin is a further non-negative `div`.
+    *
+    * Scale shape: ONE corpus pass — the mask is row-local, the token
+    * explode feeds a map-side-combinable (doc) sum (the mask rides the
+    * aggregate as `max`; X35's own shape), the bin is a row-local
+    * projection on the aggregate, and the final bin histogram is a
+    * second map-combinable agg over ≤ 10 keys. Nothing doc-keyed
+    * survives the second aggregate; no joins. */
+  val qualityCalibrationBins: Q = (spark, dir) => {
+    val w = (0 until Featurize.Dim).map(Featurize.weight)
+      .mkString("array(", "L, ", "L)")
+    withAblationMask(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("mask"),
+        explode(split(col("text"), " ")).as("w"))
+      .withColumn("wt", expr(
+        s"element_at($w, CAST(pmod(${h60Sql("w")}, ${Featurize.Dim}) + 1 AS INT))"))
+      .groupBy("doc_id")
+      .agg(max(col("mask")).as("mask"), sum(col("wt")).as("score"),
+        count(lit(1)).as("n_tokens"))
+      .withColumn("bin", least(
+        expr(s"((score + n_tokens * $CalShift) div n_tokens) div $CalBinWidth"),
+        lit(CalMaxBin)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("mask") === 0, 1L).otherwise(0L)).as("n_rule_clean"))
+      .select(col("bin"), (col("bin") * CalBinWidth - CalShift).as("bin_lo"),
+        col("n_docs"), col("n_rule_clean"),
+        expr("(n_rule_clean * 1000) div n_docs").as("clean_permille"))
+      .orderBy("bin")
+  }
+  val qualityCalibrationBinsSql: String = {
+    val h = h60Duck("w")
+    val wl = (0 until Featurize.Dim).map(Featurize.weight).mkString("[", ", ", "]")
+    val dim = Featurize.Dim
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws, n_chars FROM documents),
+       |m AS (
+       |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_tokens,
+       |         CAST(IF(CAST(len(ws) AS BIGINT) < 20, 8, 0)
+       |           + IF(CAST(len(list_distinct(ws)) AS BIGINT) * 100
+       |                < CAST(len(ws) AS BIGINT) * 15, 4, 0)
+       |           + IF(CAST(len(list_filter(ws, w -> w = 'a' OR w = 'the'))
+       |                     AS BIGINT) * 5 > CAST(len(ws) AS BIGINT), 2, 0)
+       |           + IF(n_chars - CAST(len(ws) AS BIGINT) + 1
+       |                  < 3 * CAST(len(ws) AS BIGINT)
+       |                OR n_chars - CAST(len(ws) AS BIGINT) + 1
+       |                  > 8 * CAST(len(ws) AS BIGINT), 1, 0) AS BIGINT) AS mask
+       |  FROM d),
+       |s AS (
+       |  SELECT doc_id, mask, n_tokens,
+       |         CAST(list_sum(list_transform(ws,
+       |           w -> ($wl)[($h % $dim + $dim) % $dim + 1])) AS BIGINT) AS score
+       |  FROM m),
+       |b AS (
+       |  SELECT least(((score + n_tokens * $CalShift) // n_tokens)
+       |                 // $CalBinWidth, $CalMaxBin) AS bin, mask
+       |  FROM s)
+       |SELECT CAST(bin AS BIGINT) AS bin,
+       |       CAST(bin * $CalBinWidth - $CalShift AS BIGINT) AS bin_lo,
+       |       count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN mask = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_rule_clean,
+       |       CAST((sum(CASE WHEN mask = 0 THEN 1 ELSE 0 END) * 1000) // count(*)
+       |            AS BIGINT) AS clean_permille
+       |FROM b GROUP BY bin ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "quality_calibration_bins" -> qualityCalibrationBins,
     "filter_ablation_matrix" -> filterAblationMatrix,
     "weighted_sample_wor" -> weightedSampleWor,
     "source_overlap_matrix" -> sourceOverlapMatrix,
@@ -1085,6 +1184,7 @@ object Curation {
     "source_unigram_drift" -> sourceUnigramDrift,
   )
   val oracles: Map[String, String] = Map(
+    "quality_calibration_bins" -> qualityCalibrationBinsSql,
     "filter_ablation_matrix" -> filterAblationMatrixSql,
     "weighted_sample_wor" -> weightedSampleWorSql,
     "source_overlap_matrix" -> sourceOverlapMatrixSql,

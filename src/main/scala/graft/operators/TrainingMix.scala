@@ -633,7 +633,12 @@ object TrainingMix {
     * shared-partitioning design); lanes bound the window partitions,
     * and the report is batch-cardinality (corpus div 16), never
     * wider than the input. */
-  val lengthBucketBatches: Q = (spark, dir) =>
+  /** The (bucket, shard, batch) cell relation both batching reports
+    * read: per batch, its doc count, sequence length (the batch max)
+    * and exact token sum. One (bucket, shard) exchange carries the
+    * lane window AND the cell aggregate (batch is a function of the
+    * window's own partition keys). */
+  private def batchCells(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .withColumn("bucket", least(expr(s"n_tokens div $BucketTokens"), lit(MaxBucket)))
@@ -642,6 +647,9 @@ object TrainingMix {
       .groupBy("bucket", "shard", "batch")
       .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("seq_len"),
         sum(col("n_tokens")).as("tok_sum"))
+
+  val lengthBucketBatches: Q = (spark, dir) =>
+    batchCells(spark, dir)
       .select(col("bucket"), col("shard"), col("batch"), col("n_docs"), col("seq_len"),
         (col("n_docs") * col("seq_len") - col("tok_sum")).as("pad_tokens"))
       .orderBy("bucket", "shard", "batch")
@@ -663,6 +671,95 @@ object TrainingMix {
        |       CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS pad_tokens
        |FROM b GROUP BY bucket, shard, batch
        |ORDER BY bucket, shard, batch""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X96 pack_efficiency_report — the padding bill of three batching policies
+  // ---------------------------------------------------------------------
+
+  /** The POLICY DECISION TABLE behind X15/X66: the exact padding bill
+    * of the three ways a trainer turns documents into fixed-shape
+    * batches, computed side by side on the same corpus —
+    *
+    *   - `pad_to_max`: naive batching, every doc padded to the corpus
+    *     max length (the cost of NOT length-bucketing — each batch
+    *     pays the global worst case);
+    *   - `bucket_batch`: [[lengthBucketBatches]]' geometry — each
+    *     batch pads only to its own max (Σ over batches of
+    *     n_docs·max − Σtok);
+    *   - `concat_pack`: [[sequencePack]]'s concat-then-chunk contract —
+    *     only the final partial sequence pads
+    *     (⌈Σtok/SeqLen⌉·SeqLen − Σtok).
+    *
+    * pad_tokens IS the wasted compute of the policy (padding flows
+    * through every FLOP of the forward pass); util_permille is the
+    * budget share doing real work. The report a pipeline runs once
+    * before committing a batching policy — and the reason production
+    * stacks pack: the concat row's waste is bounded by ONE sequence
+    * regardless of corpus size.
+    *
+    * Scale shape: every number derives from the [[batchCells]] cell
+    * relation — the global doc count, token mass, and max length fold
+    * OVER the cells (the corpus max is some batch's max), so the
+    * corpus is scanned exactly once, through X66's single (bucket,
+    * shard) exchange, then one O(cells) map-combinable rollup to a
+    * 1-row aggregate; the 3 policy rows explode from that single row.
+    * Nothing here is a second corpus pass. */
+  val packEfficiencyReport: Q = (spark, dir) =>
+    batchCells(spark, dir)
+      .agg(sum(col("n_docs")).as("n"), sum(col("tok_sum")).as("tok"),
+        max(col("seq_len")).as("gmax"),
+        sum(col("n_docs") * col("seq_len") - col("tok_sum")).as("bucket_pad"))
+      .select(explode(array(
+        struct(lit("bucket_batch").as("policy"), col("n").as("n_seqs"),
+          col("bucket_pad").as("pad_tokens")),
+        struct(lit("concat_pack").as("policy"),
+          expr(s"(tok + ${SeqLen - 1}) div $SeqLen").as("n_seqs"),
+          expr(s"((tok + ${SeqLen - 1}) div $SeqLen) * $SeqLen - tok").as("pad_tokens")),
+        struct(lit("pad_to_max").as("policy"), col("n").as("n_seqs"),
+          expr("n * gmax - tok").as("pad_tokens")))).as("p"),
+        col("tok").as("total_tokens"))
+      .select(col("p.policy").as("policy"), col("p.n_seqs").as("n_seqs"),
+        col("total_tokens"), col("p.pad_tokens").as("pad_tokens"),
+        expr("(total_tokens * 1000) div (total_tokens + p.pad_tokens)")
+          .as("util_permille"))
+      .orderBy("policy")
+  val packEfficiencyReportSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         least(CAST(len(string_split(text, ' ')) AS BIGINT) // $BucketTokens,
+       |               $MaxBucket) AS bucket,
+       |         ${h60Duck("'bshard:' || CAST(doc_id AS VARCHAR)")} % $BatchShards AS shard
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, n_tokens, bucket, shard,
+       |         (row_number() OVER (PARTITION BY bucket, shard ORDER BY doc_id) - 1)
+       |           // $BatchDocs AS batch
+       |  FROM d),
+       |cells AS (
+       |  SELECT bucket, shard, batch, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(max(n_tokens) AS BIGINT) AS seq_len,
+       |         CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+       |  FROM b GROUP BY 1, 2, 3),
+       |t AS (
+       |  SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+       |         CAST(sum(tok_sum) AS BIGINT) AS tok,
+       |         CAST(max(seq_len) AS BIGINT) AS gmax,
+       |         CAST(sum(n_docs * seq_len - tok_sum) AS BIGINT) AS bucket_pad
+       |  FROM cells),
+       |p AS (
+       |  SELECT 'bucket_batch' AS policy, n AS n_seqs, tok AS total_tokens,
+       |         bucket_pad AS pad_tokens FROM t
+       |  UNION ALL
+       |  SELECT 'concat_pack', (tok + ${SeqLen - 1}) // $SeqLen, tok,
+       |         ((tok + ${SeqLen - 1}) // $SeqLen) * $SeqLen - tok FROM t
+       |  UNION ALL
+       |  SELECT 'pad_to_max', n, tok, n * gmax - tok FROM t)
+       |SELECT policy, CAST(n_seqs AS BIGINT) AS n_seqs, total_tokens,
+       |       CAST(pad_tokens AS BIGINT) AS pad_tokens,
+       |       CAST((total_tokens * 1000) // (total_tokens + pad_tokens) AS BIGINT)
+       |         AS util_permille
+       |FROM p ORDER BY policy""".stripMargin
 
   // ---------------------------------------------------------------------
   // X68 mix_pipeline — the composed mix-side campaign with funnel audit
@@ -1052,6 +1149,7 @@ object TrainingMix {
     "dsir_select" -> dsirSelect,
     "doremi_weights" -> doremiWeights,
     "length_bucket_batches" -> lengthBucketBatches,
+    "pack_efficiency_report" -> packEfficiencyReport,
     "mix_pipeline" -> mixPipeline,
   )
   val oracles: Map[String, String] = Map(
@@ -1059,6 +1157,7 @@ object TrainingMix {
     "dsir_select" -> dsirSelectSql,
     "doremi_weights" -> doremiWeightsSql,
     "length_bucket_batches" -> lengthBucketBatchesSql,
+    "pack_efficiency_report" -> packEfficiencyReportSql,
     "mix_pipeline" -> mixPipelineSql,
     "temperature_resample" -> temperatureResampleSql,
     "sequence_pack" -> sequencePackSql,

@@ -184,7 +184,28 @@ class ScalingSpec extends AnyFunSuite {
       // r18: the truncation audit — corpus × bounded-query broadcast,
       // three heaps combine map-side to ≤ 3·k rows per query;
       // shuffle query-bounded (~flat), wall tracks the scan
-      "matryoshka_recall")
+      "matryoshka_recall",
+      // r18: the ablation matrix — ONE corpus pass to a ≤16-cell mask
+      // histogram (map-combined), per-gate rollup on ≤64 rows;
+      // shuffle ~flat (cells, not docs)
+      "filter_ablation_matrix",
+      // r18: prefix-group mining — row-local 8-token prefix hash into
+      // one map-combined group count; shuffle tracks distinct
+      // prefixes (sub-corpus), histogram is group-size-bounded
+      "prefix_cache_report",
+      // r18: per-source distinctive bigrams — map-combined
+      // (source, gram) counts + vocab-shaped df join; the MinCnt
+      // pre-filter bounds the ranking window's partitions, so
+      // shuffle tracks the vocabulary (sub-linear by Heaps)
+      "source_ngram_specificity",
+      // r18: the calibration table — token explode into a map-
+      // combined per-doc sum (one doc-keyed exchange, ~linear),
+      // then a ≤10-key histogram; expected ~linear like X35's
+      "quality_calibration_bins",
+      // r18: the padding bill — X66's single (bucket, shard)
+      // exchange + an O(cells) map-combined rollup to 1 row;
+      // expected ~linear with length_bucket_batches' shuffle
+      "pack_efficiency_report")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
