@@ -633,17 +633,23 @@ object TrainingMix {
     * shared-partitioning design); lanes bound the window partitions,
     * and the report is batch-cardinality (corpus div 16), never
     * wider than the input. */
-  /** The (bucket, shard, batch) cell relation both batching reports
-    * read: per batch, its doc count, sequence length (the batch max)
-    * and exact token sum. One (bucket, shard) exchange carries the
-    * lane window AND the cell aggregate (batch is a function of the
-    * window's own partition keys). */
-  private def batchCells(spark: SparkSession, dir: String): DataFrame =
+  /** The per-doc lane assignment every batching report starts from:
+    * documents with their token count, length bucket, lane shard, and
+    * batch ordinal. One (bucket, shard) exchange carries the lane
+    * window; everything downstream aggregates on the window's own
+    * partition keys — no second shuffle. */
+  private def batchLanes(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .withColumn("bucket", least(expr(s"n_tokens div $BucketTokens"), lit(MaxBucket)))
       .withColumn("shard", pmod(h60(concat(lit("bshard:"), col("doc_id"))), lit(BatchShards)).cast("long"))
       .withColumn("batch", expr(s"(row_number() OVER (PARTITION BY bucket, shard ORDER BY doc_id) - 1) div $BatchDocs"))
+
+  /** The (bucket, shard, batch) cell relation both batching reports
+    * read: per batch, its doc count, sequence length (the batch max)
+    * and exact token sum. */
+  private def batchCells(spark: SparkSession, dir: String): DataFrame =
+    batchLanes(spark, dir)
       .groupBy("bucket", "shard", "batch")
       .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("seq_len"),
         sum(col("n_tokens")).as("tok_sum"))
@@ -760,6 +766,65 @@ object TrainingMix {
        |       CAST((total_tokens * 1000) // (total_tokens + pad_tokens) AS BIGINT)
        |         AS util_permille
        |FROM p ORDER BY policy""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X97 batch_mixing_report — batch composition / data-ordering audit
+  // ---------------------------------------------------------------------
+
+  /** The DATA-ORDERING audit on [[lengthBucketBatches]]' geometry: per
+    * batch, how many distinct sources its ≤ 16 docs come from, rolled
+    * into the diversity histogram (n_sources → batch count + corpus
+    * share). Batches form in doc_id order, and doc ids correlate with
+    * crawl/source order in every real corpus — so a mass of 1-source
+    * batches is the source-clumped ordering that correlates gradients
+    * within a step and quietly hurts SGD; a healthy shuffle reads as
+    * mass in the high-diversity rows. This is the check a trainer runs
+    * BEFORE paying for a full epoch-order reshuffle ([[epochUpsample]]'s
+    * hash coins fix the problem; this measures whether it exists).
+    *
+    * Scale shape: rides [[batchLanes]]' single (bucket, shard)
+    * exchange; the per-batch distinct-source set is BOUNDED by the
+    * batch size (≤ 16 elements, map-combinable collect_set), the
+    * histogram aggregate runs on batch-cardinality rows with ≤ 16
+    * keys, and the permille share is a window over the ≤ 16-row
+    * report itself (the X87 bounded-window convention). */
+  val batchMixingReport: Q = (spark, dir) =>
+    batchLanes(spark, dir)
+      .groupBy("bucket", "shard", "batch")
+      .agg(count(lit(1)).as("n_docs"),
+        size(collect_set(col("source"))).cast("long").as("n_sources"))
+      .groupBy("n_sources")
+      .agg(count(lit(1)).as("n_batches"),
+        sum(when(col("n_docs") === BatchDocs, 1L).otherwise(0L)).as("n_full"))
+      .withColumn("batch_permille",
+        expr("(n_batches * 1000) div (sum(n_batches) OVER ())"))
+      .select("n_sources", "n_batches", "n_full", "batch_permille")
+      .orderBy("n_sources")
+  val batchMixingReportSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         least(CAST(len(string_split(text, ' ')) AS BIGINT) // $BucketTokens,
+       |               $MaxBucket) AS bucket,
+       |         ${h60Duck("'bshard:' || CAST(doc_id AS VARCHAR)")} % $BatchShards AS shard
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, source, bucket, shard,
+       |         (row_number() OVER (PARTITION BY bucket, shard ORDER BY doc_id) - 1)
+       |           // $BatchDocs AS batch
+       |  FROM d),
+       |c AS (
+       |  SELECT bucket, shard, batch, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+       |  FROM b GROUP BY 1, 2, 3),
+       |r AS (
+       |  SELECT n_sources, CAST(count(*) AS BIGINT) AS n_batches,
+       |         CAST(sum(CASE WHEN n_docs = $BatchDocs THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_full
+       |  FROM c GROUP BY n_sources)
+       |SELECT n_sources, n_batches, n_full,
+       |       CAST((n_batches * 1000) // (sum(n_batches) OVER ()) AS BIGINT)
+       |         AS batch_permille
+       |FROM r ORDER BY n_sources""".stripMargin
 
   // ---------------------------------------------------------------------
   // X68 mix_pipeline — the composed mix-side campaign with funnel audit
@@ -1150,6 +1215,7 @@ object TrainingMix {
     "doremi_weights" -> doremiWeights,
     "length_bucket_batches" -> lengthBucketBatches,
     "pack_efficiency_report" -> packEfficiencyReport,
+    "batch_mixing_report" -> batchMixingReport,
     "mix_pipeline" -> mixPipeline,
   )
   val oracles: Map[String, String] = Map(
@@ -1158,6 +1224,7 @@ object TrainingMix {
     "doremi_weights" -> doremiWeightsSql,
     "length_bucket_batches" -> lengthBucketBatchesSql,
     "pack_efficiency_report" -> packEfficiencyReportSql,
+    "batch_mixing_report" -> batchMixingReportSql,
     "mix_pipeline" -> mixPipelineSql,
     "temperature_resample" -> temperatureResampleSql,
     "sequence_pack" -> sequencePackSql,

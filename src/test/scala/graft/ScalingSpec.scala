@@ -205,7 +205,11 @@ class ScalingSpec extends AnyFunSuite {
       // r18: the padding bill — X66's single (bucket, shard)
       // exchange + an O(cells) map-combined rollup to 1 row;
       // expected ~linear with length_bucket_batches' shuffle
-      "pack_efficiency_report")
+      "pack_efficiency_report",
+      // r18: batch diversity — same single exchange; per-batch
+      // distinct-source sets are ≤ BatchDocs elements, histogram
+      // has ≤ 16 keys; expected ~linear like X66's
+      "batch_mixing_report")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
