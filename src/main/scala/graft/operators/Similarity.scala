@@ -887,7 +887,64 @@ object Similarity {
        |  FROM $EmbD)
        |GROUP BY i ORDER BY dim""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X98 embedding_moments — per-dimension mean/variance audit
+  // ---------------------------------------------------------------------
+
+  /** The CENTERING/WHITENING decision table that completes
+    * [[embeddingAudit]]'s health report with first and second moments:
+    * per dimension, the exact integer mean (micro-units) and variance
+    * (micro²-units) of the quantized values floor(v·10⁶). A mean far
+    * from zero says the store needs centering before cosine ANN (an
+    * uncentered common direction inflates every pairwise cosine — the
+    * anisotropy problem); near-zero variance says the dimension wastes
+    * index bits and PQ codebook capacity (the X72/X43 planners assume
+    * informative dims). Quantize-then-aggregate keeps every statistic
+    * ORDER-FREE exact integers — the float-mean house rule X59 states.
+    *
+    * Determinism: mean = floor(s1/n) spelled as the explicit
+    * sign-split `IF(s1 >= 0, s1 div n, -((-s1 + n - 1) div n))` ON
+    * BOTH ENGINES — measured here: DuckDB's `//` TRUNCATED the
+    * negative hugeint mean where this file's :664 note expected a
+    * floor, so neither engine's native operator is trusted with a
+    * negative numerator; the variance numerator n·Σq² − (Σq)² is
+    * non-negative by Cauchy-Schwarz, so its division agrees unshifted.
+    *
+    * Scale shape: identical to [[embeddingAudit]] — posexplode into
+    * ONE map-side-combinable Dim-group aggregate; vectors never
+    * shuffle, output is Dim rows. Σq² rides a DECIMAL(38,0) so the
+    * second moment cannot overflow at any corpus size (q² ≤ 10¹²·v²;
+    * a long sum dies at ~10⁶ vectors, the decimal never does). */
+  val embeddingMoments: Q = (spark, dir) =>
+    Tables.embeddingsD(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"), expr("CAST(floor(v * 1000000) AS BIGINT)").as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0))")).as("s2"))
+      .select(col("dim").cast("long").as("dim"), col("n"),
+        expr("IF(s1 >= 0, s1 div n, -((-s1 + n - 1) div n))").as("mean_micro"),
+        expr("CAST((n * s2 - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)))" +
+          " div (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) AS BIGINT)")
+          .as("var_micro2"))
+      .orderBy("dim")
+  val embeddingMomentsSql: String =
+    s"""SELECT CAST(i - 1 AS BIGINT) AS dim, count(*) AS n,
+       |       CAST(CASE WHEN sum(q) >= 0 THEN sum(q) // count(*)
+       |            ELSE -((-sum(q) + count(*) - 1) // count(*)) END
+       |            AS BIGINT) AS mean_micro,
+       |       CAST((count(*) * sum(q * q) - sum(q) * sum(q))
+       |            // (count(*) * count(*)) AS BIGINT) AS var_micro2
+       |FROM (
+       |  SELECT CAST(floor(v * 1000000) AS BIGINT) AS q, i
+       |  FROM (
+       |    SELECT unnest(embedding) AS v,
+       |           generate_subscripts(embedding, 1) AS i
+       |    FROM $EmbD))
+       |GROUP BY i ORDER BY dim""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "embedding_moments" -> embeddingMoments,
     "cosine_topk_bruteforce" -> cosineTopkBruteforce,
     "embedding_cosine_near_dup" -> embeddingCosineNearDup,
     "ann_lsh_bucket_top1" -> annLshBucketTop1,
@@ -900,6 +957,7 @@ object Similarity {
     "embedding_audit" -> embeddingAudit,
   )
   val oracles: Map[String, String] = Map(
+    "embedding_moments" -> embeddingMomentsSql,
     "cosine_topk_bruteforce" -> cosineTopkBruteforceSql,
     "embedding_cosine_near_dup" -> embeddingCosineNearDupSql,
     "ann_lsh_bucket_top1" -> annLshBucketTop1Sql,
