@@ -540,6 +540,96 @@ object Indexing {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X99 vocab_pareto_curve — token coverage vs vocabulary budget
+  // ---------------------------------------------------------------------
+
+  /** Type-share lattice (permille of distinct types) the curve is
+    * sampled at. */
+  private val ParetoLattice = Seq(10L, 20L, 50L, 100L, 200L, 500L, 1000L)
+
+  /** The ZIPF BUDGET TABLE behind every tokenizer-vocab decision (the
+    * axis [[vocabCoverage]] doesn't measure): keeping the top p‰ of
+    * types by frequency, what share of all corpus TOKENS is covered?
+    * X87 answers "types vs corpus size" (Heaps); this answers "tokens
+    * vs vocab size" (Zipf) — the table that says the top 1% of types
+    * carries most of the token mass, i.e. how small a vocabulary can
+    * be before OOV explodes. Within a count-class the cut is partial
+    * (k − types_before docs of identical count), which makes the
+    * coverage EXACT and tie-order-independent — every tied type
+    * contributes the same count, so WHICH ties are kept cannot change
+    * the number.
+    *
+    * Scale shape: one token explode → map-combinable type-count agg
+    * (vocab-sized, the X31 relation); then everything lives on the
+    * DISTINCT-COUNT histogram — O(√tokens) rows by Zipf — whose
+    * cumulative window, total aggregate, and 7-row lattice are all
+    * tiny; the lattice→class range join is a broadcast BNLJ bounded
+    * at 7 × distinct-counts rows by construction (allowlisted in
+    * NestedLoopSweepSpec with this argument). Nothing corpus-sized
+    * survives the first aggregate. */
+  val vocabParetoCurve: Q = (spark, dir) => {
+    val h = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_types"))
+      .withColumn("class_tokens", col("n") * col("n_types"))
+    val w = Window.orderBy(col("n").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = h
+      .withColumn("types_before", coalesce(sum(col("n_types")).over(w), lit(0L)))
+      .withColumn("tokens_before", coalesce(sum(col("class_tokens")).over(w), lit(0L)))
+    val lat = h
+      .agg(sum(col("n_types")).as("t_types"), sum(col("class_tokens")).as("t_tokens"))
+      .select(explode(array(ParetoLattice.map(lit): _*)).as("permille_types"),
+        col("t_types"), col("t_tokens"))
+      .withColumn("vocab_size",
+        greatest(expr("(t_types * permille_types) div 1000"), lit(1L)))
+    lat.join(broadcast(cum),
+        col("types_before") < col("vocab_size") &&
+          col("vocab_size") <= col("types_before") + col("n_types"))
+      .select(col("permille_types"), col("vocab_size"),
+        (col("tokens_before") +
+          (col("vocab_size") - col("types_before")) * col("n")).as("covered_tokens"),
+        expr("""(tokens_before + (vocab_size - types_before) * n) * 1000
+               | div t_tokens""".stripMargin.replace("\n", ""))
+          .as("coverage_permille"))
+      .orderBy("permille_types")
+  }
+  val vocabParetoCurveSql: String =
+    s"""WITH c AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY 1),
+       |h AS (
+       |  SELECT n, CAST(count(*) AS BIGINT) AS n_types,
+       |         CAST(n * count(*) AS BIGINT) AS class_tokens
+       |  FROM c GROUP BY n),
+       |cum AS (
+       |  SELECT n, n_types, class_tokens,
+       |         CAST(coalesce(sum(n_types) OVER (ORDER BY n DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS BIGINT) AS types_before,
+       |         CAST(coalesce(sum(class_tokens) OVER (ORDER BY n DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS BIGINT) AS tokens_before
+       |  FROM h),
+       |t AS (SELECT CAST(sum(n_types) AS BIGINT) AS t_types,
+       |             CAST(sum(class_tokens) AS BIGINT) AS t_tokens FROM h),
+       |l AS (
+       |  SELECT CAST(p AS BIGINT) AS permille_types,
+       |         greatest((t_types * p) // 1000, 1) AS vocab_size, t_tokens
+       |  FROM (SELECT unnest([${ParetoLattice.mkString(", ")}]) AS p)
+       |  CROSS JOIN t)
+       |SELECT permille_types, CAST(vocab_size AS BIGINT) AS vocab_size,
+       |       CAST(tokens_before + (vocab_size - types_before) * n AS BIGINT)
+       |         AS covered_tokens,
+       |       CAST((tokens_before + (vocab_size - types_before) * n) * 1000
+       |            // t_tokens AS BIGINT) AS coverage_permille
+       |FROM l JOIN cum
+       |  ON types_before < vocab_size AND vocab_size <= types_before + n_types
+       |ORDER BY permille_types""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X89 salted_skew_join — explicit hot-key salting, result-identical
   // ---------------------------------------------------------------------
 
@@ -620,6 +710,7 @@ object Indexing {
     "bpe_encode" -> bpeEncode,
     "bpe_fertility" -> bpeFertility,
     "vocab_coverage" -> vocabCoverage,
+    "vocab_pareto_curve" -> vocabParetoCurve,
   )
   val oracles: Map[String, String] = Map(
     "salted_skew_join" -> saltedSkewJoinSql,
@@ -631,5 +722,6 @@ object Indexing {
     "bpe_encode" -> bpeEncodeSql,
     "bpe_fertility" -> bpeFertilitySql,
     "vocab_coverage" -> vocabCoverageSql,
+    "vocab_pareto_curve" -> vocabParetoCurveSql,
   )
 }

@@ -98,7 +98,12 @@ class NestedLoopSweepSpec extends AnyFunSuite {
     // X91: corpus × the class-centroid relation — bounded by label
     // cardinality (classes + the injected coherent class), the same
     // class-inventory bound as lang_id_confusion
-    "label_centroid_audit" -> 1)
+    "label_centroid_audit" -> 1,
+    // X99: the 7-row lattice (a 1-row total aggregate exploded over a
+    // FIXED 7-literal array, X87's pattern) range-joined to the
+    // distinct-count histogram — O(√tokens) rows by Zipf; both sides
+    // bounded by construction at any corpus size
+    "vocab_pareto_curve" -> 1)
 
   test("no registered query plans an unbounded nested-loop or cartesian join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
