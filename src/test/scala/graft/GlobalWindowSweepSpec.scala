@@ -48,7 +48,19 @@ class GlobalWindowSweepSpec extends AnyFunSuite {
     // r18 vocab_growth_curve: the saturation-rate lag runs over the
     // 7-point permille lattice (fixed size by construction — the corpus
     // collapsed in the first-seen aggregate above it).
-    "vocab_growth_curve" -> 1)
+    "vocab_growth_curve" -> 1,
+    // r16-close additions, allowlisted r17 with the same bounded-input
+    // arguments their scaladocs make:
+    //  - batch_mixing_report: the permille share windows over the
+    //    diversity HISTOGRAM — ≤ BatchDocs = 16 rows by construction
+    //    (n_sources of a 16-doc batch is in 1..16); the corpus
+    //    collapsed two aggregates above it.
+    //  - vocab_pareto_curve: the cumulative (types, tokens) prefix sum
+    //    runs over the DISTINCT-COUNT histogram — O(√tokens) rows by
+    //    Zipf, the identical class as vocab_build's allowlisted offset
+    //    window one entry up.
+    "batch_mixing_report" -> 1,
+    "vocab_pareto_curve" -> 1)
 
   test("no registered query plans an unpartitioned window over an unbounded relation") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
