@@ -1478,7 +1478,133 @@ object Dedup {
   // registry
   // ---------------------------------------------------------------------
 
+  // ---------------------------------------------------------------------
+  // X100 parallel_pair_mine — cross-lingual near-dup pairs (bitext mining)
+  // ---------------------------------------------------------------------
+
+  /** The LANG-ROTATION the harness uses to stand in for translation:
+    * each injected near-dup copy ([[ReKeyA]] band) carries the NEXT
+    * language in the sorted lattice, so original→copy pairs are
+    * cross-lingual by construction. CASE-spelled identically in both
+    * engines. */
+  private val RotLangSql: String =
+    "CASE lang WHEN 'de' THEN 'en' WHEN 'en' THEN 'es' " +
+      "WHEN 'es' THEN 'fr' WHEN 'fr' THEN 'zh' ELSE 'de' END"
+
+  /** Parallel-corpus candidate mining — the multilingual-pipeline op
+    * that finds SAME-CONTENT, DIFFERENT-LANGUAGE document pairs
+    * (WikiMatrix/CCMatrix-style bitext mining, done here on lexical
+    * minhash instead of LASER embeddings): run the standard LSH
+    * candidate generation over the corpus, attach each side's
+    * language, and keep only pairs whose languages DIFFER — same-lang
+    * candidates are ordinary near-dups and belong to the dedup path,
+    * cross-lang candidates are translation pairs and feed an aligned
+    * training set. The harness corpus gets its cross-lingual mass from
+    * the injected [[ReKeyA]] variants re-tagged by [[RotLangSql]]
+    * (rot(L) ≠ L always, so every original→copy candidate survives the
+    * filter); `ParallelPairSpec` pins exactly that containment plus
+    * the no-same-lang invariant.
+    *
+    * Scale shape: rides the session-staged signature relation
+    * ([[stagedSig]] — shared with the four sibling consumers, banded
+    * and bucket-bounded, never all-pairs); the language attach is two
+    * doc-keyed equi-joins of the corpus-sized lang map onto the
+    * CANDIDATE-BOUNDED pair relation (AQE-owned: broadcast at harness
+    * scale, shuffle-hash at web scale); the lang filter is row-local.
+    * No new shuffle class beyond the candidate family's own. */
+  val parallelPairMine: Q = (spark, dir) => {
+    val d = graft.Tables.documents(spark, dir)
+    val langs = d.select(col("doc_id"), col("lang"))
+      .unionByName(d.select((col("doc_id") + ReKeyA).as("doc_id"),
+        expr(RotLangSql).as("lang")))
+    minhashPairs(spark, dir)
+      .join(langs.select(col("doc_id").as("doc_a"), col("lang").as("lang_a")), "doc_a")
+      .join(langs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b")), "doc_b")
+      .filter(col("lang_a") =!= col("lang_b"))
+      .select("doc_a", "doc_b", "lang_a", "lang_b")
+      .orderBy("doc_a", "doc_b")
+  }
+  val parallelPairMineSql: String =
+    s"""WITH ${minhashCtes(NearDupesSql)},
+       |langs AS (
+       |  SELECT doc_id, lang FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $ReKeyA AS doc_id, $RotLangSql AS lang FROM documents)
+       |SELECT p.doc_a, p.doc_b, la.lang AS lang_a, lb.lang AS lang_b
+       |FROM mh_pairs p
+       |JOIN langs la ON la.doc_id = p.doc_a
+       |JOIN langs lb ON lb.doc_id = p.doc_b
+       |WHERE la.lang <> lb.lang
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X101 quality_dup_lift — does duplication predict low quality?
+  // ---------------------------------------------------------------------
+
+  /** The curation-policy cross-check every pipeline report should
+    * carry: a 2×2 contingency of near-dup status (cluster-shadowed vs
+    * canonical, the `near_dup_cluster`/`dedup_resolve` verdict) against
+    * the model quality gate ([[Featurize.weight]]'s integer linear
+    * score ≥ 0, the `linear_quality_score` verdict) — plus each
+    * dup-class's exact per-mille low-quality rate. If shadowed docs
+    * fail the quality gate at a higher rate than canonicals, the two
+    * filters are CORRELATED and their combined drop rate can't be
+    * predicted from their marginals (the `filter_ablation_matrix`
+    * question, answered here for the one filter pair every campaign
+    * runs: dedup × quality).
+    *
+    * Scale shape: the CC label relation (session-staged signature →
+    * bounded candidate pairs → Pregel-style min-label loop, all
+    * audited under `near_dup_cluster`) equi-joins the per-doc score
+    * relation on doc_id (both corpus-sized, AQE-owned, ONE shuffle
+    * each side); the verdict flags are row-local; the contingency is a
+    * map-combinable 4-group aggregate, and the class share is a window
+    * over the ≤ 4-row report partitioned by dup class. */
+  val qualityDupLift: Q = (spark, dir) => {
+    val labels = clusterLabels(spark, dir)
+    val w = (0 until Featurize.Dim).map(Featurize.weight)
+      .mkString("array(", "L, ", "L)")
+    val scores = withNearDupes(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .select(col("doc_id"),
+        expr(s"pmod(${h60Sql("tk")}, ${Featurize.Dim})").as("h"))
+      .groupBy("doc_id")
+      .agg(sum(expr(s"element_at($w, CAST(h + 1 AS INT))")).as("score"))
+    labels.join(scores, "doc_id")
+      .select((col("doc_id") =!= col("cluster_id")).as("is_shadowed"),
+        (col("score") >= 0).as("keep"))
+      .groupBy("is_shadowed", "keep")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("class_permille", expr(
+        "(n_docs * 1000) div (sum(n_docs) OVER (PARTITION BY is_shadowed))"))
+      .orderBy("is_shadowed", "keep")
+  }
+  val qualityDupLiftSql: String = {
+    val h = h60Duck("tk")
+    val w = (0 until Featurize.Dim).map(Featurize.weight).mkString("[", ", ", "]")
+    s"""WITH RECURSIVE ${ccCtes(NearDupesSql)},
+       |scores AS (
+       |  SELECT doc_id,
+       |         CAST(list_sum(list_transform(string_split(text, ' '),
+       |           tk -> ($w)[($h % ${Featurize.Dim} + ${Featurize.Dim})
+       |                      % ${Featurize.Dim} + 1])) AS BIGINT) AS score
+       |  FROM $NearDupesSql nd),
+       |flags AS (
+       |  SELECT l.doc_id <> l.cluster_id AS is_shadowed, s.score >= 0 AS keep
+       |  FROM labels l JOIN scores s ON s.doc_id = l.doc_id),
+       |cells AS (
+       |  SELECT is_shadowed, keep, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM flags GROUP BY 1, 2)
+       |SELECT is_shadowed, keep, n_docs,
+       |       CAST((n_docs * 1000) // (sum(n_docs)
+       |            OVER (PARTITION BY is_shadowed)) AS BIGINT) AS class_permille
+       |FROM cells
+       |ORDER BY is_shadowed, keep""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "parallel_pair_mine" -> parallelPairMine,
+    "quality_dup_lift" -> qualityDupLift,
     "dup_graph_pagerank" -> dupGraphPagerank,
     "exact_dedup_documents" -> exactDedupDocuments,
     "exact_substr_spans" -> exactSubstrSpans,
@@ -1497,6 +1623,8 @@ object Dedup {
     "fuzzy_fingerprint_join" -> fuzzyFingerprintJoin,
   )
   val oracles: Map[String, String] = Map(
+    "parallel_pair_mine" -> parallelPairMineSql,
+    "quality_dup_lift" -> qualityDupLiftSql,
     "dup_graph_pagerank" -> dupGraphPagerankSql,
     "exact_dedup_documents" -> exactDedupDocumentsSql,
     "exact_substr_spans" -> exactSubstrSpansSql,

@@ -120,12 +120,81 @@ object Featurize {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // X102 pref_pair_mine — preference pairs from the quality model
+  // ---------------------------------------------------------------------
+
+  /** Preference-pair mining — the construction step of a reward-model /
+    * DPO training set, run over the harness's stand-in quality model:
+    * within each (source, lang) stratum, pair the stratum's BEST-scoring
+    * document (chosen) with its WORST (rejected) and record the exact
+    * integer margin; strata where the model can't tell members apart
+    * (margin 0, which also covers single-doc strata) yield no pair.
+    * Ties break to the smaller doc_id on BOTH ends — the deterministic
+    * total order both engines share.
+    *
+    * Scale shape: one token explode → ONE map-combinable per-doc score
+    * aggregate (source/lang ride the key, functionally dependent on
+    * doc_id — zero extra shuffle), then ONE stratum-keyed aggregate
+    * whose state is two bounded structs (running max/min) — argmax by
+    * `max(struct(score, −doc_id))`, the lexicographic-struct trick, so
+    * NO window touches the corpus-sized score relation and no join
+    * anywhere. Strata cardinality = sources × langs, corpus-independent. */
+  val prefPairMine: Q = (spark, dir) => {
+    val w = (0 until Dim).map(weight).mkString("array(", "L, ", "L)")
+    val scores = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(split(col("text"), " ")).as("tk"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        expr(s"pmod(${h60Sql("tk")}, $Dim)").as("h"))
+      .groupBy("doc_id", "source", "lang")
+      .agg(sum(expr(s"element_at($w, CAST(h + 1 AS INT))")).as("score"))
+    scores.groupBy("source", "lang")
+      .agg(
+        max(struct(col("score"), (-col("doc_id")).as("nid"))).as("c"),
+        min(struct(col("score"), col("doc_id").as("id"))).as("r"),
+        count(lit(1)).as("n_docs"))
+      .select(col("source"), col("lang"),
+        (-col("c.nid")).as("chosen_id"), col("r.id").as("rejected_id"),
+        (col("c.score") - col("r.score")).as("margin"), col("n_docs"))
+      .filter(col("margin") > 0)
+      .orderBy("source", "lang")
+  }
+  val prefPairMineSql: String = {
+    val h = h60Duck("tk")
+    val w = (0 until Dim).map(weight).mkString("[", ", ", "]")
+    s"""WITH s AS (
+       |  SELECT doc_id, source, lang,
+       |         CAST(list_sum(list_transform(string_split(text, ' '),
+       |           tk -> ($w)[($h % $Dim + $Dim) % $Dim + 1])) AS BIGINT) AS score
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, lang, doc_id, score,
+       |         row_number() OVER (PARTITION BY source, lang
+       |                            ORDER BY score DESC, doc_id) AS rb,
+       |         row_number() OVER (PARTITION BY source, lang
+       |                            ORDER BY score, doc_id) AS rw
+       |  FROM s)
+       |SELECT * FROM (
+       |  SELECT source, lang,
+       |         max(CASE WHEN rb = 1 THEN doc_id END) AS chosen_id,
+       |         max(CASE WHEN rw = 1 THEN doc_id END) AS rejected_id,
+       |         max(CASE WHEN rb = 1 THEN score END)
+       |           - max(CASE WHEN rw = 1 THEN score END) AS margin,
+       |         CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM r GROUP BY source, lang)
+       |WHERE margin > 0
+       |ORDER BY source, lang""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "hash_embed" -> hashEmbed,
     "linear_quality_score" -> linearQualityScore,
+    "pref_pair_mine" -> prefPairMine,
   )
   val oracles: Map[String, String] = Map(
     "hash_embed" -> hashEmbedSql,
     "linear_quality_score" -> linearQualityScoreSql,
+    "pref_pair_mine" -> prefPairMineSql,
   )
 }

@@ -834,6 +834,78 @@ object TextAnalysis {
        |  FROM cnt c JOIN sdf d USING (gram))
        |WHERE rank <= $SpecTopK ORDER BY source, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X103 topic_lexicon_assign — lexicon-match domain tagging
+  // ---------------------------------------------------------------------
+
+  /** topic → lexicon (DISJOINT word sets; corpus-derived stand-ins, the
+    * [[Markers]] caveat applies — real campaigns plug in curated
+    * domain lexicons). Tie-break is THIS listed order. */
+  private val TopicLex: Seq[(String, Seq[String])] = Seq(
+    "relational" -> Seq("table", "row", "column", "join", "key", "query"),
+    "streaming" -> Seq("stream", "batch", "window", "group"),
+    "perf" -> Seq("fast", "slow", "big", "small"),
+    "storage" -> Seq("scan", "sort", "hash", "merge"))
+
+  /** Lexicon-based domain tagging — the keyword-lexicon classifier a
+    * curation pipeline runs when it needs corpus-scale topic labels
+    * WITHOUT a trained model (the pre-fastText stage of domain
+    * balancing; the same shape as a blocklist or a PII-lexicon pass):
+    * count each topic's lexicon hits per document, assign the argmax
+    * topic (ties to the earlier [[TopicLex]] entry, docs with zero
+    * lexicon mass to 'none'), and report the doc's total lexicon
+    * coverage in exact permille — the confidence proxy a downstream
+    * mix planner thresholds on.
+    *
+    * Scale shape: one token explode → ONE map-combinable per-doc
+    * aggregate (the K topic counters are conditional sums inside the
+    * same agg — no per-topic relation, no join, no window anywhere);
+    * the argmax is a row-local CASE chain over K columns. Lexicon size
+    * is a compile-time constant riding codegen'd IN-lists. */
+  val topicLexiconAssign: Q = (spark, dir) => {
+    val cnt = TopicLex.zipWithIndex.map { case ((_, ws), i) =>
+      sum(when(col("tk").isin(ws: _*), 1L).otherwise(0L)).as(s"c$i")
+    }
+    val agg = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .groupBy("doc_id")
+      .agg(cnt.head, cnt.tail :+ count(lit(1)).as("n_tokens"): _*)
+    agg
+      .withColumn("hits", greatest(col("c0"), col("c1"), col("c2"), col("c3")))
+      .withColumn("topic", expr(
+        s"""CASE WHEN hits = 0 THEN 'none'
+           |     WHEN c0 >= c1 AND c0 >= c2 AND c0 >= c3 THEN '${TopicLex(0)._1}'
+           |     WHEN c1 >= c2 AND c1 >= c3 THEN '${TopicLex(1)._1}'
+           |     WHEN c2 >= c3 THEN '${TopicLex(2)._1}'
+           |     ELSE '${TopicLex(3)._1}' END""".stripMargin))
+      .select(col("doc_id"), col("topic"), col("hits"),
+        expr("((c0 + c1 + c2 + c3) * 1000) div n_tokens").as("lex_permille"))
+      .orderBy("doc_id")
+  }
+  val topicLexiconAssignSql: String = {
+    val sums = TopicLex.zipWithIndex.map { case ((_, ws), i) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(sum(CASE WHEN tk IN ($inList) THEN 1 ELSE 0 END) AS BIGINT) AS c$i"
+    }.mkString(",\n       |         ")
+    s"""WITH agg AS (
+       |  SELECT doc_id,
+       |         $sums,
+       |         CAST(count(*) AS BIGINT) AS n_tokens
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
+       |  GROUP BY doc_id)
+       |SELECT doc_id,
+       |       CASE WHEN greatest(c0, c1, c2, c3) = 0 THEN 'none'
+       |            WHEN c0 >= c1 AND c0 >= c2 AND c0 >= c3 THEN '${TopicLex(0)._1}'
+       |            WHEN c1 >= c2 AND c1 >= c3 THEN '${TopicLex(1)._1}'
+       |            WHEN c2 >= c3 THEN '${TopicLex(2)._1}'
+       |            ELSE '${TopicLex(3)._1}' END AS topic,
+       |       greatest(c0, c1, c2, c3) AS hits,
+       |       CAST(((c0 + c1 + c2 + c3) * 1000) // n_tokens AS BIGINT)
+       |         AS lex_permille
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "source_ngram_specificity" -> sourceNgramSpecificity,
     "vocab_growth_curve" -> vocabGrowthCurve,
@@ -850,6 +922,7 @@ object TextAnalysis {
     "winnow_fingerprints" -> winnowFingerprints,
     "ngram_novelty" -> ngramNovelty,
     "collocation_lift" -> collocationLift,
+    "topic_lexicon_assign" -> topicLexiconAssign,
   )
   val oracles: Map[String, String] = Map(
     "source_ngram_specificity" -> sourceNgramSpecificitySql,
@@ -867,5 +940,6 @@ object TextAnalysis {
     "ngram_novelty" -> ngramNoveltySql,
     "fluency_buckets" -> fluencyBucketsSql,
     "collocation_lift" -> collocationLiftSql,
+    "topic_lexicon_assign" -> topicLexiconAssignSql,
   )
 }

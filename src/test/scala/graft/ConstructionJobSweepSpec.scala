@@ -65,7 +65,11 @@ class ConstructionJobSweepSpec extends AnyFunSuite {
     "dup_graph_pagerank",
     // X81: the IVF training step again — one scalar count derives the
     // centroid stride, same as ann_ivf_topk
-    "ivf_nprobe_recall")
+    "ivf_nprobe_recall",
+    // X101: the CC label loop a third time, through the quality×dup
+    // contingency (rides clusterLabels' checkpointed fixpoint exactly
+    // like near_dup_cluster / dedup_rate_report above)
+    "quality_dup_lift")
 
   test("query construction is lazy (no jobs before the first action)") {
     val jobs = new AtomicInteger(0)
