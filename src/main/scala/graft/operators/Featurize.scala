@@ -28,8 +28,10 @@ object Featurize {
   val Dim = 16
 
   /** Deterministic pseudo-weights: w(i) = (i·2654435761) mod 1009 − 504
-    * (Knuth multiplicative constant; zero-centered). */
-  private[operators] def weight(i: Int): Long =
+    * (Knuth multiplicative constant; zero-centered). `private[graft]`:
+    * the streaming twin ([[graft.streaming.PrefPairStream]]) evaluates
+    * the same model JVM-side. */
+  private[graft] def weight(i: Int): Long =
     (i.toLong * 2654435761L) % 1009L - 504L
 
   /** (doc_id, h) one row per token, h = h60(token) mod D. The hash
