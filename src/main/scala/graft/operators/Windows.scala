@@ -78,14 +78,153 @@ object Windows {
        |    FROM $EV))
        |GROUP BY user_id, island ORDER BY user_id, session_start""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X104 funnel_report — ordered-sequence conversion funnel
+  // ---------------------------------------------------------------------
+
+  /** The funnel's ordered steps (earliest qualifying event per step,
+    * each strictly AFTER the user's previous step). */
+  private val FunnelSteps = Seq("view", "click", "purchase")
+
+  /** The conversion funnel — the ordered-sequence event-analytics op
+    * (view → click → purchase): a user completes step k only with an
+    * event of step k's type STRICTLY AFTER their step-(k−1) completion
+    * time (earliest-qualifying semantics, the standard product-funnel
+    * definition); the report is per-step user counts plus per-mille
+    * conversion from the previous step. Step-1 conversion is defined
+    * as 1000 (its own baseline); a zero previous step converts at 0
+    * rather than dividing by zero — both spelled identically in both
+    * engines.
+    *
+    * Scale shape: each step is ONE map-combinable user-keyed min-ts
+    * aggregate over a type-filtered scan, chained through a user-keyed
+    * equi-join onto the previous step's (shrinking) completion
+    * relation — AQE-owned sides, no window over raw events, no
+    * per-user event sort. The lag runs over the 3-row report itself
+    * (bounded by the step list's length — GlobalWindowSweepSpec
+    * allowlist). */
+  val funnelReport: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val steps = FunnelSteps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (tpe, i)) =>
+        val base = e.filter(col("event_type") === tpe)
+        val gated = prev match {
+          case None => base
+          case Some(p) =>
+            base.join(p.select(col("user_id"), col("t").as("t_prev")), "user_id")
+              .filter(col("ts") > col("t_prev"))
+        }
+        Some(gated.groupBy("user_id").agg(min("ts").as("t")))
+    }.flatten
+    val rows = steps.zipWithIndex.map { case (s, i) =>
+      s.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(FunnelSteps(i)).as("step_name"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+    rows
+      .withColumn("prev_users", coalesce(
+        lag(col("n_users"), 1).over(
+          org.apache.spark.sql.expressions.Window.orderBy("step")),
+        col("n_users")))
+      .withColumn("conv_permille", expr(
+        "CASE WHEN prev_users = 0 THEN 0L ELSE (n_users * 1000) div prev_users END"))
+      .select("step", "step_name", "n_users", "conv_permille")
+      .orderBy("step")
+  }
+  val funnelReportSql: String = {
+    val stepCtes = FunnelSteps.zipWithIndex.map { case (tpe, i) =>
+      if (i == 0)
+        s"s1 AS (SELECT user_id, min(ts) AS t FROM e WHERE event_type = '$tpe' GROUP BY 1)"
+      else
+        s"""s${i + 1} AS (
+           |  SELECT e.user_id, min(ts) AS t FROM e JOIN s$i USING (user_id)
+           |  WHERE event_type = '$tpe' AND ts > s$i.t GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val unionRows = FunnelSteps.zipWithIndex.map { case (tpe, i) =>
+      s"SELECT ${i + 1} AS step, '$tpe' AS step_name, (SELECT count(*) FROM s${i + 1}) AS n_users"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT user_id, event_type, ts FROM $EV ev),
+       |$stepCtes,
+       |f AS (
+       |  $unionRows),
+       |g AS (
+       |  SELECT step, step_name, n_users,
+       |         coalesce(lag(n_users) OVER (ORDER BY step), n_users) AS prev_users
+       |  FROM f)
+       |SELECT CAST(step AS BIGINT) AS step, step_name,
+       |       CAST(n_users AS BIGINT) AS n_users,
+       |       CAST(CASE WHEN prev_users = 0 THEN 0
+       |                 ELSE (n_users * 1000) // prev_users END AS BIGINT)
+       |         AS conv_permille
+       |FROM g ORDER BY step""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // X105 retention_cohorts — weekly cohort retention triangle
+  // ---------------------------------------------------------------------
+
+  /** The cohort-retention triangle — the other canonical event-analytics
+    * report: users cohorted by the ISO week of their FIRST event; for
+    * each (cohort, week-offset) cell, how many of the cohort's users
+    * were active that week, in exact per-mille of the cohort's size.
+    * Offset 0 is 1000 by construction (a user's first event is in their
+    * cohort week — the spec pins it).
+    *
+    * Scale shape: both the cohort assignment and the activity relation
+    * are ONE map-combinable user-keyed aggregate each (min-week;
+    * distinct (user, week) — the distinct runs BEFORE the join, so the
+    * join input is bounded by users × active-weeks, not raw events);
+    * the cohort join is user-keyed equi (AQE-owned), the cell rollup is
+    * map-combinable, and the size attach joins at cohort cardinality
+    * (≤ weeks in the stream — time-bounded, corpus-independent). Week
+    * truncation is ISO-Monday in BOTH engines. */
+  val retentionCohorts: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir).select(col("user_id"),
+      date_trunc("week", col("ts")).as("week"))
+    val first = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val act = e.distinct().join(first, "user_id")
+      .select(col("cohort_week"),
+        expr("datediff(week, cohort_week) div 7").as("week_offset"))
+      .groupBy("cohort_week", "week_offset").agg(count(lit(1)).as("n_active"))
+    val sizes = first.groupBy("cohort_week").agg(count(lit(1)).as("cohort_users"))
+    act.join(sizes, "cohort_week")
+      .withColumn("retention_permille", expr("(n_active * 1000) div cohort_users"))
+      .select("cohort_week", "week_offset", "n_active", "cohort_users",
+        "retention_permille")
+      .orderBy("cohort_week", "week_offset")
+  }
+  val retentionCohortsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM $EV ev),
+       |first AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+       |act AS (
+       |  SELECT cohort_week,
+       |         date_diff('day', cohort_week, week) // 7 AS week_offset,
+       |         CAST(count(*) AS BIGINT) AS n_active
+       |  FROM (SELECT DISTINCT user_id, week FROM e) w
+       |  JOIN first USING (user_id)
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+       |          FROM first GROUP BY 1)
+       |SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset, n_active,
+       |       cohort_users,
+       |       CAST((n_active * 1000) // cohort_users AS BIGINT)
+       |         AS retention_permille
+       |FROM act JOIN sizes USING (cohort_week)
+       |ORDER BY cohort_week, week_offset""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tumbling_window_agg" -> tumblingWindowAgg,
     "sliding_window_agg" -> slidingWindowAgg,
     "session_window_agg" -> sessionWindowAgg,
+    "funnel_report" -> funnelReport,
+    "retention_cohorts" -> retentionCohorts,
   )
   val oracles: Map[String, String] = Map(
     "tumbling_window_agg" -> tumblingWindowAggSql,
     "sliding_window_agg" -> slidingWindowAggSql,
     "session_window_agg" -> sessionWindowAggSql,
+    "funnel_report" -> funnelReportSql,
+    "retention_cohorts" -> retentionCohortsSql,
   )
 }

@@ -60,7 +60,11 @@ class GlobalWindowSweepSpec extends AnyFunSuite {
     //    Zipf, the identical class as vocab_build's allowlisted offset
     //    window one entry up.
     "batch_mixing_report" -> 1,
-    "vocab_pareto_curve" -> 1)
+    "vocab_pareto_curve" -> 1,
+    // r19 funnel_report: the previous-step lag runs over the 3-row
+    // funnel report (bounded by the step list's length — the corpus
+    // collapsed in the per-step user-keyed aggregates above it).
+    "funnel_report" -> 1)
 
   test("no registered query plans an unpartitioned window over an unbounded relation") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
