@@ -27,7 +27,10 @@ object CampaignBench {
     "dup_graph_pagerank",
     // r18: the verify-threshold sweep rides it too (signatures +
     // candidate pairs both come from the staged relation)
-    "dedup_threshold_sweep")
+    "dedup_threshold_sweep",
+    // r19: bitext mining rides the same staged candidates (lang attach
+    // is the only work past the shared pair relation)
+    "parallel_pair_mine")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

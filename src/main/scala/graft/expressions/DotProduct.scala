@@ -135,5 +135,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_set_cap"),
       new ExpressionInfo(classOf[CappedSet].getName, "graft_set_cap"),
       (children: Seq[Expression]) => CappedSet(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_mmr"),
+      new ExpressionInfo(classOf[MmrSelect].getName, "graft_mmr"),
+      (children: Seq[Expression]) => MmrSelect(children.head, children(1), children(2))))
   }
 }

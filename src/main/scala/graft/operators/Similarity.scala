@@ -206,7 +206,7 @@ object Similarity {
        |  sqrt(${dotDuck("embedding", "embedding")}) AS norm FROM base),
        |bk AS (
        |  ${bucketedDuck("v")}),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM bk a JOIN bk b
        |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id)
@@ -262,7 +262,7 @@ object Similarity {
        |  sqrt(${dotDuck("embedding", "embedding")}) AS norm FROM $EmbD),
        |bk AS (
        |  ${bucketedDuck("v")}),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM bk a JOIN bk b
        |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id <> b.vec_id)
@@ -943,7 +943,118 @@ object Similarity {
        |    FROM $EmbD))
        |GROUP BY i ORDER BY dim""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X106 mmr_rerank — Maximal-Marginal-Relevance diversity rerank
+  // ---------------------------------------------------------------------
+
+  /** Candidate pool per query (the relevance top-K0 the greedy selects
+    * from). */
+  private val MmrPool = 20
+  /** Selected (reranked) results per query. */
+  private val MmrK = 8
+  /** Relevance weight λ in permille: score = λ·rel − (1−λ)·max-sim. */
+  private val MmrLambda = 700
+  /** Embedding quantization scale for the exact-integer similarity
+    * (±4·10³ per component at N(0,1) inputs → dots < 10⁹). */
+  private val MmrQScale = 1000L
+
+  /** MMR diversity rerank (Carbonell & Goldstein 1998) — the retrieval
+    * op between ANN and the training set: take each query's relevance
+    * top-[[MmrPool]], then greedily select [[MmrK]] results maximizing
+    * λ·relevance − (1−λ)·(max similarity to anything already selected) —
+    * the anti-redundancy pass that keeps a near-dup cluster from
+    * filling the whole result list (for RAG contexts and hard-negative
+    * pools alike). Both relevance and pairwise similarity are EXACT
+    * int64 dots over floor(x·10³)-quantized vectors, and ties break to
+    * the smaller id at every step, so the inherently-sequential greedy
+    * is bit-reproducible in the oracle's unrolled-step SQL.
+    *
+    * Scale shape: scoring is corpus × bounded-query broadcast with the
+    * codegen'd [[graft.expressions.DotProductLong]]; the pool is the
+    * bounded [[graft.expressions.TopKMin]] heap (map-side combined to
+    * ≤ K0 rows per query BEFORE the exchange); the pool's embeddings
+    * attach via one candidate-bounded equi-join; then ONE hash
+    * aggregate collects each query's ≤ K0 members and the
+    * [[graft.expressions.MmrSelect]] kernel runs the O(k·K0·Dim)
+    * greedy row-locally — the k relational rounds (k joins + k
+    * windows) a SQL spelling would schedule collapse into one
+    * projection. Nothing corpus-sized survives the heap. */
+  val mmrRerank: Q = (spark, dir) => {
+    val qe = Tables.embeddingsD(spark, dir).select(col("vec_id"),
+      expr(s"graft_quant(embedding, ${MmrQScale}L, 0L)").as("e"))
+    val q = qe.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val pool = qe.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("simq", expr("graft_doti(qe, e)"))
+      .groupBy("q_id")
+      .agg(expr(s"graft_topk_min(-simq, vec_id, $MmrPool)").as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("vec_id"), (-col("t.key")).as("simq"))
+    pool.join(qe, "vec_id") // candidate-bounded embedding attach
+      .groupBy("q_id")
+      .agg(collect_list(struct(col("vec_id"), col("simq"), col("e"))).as("cands"))
+      .select(col("q_id"),
+        posexplode(expr(s"graft_mmr(cands, $MmrK, $MmrLambda)")).as(Seq("pos", "vec_id")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"), col("vec_id"))
+      .orderBy("q_id", "rank")
+  }
+  val mmrRerankSql: String = {
+    // exact integer dot over the quantized lists (order-free int sums)
+    def idot(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(range(1, $Dim + 1), i -> $a[i] * $b[i])) AS BIGINT)"
+    val lm = 1000 - MmrLambda
+    // the greedy unrolled: step i picks argmax over candidates not yet
+    // selected, penalized by their max pairwise sim to all{i-1}
+    val steps = (2 to MmrK).map { i =>
+      s"""sel$i AS MATERIALIZED (
+         |  SELECT q_id, vec_id, $i AS rank FROM (
+         |    SELECT c.q_id, c.vec_id,
+         |           row_number() OVER (PARTITION BY c.q_id
+         |             ORDER BY $MmrLambda * c.simq - $lm * ms.m DESC, c.vec_id) AS rn
+         |    FROM cand c
+         |    JOIN (SELECT p.q_id, p.a, max(p.sim) AS m
+         |          FROM pairs p JOIN all${i - 1} s
+         |            ON s.q_id = p.q_id AND s.vec_id = p.b
+         |          GROUP BY 1, 2) ms
+         |      ON ms.q_id = c.q_id AND ms.a = c.vec_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM all${i - 1} s
+         |                      WHERE s.q_id = c.q_id AND s.vec_id = c.vec_id))
+         |  WHERE rn = 1),
+         |all$i AS MATERIALIZED (SELECT * FROM all${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qe AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * $MmrQScale) AS BIGINT)) AS e
+       |  FROM $EmbD),
+       |q AS (SELECT vec_id AS q_id, e AS qe FROM qe WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.q_id, c.vec_id, ${idot("q.qe", "c.e")} AS simq
+       |  FROM q JOIN qe c ON c.vec_id <> q.q_id),
+       |cand AS MATERIALIZED (
+       |  SELECT q_id, vec_id, simq FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY simq DESC, vec_id) AS rn
+       |    FROM scored) WHERE rn <= $MmrPool),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.q_id, a.vec_id AS a, b.vec_id AS b, ${idot("ea.e", "eb.e")} AS sim
+       |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+       |  JOIN qe ea ON ea.vec_id = a.vec_id
+       |  JOIN qe eb ON eb.vec_id = b.vec_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT q_id, vec_id, 1 AS rank FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |             ORDER BY $MmrLambda * simq DESC, vec_id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |all1 AS MATERIALIZED (SELECT * FROM sel1),
+       |$steps
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id
+       |FROM all$MmrK ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "mmr_rerank" -> mmrRerank,
     "embedding_moments" -> embeddingMoments,
     "cosine_topk_bruteforce" -> cosineTopkBruteforce,
     "embedding_cosine_near_dup" -> embeddingCosineNearDup,
@@ -957,6 +1068,7 @@ object Similarity {
     "embedding_audit" -> embeddingAudit,
   )
   val oracles: Map[String, String] = Map(
+    "mmr_rerank" -> mmrRerankSql,
     "embedding_moments" -> embeddingMomentsSql,
     "cosine_topk_bruteforce" -> cosineTopkBruteforceSql,
     "embedding_cosine_near_dup" -> embeddingCosineNearDupSql,

@@ -91,6 +91,10 @@ class NestedLoopSweepSpec extends AnyFunSuite {
     // X88: the family's corpus × bounded-query broadcast
     // (vec_id < NumQueries = 10 rows at any corpus size)
     "matryoshka_recall" -> 1,
+    // X106: the same corpus × bounded-query broadcast (the
+    // cosine_topk_bruteforce shape; everything past it is heap- or
+    // candidate-bounded)
+    "mmr_rerank" -> 1,
     // X87: type relation × the 7-point permille lattice — the lattice
     // is a 1-row max aggregate exploded over a FIXED 7-literal array
     // (the explode hides the one-row bound from the detector)
