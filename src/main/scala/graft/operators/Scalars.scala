@@ -212,7 +212,57 @@ object Scalars {
       |            ELSE '' END || '}' AS claims
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X108 json_props_histogram — schema-on-read JSON extraction + rollup
+  // ---------------------------------------------------------------------
+
+  /** The schema-on-read path F16's `to_json` only writes: extract a
+    * typed field from the `events.props` JSON payload per row
+    * (`get_json_object` — Spark's codegen'd JSON path scalar — vs
+    * DuckDB's `json_extract_string`, same NULL-on-missing contract),
+    * then roll the corpus into a decade histogram with per-bucket user
+    * reach and the exact decimal-pinned value mass. This is the
+    * event-property analytics every product pipeline runs without ever
+    * materializing a schema for `props`.
+    *
+    * Scale shape: the extraction is a row-local projection fused into
+    * the scan stage; the corpus collapses in ONE map-combinable
+    * (bucket) aggregate (the user reach is the standard two-phase
+    * count-distinct expand, bounded by buckets × users); ≤ value-range
+    * / 10 output rows. */
+  val jsonPropsHistogram: Q = (spark, dir) =>
+    // Measured shape decisions (interleaved min-of-5 at sf0.1, ledgered
+    // in docs/SCALE.md r19): NO fanout — events.parquet is ONE row
+    // group, so the scan cannot split and the serial rebalance write
+    // costs more than 32-way parse parallelism buys (0.60 plain vs
+    // 0.59 fanned, a wash, both beating the reach variants); the
+    // per-bucket user reach (countDistinct) was CUT — its expand added
+    // ~0.16 s to a 0.6 s query for a secondary metric; regexp_extract's
+    // ~7% is not worth trading away the actual JSON-path kernel the op
+    // exists to exercise. Single parse per row: group on the (possibly
+    // null) bucket and drop the null row AFTER the aggregate — a
+    // pre-agg `k IS NOT NULL` filter inlines the alias and runs the
+    // Jackson parse a second time per row.
+    Tables.events(spark, dir).select("props", "value")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(expr("(k div 10) * 10").as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,10)")).cast("double").as("sum_value"))
+      .filter(col("k_bucket").isNotNull)
+      .orderBy("k_bucket")
+  val jsonPropsHistogramSql: String =
+    s"""SELECT (k // 10) * 10 AS k_bucket,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sum_value
+       |FROM (
+       |  SELECT value,
+       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |  FROM $EV ev)
+       |WHERE k IS NOT NULL
+       |GROUP BY 1 ORDER BY k_bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "json_props_histogram" -> jsonPropsHistogram,
     "regexp_extract_id" -> regexpExtractId,
     "regexp_replace_normalize" -> regexpReplaceNormalize,
     "regexp_extract_all_mentions" -> regexpExtractAllMentions,
@@ -233,5 +283,6 @@ object Scalars {
     "to_json_claims" -> toJsonClaimsSql,
     "regexp_match_link" -> regexpMatchLinkSql,
     "command_parse" -> commandParseSql,
+    "json_props_histogram" -> jsonPropsHistogramSql,
   )
 }

@@ -213,12 +213,63 @@ object Windows {
        |FROM act JOIN sizes USING (cohort_week)
        |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X107 stickiness_report — DAU / WAU / stickiness per day
+  // ---------------------------------------------------------------------
+
+  /** The engagement dashboard's headline numbers, exactly: per calendar
+    * day, distinct active users (DAU), distinct users active in the
+    * trailing 7 days (WAU ending that day), and stickiness =
+    * DAU·1000 div WAU — the DAU/WAU ratio product teams track. Exact
+    * distinct counts, no sketch: the input to both counts is the
+    * (user, day) DISTINCT relation, not raw events.
+    *
+    * Scale shape: raw events collapse FIRST into the distinct
+    * (user, day) relation (ONE map-combinable distinct — bounded by
+    * users × active-days, the same pre-join collapse as
+    * `retention_cohorts`); the trailing window is a range join of that
+    * relation against the TIME-BOUNDED day lattice (broadcast — days
+    * grow with the calendar, never the corpus), fanning each user-day
+    * into ≤ 7 lattice rows; both counts are then per-day aggregates
+    * (the WAU count-distinct is Spark's standard two-phase expand).
+    * No window function anywhere. */
+  val stickinessReport: Q = (spark, dir) => {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val days = ud.select(col("day").as("d")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud.join(broadcast(days),
+        col("day") <= col("d") && col("day") >= col("d") - expr("INTERVAL 6 DAYS"))
+      .groupBy("d").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, col("day") === col("d"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("(dau * 1000) div wau").as("stickiness_permille"))
+      .orderBy("day")
+  }
+  val stickinessReportSql: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+       |  FROM $EV ev),
+       |days AS (SELECT DISTINCT day AS d FROM ud),
+       |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+       |wau AS (
+       |  SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+       |  FROM ud JOIN days
+       |    ON ud.day <= days.d AND ud.day >= days.d - INTERVAL 6 DAY
+       |  GROUP BY 1)
+       |SELECT day, dau, wau,
+       |       CAST((dau * 1000) // wau AS BIGINT) AS stickiness_permille
+       |FROM dau JOIN wau ON day = d
+       |ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tumbling_window_agg" -> tumblingWindowAgg,
     "sliding_window_agg" -> slidingWindowAgg,
     "session_window_agg" -> sessionWindowAgg,
     "funnel_report" -> funnelReport,
     "retention_cohorts" -> retentionCohorts,
+    "stickiness_report" -> stickinessReport,
   )
   val oracles: Map[String, String] = Map(
     "tumbling_window_agg" -> tumblingWindowAggSql,
@@ -226,5 +277,6 @@ object Windows {
     "session_window_agg" -> sessionWindowAggSql,
     "funnel_report" -> funnelReportSql,
     "retention_cohorts" -> retentionCohortsSql,
+    "stickiness_report" -> stickinessReportSql,
   )
 }

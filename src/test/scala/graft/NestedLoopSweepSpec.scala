@@ -95,6 +95,11 @@ class NestedLoopSweepSpec extends AnyFunSuite {
     // cosine_topk_bruteforce shape; everything past it is heap- or
     // candidate-bounded)
     "mmr_rerank" -> 1,
+    // X107: the trailing-week range join — distinct (user, day) ×
+    // broadcast DAY LATTICE (grows with the calendar, never the
+    // corpus); each user-day matches ≤ 7 lattice rows, so the output
+    // is ≤ 7 × the distinct relation by construction
+    "stickiness_report" -> 1,
     // X87: type relation × the 7-point permille lattice — the lattice
     // is a 1-row max aggregate exploded over a FIXED 7-literal array
     // (the explode hides the one-row bound from the detector)

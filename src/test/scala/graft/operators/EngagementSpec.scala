@@ -1,0 +1,60 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, TestSpark}
+
+/** Brute-force JVM oracles for the engagement pair (stickiness_report,
+  * json_props_histogram): both recomputed from raw events with plain
+  * Scala collections and compared exactly. */
+class EngagementSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val Dir = "/root/testdata/sf0.001"
+
+  private def events(): Array[(Long, Timestamp, String, Double)] =
+    graft.Tables.events(spark, Dir)
+      .selectExpr("user_id", "ts", "props", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+
+  test("stickiness_report equals the brute-force DAU/WAU; DAU <= WAU always") {
+    val ud = events().map { case (u, ts, _, _) =>
+      (u, ts.toLocalDateTime.toLocalDate)
+    }.distinct
+    val days = ud.map(_._2).distinct
+    val expected = days.map { d =>
+      val dau = ud.count(_._2 == d).toLong
+      val wau = ud.filter { case (_, w) =>
+        !w.isAfter(d) && !w.isBefore(d.minusDays(6))
+      }.map(_._1).distinct.length.toLong
+      (Timestamp.valueOf(d.atStartOfDay()), dau, wau, dau * 1000L / wau)
+    }.toSet
+    val got = SparkEntry.queries("stickiness_report")(spark, Dir).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, s"stickiness diverges:\n got ${got.take(3)}...\n")
+    got.foreach { case (d, dau, wau, pm) =>
+      assert(dau <= wau && pm <= 1000, s"$d: DAU $dau > WAU $wau")
+    }
+  }
+
+  test("json_props_histogram equals the brute-force extraction rollup") {
+    val K = """"k"\s*:\s*(-?\d+)""".r
+    val rows = events().flatMap { case (_, _, props, v) =>
+      K.findFirstMatchIn(props).map(m => (m.group(1).toLong, v))
+    }
+    val expected = rows.groupBy { case (k, _) => (k / 10) * 10 }
+      .map { case (b, es) =>
+        (b, es.length.toLong, es.map(e => BigDecimal(e._2)).sum.toDouble)
+      }.toSet
+    val got = SparkEntry.queries("json_props_histogram")(spark, Dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // exact integers; the value sum is decimal-pinned so compare at
+    // decimal precision (the double cast is the last op in both)
+    def key(t: (Long, Long, Double)) = (t._1, t._2)
+    assert(got.map(key) == expected.map(key),
+      s"histogram diverges:\n got $got\n exp $expected")
+    val em = expected.map(t => key(t) -> t._3).toMap
+    got.foreach { case t =>
+      assert(math.abs(em(key(t)) - t._3) < 1e-6, s"value mass differs at ${t._1}")
+    }
+  }
+}
