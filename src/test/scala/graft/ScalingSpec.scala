@@ -209,7 +209,38 @@ class ScalingSpec extends AnyFunSuite {
       // r18: batch diversity — same single exchange; per-batch
       // distinct-source sets are ≤ BatchDocs elements, histogram
       // has ≤ 16 keys; expected ~linear like X66's
-      "batch_mixing_report")
+      "batch_mixing_report",
+      // r19: bitext mining — rides the staged signatures + candidate-
+      // bounded pairs, plus two doc-keyed lang joins ON the pair
+      // relation; shuffle should track minhash_lsh_candidates'
+      "parallel_pair_mine",
+      // r19: dedup × quality contingency — the CC labels + ONE
+      // doc-keyed score join (both corpus-linear), 4-cell rollup;
+      // shuffle should track near_dup_cluster's plus the score agg
+      "quality_dup_lift",
+      // r19: preference mining — token explode into a map-combined
+      // per-doc score agg (~linear) then a strata-bounded extremes
+      // agg (sources × langs rows); expected ~linear
+      "pref_pair_mine",
+      // r19: lexicon tagging — ONE map-combined per-doc agg with K
+      // conditional counters; expected ~linear (per-doc rows out)
+      "topic_lexicon_assign",
+      // r19: the funnel — three user-keyed min-ts aggs on shrinking
+      // relations; expected ~linear in events
+      "funnel_report",
+      // r19: cohort retention — user-keyed min-week + distinct
+      // user-weeks BEFORE the join; expected ~linear in events
+      "retention_cohorts",
+      // r19: DAU/WAU — distinct (user, day) then the ≤7-way lattice
+      // fanout; expected ~linear in events with the ×7 constant
+      "stickiness_report",
+      // r19: JSON histogram — row-local parse into ONE map-combined
+      // bucket agg; shuffle ~flat (buckets), wall tracks the scan
+      "json_props_histogram",
+      // r19: MMR — corpus × bounded-query broadcast, bounded heap +
+      // per-query collect of ≤ K0 members; shuffle query-bounded
+      // (~flat), wall tracks the scoring scan
+      "mmr_rerank")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
