@@ -1166,7 +1166,81 @@ object Curation {
        |FROM b GROUP BY bin ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // X109 dataset_card_report — the one-row corpus summary
+  // ---------------------------------------------------------------------
+
+  /** The DATASET CARD's quantitative block in one row — the summary
+    * every corpus release ships (docs, tokens, chars, language/source
+    * inventory, mean document length, exact-duplicate rate, model
+    * quality-gate pass rate): the numbers a consumer reads BEFORE
+    * deciding to train on the corpus, each defined exactly and
+    * reproducibly. Exact-dup rate counts distinct md5(text) — the
+    * content-hash spelling that stays one shuffle of 16-byte keys at
+    * any corpus (never wide text rows); quality pass rate is the X35
+    * integer linear gate.
+    *
+    * Scale shape: TWO corpus passes, both map-combinable — the header
+    * aggregate (counts/sums/distincts; the text-hash distinct is the
+    * standard two-phase expand over md5 keys) and the token-explode →
+    * per-doc score → keep-count chain; the two 1-row results attach
+    * with a single-row join (the allowlisted scalar-attach pattern).
+    * Output is ONE row at any corpus size. */
+  val datasetCardReport: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    val header = d.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(md5(col("text"))).as("n_distinct_texts"))
+    val w = (0 until Featurize.Dim).map(Featurize.weight)
+      .mkString("array(", "L, ", "L)")
+    val keeps = d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .select(col("doc_id"), expr(s"pmod(${h60Sql("tk")}, ${Featurize.Dim})").as("h"))
+      .groupBy("doc_id")
+      .agg(sum(expr(s"element_at($w, CAST(h + 1 AS INT))")).as("score"))
+      .agg(sum(when(col("score") >= 0, 1L).otherwise(0L)).as("n_keep"))
+    header.crossJoin(keeps)
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"), col("n_sources"),
+        expr("n_tokens div n_docs").as("mean_doc_tokens"),
+        expr("((n_docs - n_distinct_texts) * 1000) div n_docs")
+          .as("exact_dup_permille"),
+        expr("(n_keep * 1000) div n_docs").as("quality_keep_permille"))
+  }
+  val datasetCardReportSql: String = {
+    val h = h60Duck("tk")
+    val w = (0 until Featurize.Dim).map(Featurize.weight).mkString("[", ", ", "]")
+    s"""WITH header AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |         CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+       |  FROM documents),
+       |keeps AS (
+       |  SELECT CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_keep
+       |  FROM (
+       |    SELECT doc_id,
+       |           CAST(list_sum(list_transform(string_split(text, ' '),
+       |             tk -> ($w)[($h % ${Featurize.Dim} + ${Featurize.Dim})
+       |                        % ${Featurize.Dim} + 1])) AS BIGINT) AS score
+       |    FROM documents))
+       |SELECT n_docs, n_tokens, n_chars, n_langs, n_sources,
+       |       CAST(n_tokens // n_docs AS BIGINT) AS mean_doc_tokens,
+       |       CAST(((n_docs - n_distinct_texts) * 1000) // n_docs AS BIGINT)
+       |         AS exact_dup_permille,
+       |       CAST((n_keep * 1000) // n_docs AS BIGINT) AS quality_keep_permille
+       |FROM header, keeps""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "dataset_card_report" -> datasetCardReport,
     "quality_calibration_bins" -> qualityCalibrationBins,
     "filter_ablation_matrix" -> filterAblationMatrix,
     "weighted_sample_wor" -> weightedSampleWor,
@@ -1184,6 +1258,7 @@ object Curation {
     "source_unigram_drift" -> sourceUnigramDrift,
   )
   val oracles: Map[String, String] = Map(
+    "dataset_card_report" -> datasetCardReportSql,
     "quality_calibration_bins" -> qualityCalibrationBinsSql,
     "filter_ablation_matrix" -> filterAblationMatrixSql,
     "weighted_sample_wor" -> weightedSampleWorSql,

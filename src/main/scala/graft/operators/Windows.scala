@@ -263,6 +263,80 @@ object Windows {
        |FROM dau JOIN wau ON day = d
        |ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X110 rfm_segments — recency / frequency / monetary segmentation
+  // ---------------------------------------------------------------------
+
+  /** Fixed RFM segmentation thresholds (days / purchases / cents) —
+    * FIXED-threshold buckets deliberately, not quantile buckets: a
+    * quantile cut needs a global sort or two-phase histogram per
+    * dimension, while thresholds are row-local and keep the whole op
+    * one aggregate; a real deployment tunes the constants. */
+  private val RecencyCuts = (2L, 7L)     // ≤ days → bucket 2 / 1, else 0
+  private val FrequencyCuts = (15L, 8L)  // ≥ purchases → 2 / 1
+  private val MonetaryCuts = (30000L, 15000L) // ≥ cents → 2 / 1
+
+  /** RFM customer segmentation over the purchase stream — the classic
+    * lifecycle-marketing rollup: per user, days since last purchase
+    * (recency, against the stream's max timestamp — deterministic, no
+    * wall clock), purchase count (frequency), and exact cents spent
+    * (monetary — `floor(value·100)`, the trunc-vs-round cast trap
+    * spelled identically in both engines), each bucketed 0/1/2 by the
+    * fixed cuts and packed into the 3-digit RFM segment code.
+    *
+    * Scale shape: ONE map-combinable user-keyed aggregate over the
+    * purchase-filtered scan (max-ts, count, sum — all combinable); the
+    * stream-max timestamp attaches as the allowlisted 1-row scalar;
+    * bucketing and the segment code are row-local. No window, no
+    * corpus-sized join. */
+  val rfmSegments: Q = (spark, dir) => {
+    val p = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+    val now = p.agg(max(col("ts")).as("now_ts"))
+    p.groupBy("user_id")
+      .agg(max(col("ts")).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("monetary_cents"))
+      .crossJoin(now)
+      .withColumn("recency_days",
+        expr("datediff(CAST(now_ts AS DATE), CAST(last_ts AS DATE))").cast("long"))
+      .withColumn("r", expr(
+        s"CASE WHEN recency_days <= ${RecencyCuts._1} THEN 2L " +
+          s"WHEN recency_days <= ${RecencyCuts._2} THEN 1L ELSE 0L END"))
+      .withColumn("f", expr(
+        s"CASE WHEN frequency >= ${FrequencyCuts._1} THEN 2L " +
+          s"WHEN frequency >= ${FrequencyCuts._2} THEN 1L ELSE 0L END"))
+      .withColumn("m", expr(
+        s"CASE WHEN monetary_cents >= ${MonetaryCuts._1} THEN 2L " +
+          s"WHEN monetary_cents >= ${MonetaryCuts._2} THEN 1L ELSE 0L END"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), (col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+      .orderBy("user_id")
+  }
+  val rfmSegmentsSql: String =
+    s"""WITH p AS (SELECT * FROM $EV ev WHERE event_type = 'purchase'),
+       |agg AS (
+       |  SELECT user_id, max(ts) AS last_ts,
+       |         CAST(count(*) AS BIGINT) AS frequency,
+       |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+       |           AS monetary_cents
+       |  FROM p GROUP BY 1),
+       |now_ts AS (SELECT max(ts) AS now_ts FROM p)
+       |SELECT user_id,
+       |       CAST(date_diff('day', CAST(last_ts AS DATE), CAST(now_ts AS DATE))
+       |            AS BIGINT) AS recency_days,
+       |       frequency, monetary_cents,
+       |       CAST((CASE WHEN date_diff('day', CAST(last_ts AS DATE), CAST(now_ts AS DATE))
+       |                  <= ${RecencyCuts._1} THEN 2
+       |             WHEN date_diff('day', CAST(last_ts AS DATE), CAST(now_ts AS DATE))
+       |                  <= ${RecencyCuts._2} THEN 1 ELSE 0 END) * 100
+       |       + (CASE WHEN frequency >= ${FrequencyCuts._1} THEN 2
+       |               WHEN frequency >= ${FrequencyCuts._2} THEN 1 ELSE 0 END) * 10
+       |       + (CASE WHEN monetary_cents >= ${MonetaryCuts._1} THEN 2
+       |               WHEN monetary_cents >= ${MonetaryCuts._2} THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS segment
+       |FROM agg, now_ts
+       |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tumbling_window_agg" -> tumblingWindowAgg,
     "sliding_window_agg" -> slidingWindowAgg,
@@ -270,6 +344,7 @@ object Windows {
     "funnel_report" -> funnelReport,
     "retention_cohorts" -> retentionCohorts,
     "stickiness_report" -> stickinessReport,
+    "rfm_segments" -> rfmSegments,
   )
   val oracles: Map[String, String] = Map(
     "tumbling_window_agg" -> tumblingWindowAggSql,
@@ -278,5 +353,6 @@ object Windows {
     "funnel_report" -> funnelReportSql,
     "retention_cohorts" -> retentionCohortsSql,
     "stickiness_report" -> stickinessReportSql,
+    "rfm_segments" -> rfmSegmentsSql,
   )
 }
