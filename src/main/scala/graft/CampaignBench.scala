@@ -30,7 +30,10 @@ object CampaignBench {
     "dedup_threshold_sweep",
     // r19: bitext mining rides the same staged candidates (lang attach
     // is the only work past the shared pair relation)
-    "parallel_pair_mine")
+    "parallel_pair_mine",
+    // r19: the triangle census enumerates wedges over the same staged
+    // candidate relation
+    "dup_triangle_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

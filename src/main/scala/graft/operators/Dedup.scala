@@ -1602,7 +1602,83 @@ object Dedup {
        |ORDER BY is_shadowed, keep""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // X111 dup_triangle_audit — triangle census over the candidate graph
+  // ---------------------------------------------------------------------
+
+  /** Triangle census of the LSH candidate graph — the graph-shape
+    * audit between `near_dup_cluster` (connectivity) and
+    * `dup_graph_pagerank` (centrality): per node, its degree, triangle
+    * count, and exact per-mille local clustering coefficient
+    * (2·T·1000 div (deg·(deg−1))). Clique-y neighborhoods (coefficient
+    * → 1000) are true duplicate FAMILIES (every copy matches every
+    * other — safe to collapse to one canonical); star-shaped
+    * neighborhoods (coefficient → 0) are template/boilerplate hubs
+    * whose spokes match the hub but not each other — collapsing those
+    * to one doc would delete distinct content, exactly the
+    * false-merge a dedup campaign audits for before resolving
+    * clusters.
+    *
+    * Triangles by the standard ORIENTED enumeration: each triangle
+    * a < b < c counted exactly once as wedge (a→b, a→c) closed by edge
+    * (b→c) — two equi-joins on the CANDIDATE-BOUNDED oriented edge
+    * relation, so the join volume is Σ_a deg(a)² (wedges of the
+    * oriented graph, bounded by the LSH bucket structure that already
+    * bounds the pair relation itself), never corpus-shaped. Per-node
+    * counts fold the three corners in one union+agg; the session-staged
+    * signature relation is shared with the five sibling consumers. */
+  val dupTriangleAudit: Q = (spark, dir) => {
+    val e = minhashPairs(spark, dir) // oriented: doc_a < doc_b
+    val wedges = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .join(e.select(col("doc_a").as("a"), col("doc_b").as("c")), "a")
+      .filter(col("b") < col("c"))
+    val tris = wedges.join(
+      e.select(col("doc_a").as("b"), col("doc_b").as("c")), Seq("b", "c"))
+    val triPerNode = tris.select(col("a").as("doc_id"))
+      .unionByName(tris.select(col("b").as("doc_id")))
+      .unionByName(tris.select(col("c").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("doc_a").as("doc_id"))
+      .unionByName(e.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    deg.join(triPerNode, Seq("doc_id"), "left_outer")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("clustering_permille", expr(
+        "CASE WHEN degree < 2 THEN 0L " +
+          "ELSE (2 * n_triangles * 1000) div (degree * (degree - 1)) END"))
+      .select("doc_id", "degree", "n_triangles", "clustering_permille")
+      .orderBy("doc_id")
+  }
+  val dupTriangleAuditSql: String =
+    s"""WITH ${minhashCtes(NearDupesSql)},
+       |tris AS (
+       |  SELECT w.a, w.b, w.c
+       |  FROM (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+       |        FROM mh_pairs e1 JOIN mh_pairs e2 ON e1.doc_a = e2.doc_a
+       |        WHERE e1.doc_b < e2.doc_b) w
+       |  JOIN mh_pairs e3 ON e3.doc_a = w.b AND e3.doc_b = w.c),
+       |tpn AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+       |    SELECT a AS doc_id FROM tris
+       |    UNION ALL SELECT b FROM tris
+       |    UNION ALL SELECT c FROM tris)
+       |  GROUP BY 1),
+       |deg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+       |    SELECT doc_a AS doc_id FROM mh_pairs
+       |    UNION ALL SELECT doc_b FROM mh_pairs)
+       |  GROUP BY 1)
+       |SELECT deg.doc_id AS doc_id, degree,
+       |       COALESCE(n_triangles, 0) AS n_triangles,
+       |       CAST(CASE WHEN degree < 2 THEN 0
+       |            ELSE (2 * COALESCE(n_triangles, 0) * 1000)
+       |                 // (degree * (degree - 1)) END AS BIGINT)
+       |         AS clustering_permille
+       |FROM deg LEFT JOIN tpn ON tpn.doc_id = deg.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dup_triangle_audit" -> dupTriangleAudit,
     "parallel_pair_mine" -> parallelPairMine,
     "quality_dup_lift" -> qualityDupLift,
     "dup_graph_pagerank" -> dupGraphPagerank,
@@ -1623,6 +1699,7 @@ object Dedup {
     "fuzzy_fingerprint_join" -> fuzzyFingerprintJoin,
   )
   val oracles: Map[String, String] = Map(
+    "dup_triangle_audit" -> dupTriangleAuditSql,
     "parallel_pair_mine" -> parallelPairMineSql,
     "quality_dup_lift" -> qualityDupLiftSql,
     "dup_graph_pagerank" -> dupGraphPagerankSql,

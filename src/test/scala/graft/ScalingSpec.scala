@@ -240,7 +240,12 @@ class ScalingSpec extends AnyFunSuite {
       // r19: MMR — corpus × bounded-query broadcast, bounded heap +
       // per-query collect of ≤ K0 members; shuffle query-bounded
       // (~flat), wall tracks the scoring scan
-      "mmr_rerank")
+      "mmr_rerank",
+      // r19: the triangle census — two equi-joins on the candidate-
+      // bounded oriented edge relation; wedge volume is Σ deg² with
+      // degrees bounded by the LSH bucket structure, so growth should
+      // track the candidate relation's (~linear), never corpus²
+      "dup_triangle_audit")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)
