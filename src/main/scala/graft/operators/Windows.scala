@@ -337,6 +337,59 @@ object Windows {
        |FROM agg, now_ts
        |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X112 user_path_ngrams — sequential path mining over event streams
+  // ---------------------------------------------------------------------
+
+  /** Path analysis — the sequential-pattern rollup product analytics
+    * runs after the funnel: every CONSECUTIVE 3-step path a user walks
+    * (event types ordered by time within the user), counted corpus-
+    * wide with its exact per-mille share — the report that surfaces
+    * the journeys nobody designed (error → error → error loops,
+    * view → purchase shortcuts that skip the click). The path space is
+    * bounded by |event types|³, so the report is ≤ 125 rows at any
+    * corpus.
+    *
+    * Scale shape: ONE user-partitioned window (partition = one user's
+    * events, bounded by per-user activity — never corpus-sized; the
+    * session_window/asof family's audited shape) builds the two leads,
+    * then the corpus collapses in a map-combinable path count; the
+    * share denominator rides a window over the ≤ 125-row report
+    * partitioned by a constant — spelled as a partitioned window so
+    * no unpartitioned-window allowlist entry is needed. Total order
+    * (ts, event_id) makes the triples deterministic under ties. */
+  val userPathNgrams: Q = (spark, dir) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val paths = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t1"), col("t2")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+    paths
+      .withColumn("share_permille", expr(
+        "(n * 1000) div (sum(n) OVER ())"))
+      .orderBy(col("n").desc, col("path"))
+  }
+  val userPathNgramsSql: String =
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type,
+       |         lead(event_type, 1) OVER (PARTITION BY user_id
+       |                                   ORDER BY ts, event_id) AS t1,
+       |         lead(event_type, 2) OVER (PARTITION BY user_id
+       |                                   ORDER BY ts, event_id) AS t2
+       |  FROM $EV ev),
+       |paths AS (
+       |  SELECT event_type || '>' || t1 || '>' || t2 AS path,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+       |  GROUP BY 1)
+       |SELECT path, n,
+       |       CAST((n * 1000) // (sum(n) OVER ()) AS BIGINT) AS share_permille
+       |FROM paths
+       |ORDER BY n DESC, path""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tumbling_window_agg" -> tumblingWindowAgg,
     "sliding_window_agg" -> slidingWindowAgg,
@@ -345,6 +398,7 @@ object Windows {
     "retention_cohorts" -> retentionCohorts,
     "stickiness_report" -> stickinessReport,
     "rfm_segments" -> rfmSegments,
+    "user_path_ngrams" -> userPathNgrams,
   )
   val oracles: Map[String, String] = Map(
     "tumbling_window_agg" -> tumblingWindowAggSql,
@@ -354,5 +408,6 @@ object Windows {
     "retention_cohorts" -> retentionCohortsSql,
     "stickiness_report" -> stickinessReportSql,
     "rfm_segments" -> rfmSegmentsSql,
+    "user_path_ngrams" -> userPathNgramsSql,
   )
 }

@@ -64,7 +64,11 @@ class GlobalWindowSweepSpec extends AnyFunSuite {
     // r19 funnel_report: the previous-step lag runs over the 3-row
     // funnel report (bounded by the step list's length — the corpus
     // collapsed in the per-step user-keyed aggregates above it).
-    "funnel_report" -> 1)
+    "funnel_report" -> 1,
+    // r19 user_path_ngrams: the share denominator sums over the path
+    // HISTOGRAM — ≤ |event types|³ = 125 rows by construction (the
+    // corpus collapsed in the path-count aggregate above it).
+    "user_path_ngrams" -> 1)
 
   test("no registered query plans an unpartitioned window over an unbounded relation") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

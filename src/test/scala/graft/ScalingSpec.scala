@@ -245,7 +245,11 @@ class ScalingSpec extends AnyFunSuite {
       // bounded oriented edge relation; wedge volume is Σ deg² with
       // degrees bounded by the LSH bucket structure, so growth should
       // track the candidate relation's (~linear), never corpus²
-      "dup_triangle_audit")
+      "dup_triangle_audit",
+      // r19: path mining — ONE user-partitioned window (activity-
+      // bounded partitions) into a ≤125-key map-combined path count;
+      // expected ~linear in events
+      "user_path_ngrams")
   private val MaxExponent = 1.7
 
   private case class Probe(secs: Double, shuffleRows: Long)

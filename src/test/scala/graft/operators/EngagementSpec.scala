@@ -36,6 +36,26 @@ class EngagementSpec extends AnyFunSuite {
     }
   }
 
+  test("user_path_ngrams equals the brute-force per-user path census") {
+    val byUser = graft.Tables.events(spark, Dir)
+      .selectExpr("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val paths = byUser.values.flatMap { es =>
+      val order = es.sortBy(e => (e._2.getTime, e._3)).map(_._4)
+      order.sliding(3).filter(_.length == 3).map(_.mkString(">"))
+    }.toSeq
+    val total = paths.length.toLong
+    val expected = paths.groupBy(identity).map { case (p, xs) =>
+      (p, xs.size.toLong, xs.size.toLong * 1000L / total)
+    }.toSet
+    val got = SparkEntry.queries("user_path_ngrams")(spark, Dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"paths diverge: ${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
+    assert(got.size > 1 && got.size <= 125, "path space must be bounded at 5^3")
+  }
+
   test("json_props_histogram equals the brute-force extraction rollup") {
     val K = """"k"\s*:\s*(-?\d+)""".r
     val rows = events().flatMap { case (_, _, props, v) =>
