@@ -38,6 +38,7 @@ object SparkEntry {
     "graft_topk_min" -> (ch => graft.expressions.TopKMin(ch.head, ch(1), ch(2))),
     "graft_set_cap" -> (ch => graft.expressions.CappedSet(ch.head, ch(1))),
     "graft_mmr" -> (ch => graft.expressions.MmrSelect(ch.head, ch(1), ch(2))),
+    "graft_bigrams" -> (ch => graft.expressions.BigramPairs(ch.head)),
   )
 
   private def ensure(spark: SparkSession): Unit = {

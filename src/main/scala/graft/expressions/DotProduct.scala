@@ -139,5 +139,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_mmr"),
       new ExpressionInfo(classOf[MmrSelect].getName, "graft_mmr"),
       (children: Seq[Expression]) => MmrSelect(children.head, children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bigrams"),
+      new ExpressionInfo(classOf[BigramPairs].getName, "graft_bigrams"),
+      (children: Seq[Expression]) => BigramPairs(children.head)))
   }
 }

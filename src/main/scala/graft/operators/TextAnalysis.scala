@@ -373,20 +373,19 @@ object TextAnalysis {
     * `source` ride the per-doc aggregate key (both are functionally
     * dependent on doc_id — zero extra shuffle). */
   private[operators] def bigramFluency(spark: SparkSession, dir: String): DataFrame = {
+    // r19: the corpus bigram pass moved to the native
+    // [[graft.expressions.BigramPairs]] kernel. The prior zip_with
+    // spelling (itself the fix for the r14 element_at per-element
+    // re-split) ran its lambdas on the expression INTERPRETER — Spark
+    // never codegens higher-order functions — and this pass is
+    // duplicated into two AQE subtrees, so the interpreted cost was
+    // paid twice; interleaved min-of-5 at sf0.1 on the full score
+    // pipeline: 0.789 lambda vs 0.669 kernel, result-identical
+    // (docs/SCALE.md r19). Docs with < 2 tokens yield an empty array
+    // and vanish in the explode — the old filter's semantics.
     val bi = Tables.fanout(Tables.documents(spark, dir))
-      .withColumn("words", split(col("text"), " "))
-      .filter(size(col("words")) >= 2)
-      // zip_with(words, tail) rather than element_at(words, i) inside
-      // the lambda: the `words` alias inlines to `split(text)` wherever
-      // it's referenced, and a lambda-body reference re-evaluates it
-      // per ELEMENT (O(tokens²) splitting — the cdc_chunks disease,
-      // Chunking.scala). As direct HOF inputs both arrays evaluate once
-      // per row; zip_with pads the shorter side with nulls, so the one
-      // (last, null) pair is filtered — split() tokens are never null.
-      .select(col("doc_id"), col("lang"), col("source"), explode(expr(
-        """filter(zip_with(words, slice(words, 2, size(words)),
-          |         (a, b) -> struct(a AS w1, b AS w2)),
-          |       p -> p.w2 IS NOT NULL)""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(expr("graft_bigrams(text)")).as("b"))
       .select(col("doc_id"), col("lang"), col("source"),
         col("b.w1").as("w1"), col("b.w2").as("w2"))
     // c₁ as a w₁-partitioned window sum over the model relation itself:
