@@ -46,9 +46,20 @@ case class MmrSelect(first: Expression, second: Expression, third: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     if (ok(first.dataType) &&
         second.foldable && second.dataType == IntegerType &&
-        third.foldable && third.dataType == IntegerType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+        third.foldable && third.dataType == IntegerType) {
+      // both args are foldable ints, so their VALUES are evaluable here:
+      // reject a null/out-of-range k or lambda at analysis time instead
+      // of as an opaque lazy-init task failure on an executor
+      val kVal = second.eval()
+      val lpVal = third.eval()
+      if (kVal == null)
+        TypeCheckResult.TypeCheckFailure("graft_mmr: k must be a non-null int literal")
+      else if (lpVal == null ||
+          lpVal.asInstanceOf[Int] <= 0 || lpVal.asInstanceOf[Int] > 1000)
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_mmr: lambda_permille must be a non-null int literal in (0, 1000], got $lpVal")
+      else TypeCheckResult.TypeCheckSuccess
+    } else TypeCheckResult.TypeCheckFailure(
       "graft_mmr requires (array<struct<bigint, bigint, array<bigint>>> " +
         "with containsNull=false, int literal k, int literal lambda_permille), got " +
         Seq(first, second, third).map(_.dataType.simpleString).mkString(", "))

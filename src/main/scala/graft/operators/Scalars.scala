@@ -243,20 +243,27 @@ object Scalars {
     // null) bucket and drop the null row AFTER the aggregate — a
     // pre-agg `k IS NOT NULL` filter inlines the alias and runs the
     // Jackson parse a second time per row.
+    // Robustness (r18): TRY_CAST on both sides (a non-numeric k string
+    // is NULL, not an error, in either engine) and a FLOOR-aligned
+    // bucket spelled with a sign-normalized remainder — `div` truncates
+    // toward zero in Spark while DuckDB's `//` floors, so a negative k
+    // would bucket differently under the old `(k div 10) * 10`;
+    // `k - ((k % 10) + 10) % 10` floors identically in both (% is the
+    // truncation-style remainder in both engines).
     Tables.events(spark, dir).select("props", "value")
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-      .groupBy(expr("(k div 10) * 10").as("k_bucket"))
+      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS long)"))
+      .groupBy(expr("k - ((k % 10) + 10) % 10").as("k_bucket"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(38,10)")).cast("double").as("sum_value"))
       .filter(col("k_bucket").isNotNull)
       .orderBy("k_bucket")
   val jsonPropsHistogramSql: String =
-    s"""SELECT (k // 10) * 10 AS k_bucket,
+    s"""SELECT k - ((k % 10) + 10) % 10 AS k_bucket,
        |       CAST(count(*) AS BIGINT) AS n_events,
        |       CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sum_value
        |FROM (
        |  SELECT value,
-       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |         TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
        |  FROM $EV ev)
        |WHERE k IS NOT NULL
        |GROUP BY 1 ORDER BY k_bucket""".stripMargin

@@ -354,9 +354,10 @@ object Windows {
     * events, bounded by per-user activity — never corpus-sized; the
     * session_window/asof family's audited shape) builds the two leads,
     * then the corpus collapses in a map-combinable path count; the
-    * share denominator rides a window over the ≤ 125-row report
-    * partitioned by a constant — spelled as a partitioned window so
-    * no unpartitioned-window allowlist entry is needed. Total order
+    * share denominator is an UNPARTITIONED window, but over the
+    * ≤ 125-row path histogram — bounded by construction, carried on
+    * the counted `GlobalWindowSweepSpec` allowlist with exactly that
+    * argument. Total order
     * (ts, event_id) makes the triples deterministic under ties. */
   val userPathNgrams: Q = (spark, dir) => {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

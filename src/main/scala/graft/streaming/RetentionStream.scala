@@ -44,14 +44,20 @@ object RetentionStream {
   /** Epoch day of the ISO-Monday truncation of `ts` — the same
     * date_trunc('week') grid both engines use (offsets divide by 7
     * against the cohort's Monday, so no epoch-alignment constant is
-    * needed). */
+    * needed). Truncation is pinned to UTC explicitly: the batch twin
+    * runs under the session time zone Sessions.scala pins to UTC, and
+    * Timestamp.toLocalDateTime would instead read the JVM DEFAULT zone
+    * — on a non-UTC host that shifts events near local midnight into
+    * the wrong ISO week and breaks the spec-pinned streaming==batch
+    * bit equality. */
   def weekIndex(ts: Timestamp): Long = {
-    val d = ts.toLocalDateTime.toLocalDate
+    val d = java.time.LocalDate.ofInstant(ts.toInstant, java.time.ZoneOffset.UTC)
     val monday = d.minusDays(d.getDayOfWeek.getValue - 1L)
     monday.toEpochDay
   }
   private def weekTs(mondayEpochDay: Long): Timestamp =
-    Timestamp.valueOf(java.time.LocalDate.ofEpochDay(mondayEpochDay).atStartOfDay())
+    Timestamp.from(java.time.LocalDate.ofEpochDay(mondayEpochDay)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
 
   /** (cohortMondayEpochDay, emittedMask) per user. */
   private type St = (Long, Long)
