@@ -50,6 +50,10 @@ object Bench {
         }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // defensive: trained-model artifacts are campaign-only (the flag
+      // is off in this session) but an isolated run must never ride a
+      // previous run's training no matter what the conf says
+      Models.invalidate(spark)
       System.gc() // don't charge the next run for this run's garbage
       dt
     }
@@ -123,8 +127,11 @@ object Bench {
     // as the LAST stdout line so any tail window ends with one complete
     // JSON object; the per-query map stays available in the full line,
     // the stderr echo, and the durable file below.
+    // carries the structured totals (the BENCH_LOCAL schema's summary
+    // fields) so a tail-window capture still yields the parsed
+    // round-over-round comparison numbers without scraping logs
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failedArr,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$total%.3f,"total_median":$totalMedian%.3f,"n_queries":${results.size},"failed":$failedArr,"sf":"$sfDir"}"""
     // stdout gets truncated in long driver logs; echo on stderr (captured
     // separately) and keep a durable file copy. SPARK_GRAFT_BENCH_OUT
     // overrides the path so concurrent runs don't clobber each other (and

@@ -177,6 +177,16 @@ object Tables {
     df
   }
 
+  /** [[stage]] gated on the campaign flag ([[Models.Flag]]): relations
+    * whose SOLO plan measured faster UNSTAGED (the bigram-fluency
+    * crossover — concurrent AQE subtrees beat serializing behind one
+    * materialization, docs/SCALE.md r15) stage only when a campaign
+    * session opts in, so the per-query bench numbers keep the
+    * measured-best solo plan and a multi-query campaign still computes
+    * the shared relation once. Flag off → `build` returned as-is. */
+  def stageIf(spark: SparkSession, name: String)(build: => DataFrame): DataFrame =
+    if (Models.enabled(spark)) stage(spark, name)(build) else build
+
   /** Recovery seam for long-lived ad-hoc sessions: drop this session's
     * memoized readers and stage tables so the next access re-derives
     * FileIndex/schema and re-builds stages. The memo serves STALE file

@@ -403,7 +403,10 @@ object Semantic {
     // scale the scan is many-partition and fanout is a no-op
     val v = withSubs(quantShifted(
       Tables.fanout(Tables.embeddings(spark, dir)))).persist()
-    val cents = pqTrain(v)
+    // campaign sessions share the trained codebooks across the PQ
+    // family (adc topk / recall report / the streaming encoders) via
+    // the session artifact registry; solo this is a pass-through
+    val cents = graft.Models.artifact(spark, s"pq_cents:$dir")(pqTrain(v))
     if (cents.head.isEmpty)
       // EMPTY corpus → no seeds → no codebook: the (necessarily empty)
       // result with the correct schema, same trick as [[assign]]
@@ -440,12 +443,13 @@ object Semantic {
   /** Train the codebooks over `dir`'s embeddings — the frozen artifact
     * a streaming deployment ships (driver-held literals; constant size
     * M·K·SubDim longs at any corpus). */
-  private[graft] def pqTrainOn(spark: SparkSession, dir: String): Seq[Seq[(Long, Seq[Long], Long)]] = {
-    // fanout: same single-scan-partition reasoning as [[pqAdcTopk]]
-    val v = withSubs(quantShifted(
-      Tables.fanout(Tables.embeddings(spark, dir)))).persist()
-    try pqTrain(v) finally { v.unpersist(); () }
-  }
+  private[graft] def pqTrainOn(spark: SparkSession, dir: String): Seq[Seq[(Long, Seq[Long], Long)]] =
+    graft.Models.artifact(spark, s"pq_cents:$dir") {
+      // fanout: same single-scan-partition reasoning as [[pqAdcTopk]]
+      val v = withSubs(quantShifted(
+        Tables.fanout(Tables.embeddings(spark, dir)))).persist()
+      try pqTrain(v) finally { v.unpersist(); () }
+    }
 
   /** Query-side ADC tables over a PREPARED ([[withSubs]]) relation:
     * (q_id, tbl0..tblM-1) where slot cid of tbl_m holds d(q_m,
@@ -654,7 +658,8 @@ object Semantic {
     // fanout: same single-scan-partition reasoning as [[pqAdcTopk]]
     val v = withSubs(quantShifted(
       Tables.fanout(Tables.embeddings(spark, dir)))).persist()
-    val cents = pqTrain(v)
+    // shared-codebook artifact, same key as [[pqAdcTopk]]
+    val cents = graft.Models.artifact(spark, s"pq_cents:$dir")(pqTrain(v))
     if (cents.head.isEmpty)
       v.select(col("vec_id").as("q_id"), lit(0L).as("n_hits"),
         lit(0L).as("recall_permille")).filter(lit(false))

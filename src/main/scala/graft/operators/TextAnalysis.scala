@@ -371,8 +371,18 @@ object TextAnalysis {
     * n_bigrams, fluency) — [[bigramLmScore]]'s core, also consumed by
     * [[fluencyBuckets]] and [[TrainingMix.doremiWeights]]. `lang` and
     * `source` ride the per-doc aggregate key (both are functionally
-    * dependent on doc_id — zero extra shuffle). */
-  private[operators] def bigramFluency(spark: SparkSession, dir: String): DataFrame = {
+    * dependent on doc_id — zero extra shuffle).
+    *
+    * In a CAMPAIGN session ([[graft.Models.Flag]] set) the relation is
+    * session-staged so the three consumers pay the two corpus passes
+    * once, not once per query; SOLO it stays unstaged — the measured
+    * crossover (persisting serializes the query behind one
+    * materialization, losing to concurrent AQE subtrees) is in the
+    * plan Scaladoc above. */
+  private[operators] def bigramFluency(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.stageIf(spark, s"bigram_fluency:$dir")(bigramFluencyOf(spark, dir))
+
+  private def bigramFluencyOf(spark: SparkSession, dir: String): DataFrame = {
     // r19: the corpus bigram pass moved to the native
     // [[graft.expressions.BigramPairs]] kernel. The prior zip_with
     // spelling (itself the fix for the r14 element_at per-element

@@ -418,8 +418,14 @@ object TrainingMix {
     * ratio relation (b, rb) and its 1-row gram-weighted mean — shared
     * by the batch selector and the frozen-model streaming scorer
     * ([[graft.streaming.DsirStream]]). */
-  private[graft] def dsirModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    dsirModelOf(Tables.documents(spark, dir))
+  private[graft] def dsirModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // campaign sessions stage the two model relations (≤ DsirBuckets
+    // rows + 1 row) so the family's consumers train the hashed-gram
+    // model once; solo the plans stay lazy subtrees (pass-through)
+    val (model, mean) = dsirModelOf(Tables.documents(spark, dir))
+    (graft.Tables.stageIf(spark, s"dsir_model:$dir")(model),
+      graft.Tables.stageIf(spark, s"dsir_mean:$dir")(mean))
+  }
 
   /** The same trained model over an explicit docs relation — the form
     * composed pipelines train on an upstream-filtered corpus

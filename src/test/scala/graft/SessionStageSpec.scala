@@ -69,6 +69,68 @@ class SessionStageSpec extends AnyFunSuite {
     assert(!(s2 eq s1) && s2.count() > 0)
   }
 
+  test("model artifacts: pass-through with the flag off, one training with it on") {
+    val trains = new AtomicInteger(0)
+    def train: java.lang.Long = { trains.incrementAndGet(); 42L }
+    // default (flag off): every call trains — the per-query bench
+    // semantics need zero hidden cross-run state
+    assert(!Models.enabled(spark))
+    Models.artifact(spark, "spec:model")(train)
+    Models.artifact(spark, "spec:model")(train)
+    assert(trains.get() == 2, "flag off must be a transparent pass-through")
+    try {
+      spark.conf.set(Models.Flag, "true")
+      assert(Models.artifact(spark, "spec:model")(train) == 42L)
+      Models.artifact(spark, "spec:model")(train)
+      assert(trains.get() == 3, "flag on must train once per session")
+      Models.invalidate(spark)
+      Models.artifact(spark, "spec:model")(train)
+      assert(trains.get() == 4, "invalidate must force retraining")
+    } finally {
+      spark.conf.unset(Models.Flag)
+      Models.invalidate(spark)
+    }
+  }
+
+  test("stageIf: inline plan with the flag off, staged relation with it on") {
+    val base = Tables.documents(spark, Dir).select("doc_id")
+    val off = Tables.stageIf(spark, "spec:stageif")(base)
+    assert(off eq base, "flag off must return the build unchanged (no persist)")
+    try {
+      spark.conf.set(Models.Flag, "true")
+      // persist() returns the same instance, so identity can't
+      // distinguish — the storage level is the contract
+      val on = Tables.stageIf(spark, "spec:stageif")(base)
+      assert(on.storageLevel != StorageLevel.NONE,
+        "flag on must stage (persist) the relation")
+    } finally {
+      spark.conf.unset(Models.Flag)
+      Tables.invalidate(spark)
+    }
+  }
+
+  test("campaign flag does not change results: bigram + pq families are bit-equal") {
+    def collectAll(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, Dir).collect().map(_.toString).toSeq
+    val names = Seq("bigram_lm_score", "fluency_buckets", "doremi_weights",
+      "dsir_select", "pq_adc_topk", "pq_recall_report")
+    val solo = names.map(n => n -> collectAll(n)).toMap
+    try {
+      spark.conf.set(Models.Flag, "true")
+      // campaign epoch: run the family twice so later consumers ride
+      // the staged relation / trained artifact, and compare both passes
+      for (_ <- 1 to 2; n <- names)
+        assert(collectAll(n) == solo(n), s"$n diverged under the campaign flag")
+      assert(Models.artifactCount(spark) > 0,
+        "the PQ family must have registered its trained codebooks")
+    } finally {
+      spark.conf.unset(Models.Flag)
+      Models.invalidate(spark)
+      Tables.invalidate(spark)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("minhash family shares the staged signature relation across queries") {
     // prime the stage through one consumer, then every sibling's
     // ANALYZED plan must read the SAME cached relation (InMemoryRelation
