@@ -81,7 +81,7 @@ object Dedup {
 
   /** documents ∪ near-duplicate re-crawl (first word dropped) of every
     * doc. Not fanout-rebalanced — see [[withExactDupes]]. */
-  private def withNearDupes(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def withNearDupes(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select("doc_id", "text")
     d.unionByName(
       d.select((col("doc_id") + ReKeyA).as("doc_id"),
@@ -192,6 +192,21 @@ object Dedup {
     * out so consumers that ALSO read the signatures ([[minhashJaccardEstimate]])
     * can materialize them once instead of re-running the shingle+agg
     * chain per read. */
+  /** The banded key relation (doc_id, band, sig) of a signature
+    * relation — the LSH index rows. Split out of the pair enumeration
+    * so the streaming twin ([[graft.streaming.NearDupStream]]) can
+    * derive the SAME band keys for an arriving micro-batch and join
+    * them against the frozen corpus index: candidate semantics stay
+    * parity-by-shared-code. */
+  private[graft] def bandedOf(sig: DataFrame): DataFrame = {
+    val bands = (0 until NumHashes / BandRows).map { b =>
+      val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("sig"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
   private def minhashPairsFromSig(sig: DataFrame): DataFrame = {
     // grouped enumeration, not a bucket self-join: group the band
     // buckets and enumerate each bucket's pairs with the codegen'd
@@ -202,12 +217,8 @@ object Dedup {
     // work is one fused loop instead of a hash-join probe. The
     // collect_list state is bounded by the bucket size the tripwire
     // below polices.
-    val bands = (0 until NumHashes / BandRows).map { b =>
-      val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"mh$i"))
-      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("sig"))
-    }
-    sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
-      .groupBy(col("bk.band").as("band"), col("bk.sig").as("sig"))
+    bandedOf(sig)
+      .groupBy(col("band"), col("sig"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(explode(expr("graft_pairs(ids)")).as("p"))
@@ -229,6 +240,30 @@ object Dedup {
   private def stagedSig(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.stage(spark, s"minhash_sig:$dir")(
       minhashSigOf(withNearDupes(spark, dir)))
+
+  /** The FROZEN LSH index over `dir`'s near-dup corpus — the banded
+    * (doc_id, band, sig) rows of the staged signature relation. This is
+    * the artifact an incremental dedup deployment holds static while
+    * new documents stream in ([[graft.streaming.NearDupStream]]); at
+    * production scale it is the bucketed stage table the campaign
+    * already materializes. */
+  private[graft] def frozenBandRel(spark: SparkSession, dir: String): DataFrame =
+    bandedOf(stagedSig(spark, dir))
+
+  /** Candidate pairs of an arriving (doc_id, text) micro-batch against
+    * a frozen banded corpus index: band the batch with the SAME
+    * signature arithmetic ([[minhashSigOf]] → [[bandedOf]] — pure
+    * projections, no state) and equi-join on (band, sig). The batch
+    * side is broadcast — it is micro-batch-sized by construction while
+    * the index keeps its partitioning, so a batch costs one broadcast
+    * plus a map-side probe of the index at any corpus size. Stateless:
+    * the candidate set is a pure function of (batch, frozen index), so
+    * at-least-once replays re-emit identically. */
+  private[graft] def streamCandidates(batch: DataFrame, corpusBands: DataFrame): DataFrame =
+    broadcast(bandedOf(minhashSigOf(batch)))
+      .join(corpusBands.withColumnRenamed("doc_id", "cand_id"), Seq("band", "sig"))
+      .filter(col("doc_id") =!= col("cand_id"))
+      .select("doc_id", "cand_id").distinct()
 
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     minhashPairsFromSig(stagedSig(spark, dir))
