@@ -355,6 +355,72 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // X114 edit_distance_verify — exact edit-distance verification of
+  // LSH candidates
+  // ---------------------------------------------------------------------
+
+  /** Verification prefix (chars): edit distance is O(len²) PER PAIR, so
+    * the verifier scores a fixed prefix — the document head carries the
+    * near-dup signal here (the re-crawl corpus differs at the head),
+    * and a production fuzzy-verify pass caps the quadratic term the
+    * same way (or swaps to the banded O(k·len) variant for longer
+    * prefixes). */
+  private val EditPrefix = 256
+  /** Keep threshold, permille of the longer prefix. */
+  private val EditKeepMax = 200L
+
+  /** Exact Levenshtein verification over the LSH candidate pairs — the
+    * character-level verify stage [[minhashJaccardEstimate]]'s
+    * shingle-set estimator cannot express: token-REORDERING leaves
+    * shingle Jaccard near zero but edit distance sees it, and
+    * single-character churn (OCR noise, boilerplate date stamps) moves
+    * the set estimate far more than the character distance. Output per
+    * candidate pair: raw distance over the [[EditPrefix]]-char
+    * prefixes, the length-normalized permille, and the keep verdict —
+    * the relation a campaign thresholds when Jaccard and the human eye
+    * disagree.
+    *
+    * Exactness: Spark's `levenshtein` counts code points and DuckDB's
+    * counts bytes — identical on the ASCII harness corpus (asserted
+    * nowhere cheaper than here: a non-ASCII corpus needs the oracle
+    * respelled over a transliterated column). Distance, lengths, and
+    * the permille divide are exact integers.
+    *
+    * Scale shape: the O(len²) scalar runs ONLY on the candidate-bounded
+    * pair relation (never corpus²); the text join-back is two id-keyed
+    * joins of the prefix projection onto the bounded pairs (AQE owns
+    * the side choice); candidates are non-empty by the LSH contract so
+    * `greatest(len_a, len_b) > 0` (signatures need ≥ 3 words). */
+  val editDistanceVerify: Q = (spark, dir) => {
+    val txt = withNearDupes(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, EditPrefix).as("t"))
+    minhashPairs(spark, dir)
+      .join(txt.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
+      .join(txt.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("dist_permille",
+        expr("(lev * 1000L) div greatest(length(ta), length(tb))"))
+      .select(col("doc_a"), col("doc_b"), col("lev"), col("dist_permille"),
+        (col("dist_permille") <= EditKeepMax).as("is_dup"))
+      .orderBy("doc_a", "doc_b")
+  }
+  val editDistanceVerifySql: String =
+    s"""WITH ${minhashCtes(NearDupesSql)},
+       |txt AS (SELECT doc_id, substr(text, 1, $EditPrefix) AS t
+       |        FROM $NearDupesSql nd),
+       |lv AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |         CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev,
+       |         greatest(length(a.t), length(b.t)) AS mx
+       |  FROM mh_pairs p
+       |  JOIN txt a ON a.doc_id = p.doc_a
+       |  JOIN txt b ON b.doc_id = p.doc_b)
+       |SELECT doc_a, doc_b, lev,
+       |       CAST((lev * 1000) // mx AS BIGINT) AS dist_permille,
+       |       (lev * 1000) // mx <= $EditKeepMax AS is_dup
+       |FROM lv ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X90 dedup_threshold_sweep — verify-threshold precision/recall curve
   // ---------------------------------------------------------------------
 
@@ -1732,8 +1798,10 @@ object Dedup {
     "dedup_threshold_sweep" -> dedupThresholdSweep,
     "lsh_band_recall" -> lshBandRecall,
     "fuzzy_fingerprint_join" -> fuzzyFingerprintJoin,
+    "edit_distance_verify" -> editDistanceVerify,
   )
   val oracles: Map[String, String] = Map(
+    "edit_distance_verify" -> editDistanceVerifySql,
     "dup_triangle_audit" -> dupTriangleAuditSql,
     "parallel_pair_mine" -> parallelPairMineSql,
     "quality_dup_lift" -> qualityDupLiftSql,

@@ -73,25 +73,38 @@ object Layout {
       .orderBy("file_id")
   }
 
-  /** CTE suffix + final select producing the manifest over a relation
-    * `rel(doc_id, len_b, lang_b)` (caller opens the WITH). */
-  private[operators] def manifestSql(rel: String): String = {
+  /** CTE chain producing `manifest(file_id, n_rows, z_min, z_max,
+    * len_min, len_max, lang_min, lang_max)` over a relation
+    * `rel(doc_id, len_b, lang_b)` (caller opens the WITH) — shared by
+    * the two manifest-reporting queries and the compaction planner. */
+  private[operators] def manifestCtes(rel: String): String = {
     val morton = mortonSql("len_b", "lang_b")
     s"""zz AS (SELECT doc_id, len_b, lang_b, $morton AS z FROM $rel),
        |rr AS (SELECT *, (row_number() OVER (ORDER BY z, doc_id) - 1) // $RowsPerFile AS file_id
-       |      FROM zz)
-       |SELECT file_id, count(*) AS n_rows,
-       |       min(z) AS z_min, max(z) AS z_max,
-       |       min(len_b) AS len_min, max(len_b) AS len_max,
-       |       min(lang_b) AS lang_min, max(lang_b) AS lang_max
-       |FROM rr GROUP BY 1 ORDER BY file_id""".stripMargin
+       |      FROM zz),
+       |manifest AS (
+       |  SELECT file_id, count(*) AS n_rows,
+       |         min(z) AS z_min, max(z) AS z_max,
+       |         min(len_b) AS len_min, max(len_b) AS len_max,
+       |         min(lang_b) AS lang_min, max(lang_b) AS lang_max
+       |  FROM rr GROUP BY 1)""".stripMargin
   }
 
-  val zorderLayout: Q = (spark, dir) =>
-    manifestOf(Tables.documents(spark, dir)
+  /** CTE suffix + final select producing the manifest over a relation
+    * `rel(doc_id, len_b, lang_b)` (caller opens the WITH). */
+  private[operators] def manifestSql(rel: String): String =
+    s"""${manifestCtes(rel)}
+       |SELECT * FROM manifest ORDER BY file_id""".stripMargin
+
+  /** The bucketed (doc_id, len_b, lang_b) relation both layout queries
+    * cluster on. */
+  private def zorderInput(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
         least(expr(s"n_chars div 64"), lit((1 << ZBits) - 1)).as("len_b"),
-        expr(s"pmod(${Dedup.h60Sql("lang")}, ${1 << ZBits})").as("lang_b")))
+        expr(s"pmod(${Dedup.h60Sql("lang")}, ${1 << ZBits})").as("lang_b"))
+
+  val zorderLayout: Q = (spark, dir) => manifestOf(zorderInput(spark, dir))
   val zorderLayoutSql: String =
     s"""WITH d AS (
        |  SELECT doc_id,
@@ -130,12 +143,71 @@ object Layout {
          |  FROM pipe),
          |${manifestSql("d")}""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X115 compaction_plan — small-file compaction planning over a manifest
+  // ---------------------------------------------------------------------
+
+  /** Target rows per compacted output (4 source files' worth — the
+    * harness instantiation of "compact until ~1 GB"). */
+  private val CompactTarget = RowsPerFile * 4
+
+  /** The OTHER half of storage maintenance next to [[zorderLayout]]:
+    * given the Z-ordered file manifest, plan which files merge into
+    * which compaction group — the bin-packing pass behind Delta/Iceberg
+    * OPTIMIZE. Files are packed in z-order (so compaction PRESERVES the
+    * clustering the layout pass bought) by running-sum grouping:
+    * group = prefix_rows div [[CompactTarget]] — files never split, every
+    * group lands within one file of the target, and the plan is a pure
+    * function of the manifest. Output per group: file span, row count,
+    * and the z-range the group's min/max stats will carry after the
+    * rewrite.
+    *
+    * Scale shape: every aggregate here runs over the FILE MANIFEST, not
+    * the corpus — metadata-scale input (a real manifest row is a ~1 GB
+    * file, so 100 TB ≈ 10⁵ rows — the transaction-log regime every
+    * table format already serves from one node). The prefix sum is an
+    * unpartitioned window over that bounded relation (counted
+    * `GlobalWindowSweepSpec` allowlist, same class as the layout
+    * offsets window it composes with); the corpus itself collapsed in
+    * the manifest aggregate upstream. */
+  val compactionPlan: Q = (spark, dir) => {
+    val w = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding, -1)
+    manifestOf(zorderInput(spark, dir))
+      .withColumn("off", coalesce(sum(col("n_rows")).over(w), lit(0L)))
+      .withColumn("group_id", expr(s"off div $CompactTarget"))
+      .groupBy("group_id")
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+        min("file_id").as("file_min"), max("file_id").as("file_max"),
+        min("z_min").as("z_min"), max("z_max").as("z_max"))
+      .orderBy("group_id")
+  }
+  val compactionPlanSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         least(n_chars // 64, ${(1 << ZBits) - 1}) AS len_b,
+       |         ${h60Duck("lang")} % ${1 << ZBits} AS lang_b
+       |  FROM documents),
+       |${manifestCtes("d")},
+       |g AS (
+       |  SELECT *, COALESCE(sum(n_rows) OVER (ORDER BY file_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |         // $CompactTarget AS group_id
+       |  FROM manifest)
+       |SELECT CAST(group_id AS BIGINT) AS group_id,
+       |       CAST(count(*) AS BIGINT) AS n_files,
+       |       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       |       min(file_id) AS file_min, max(file_id) AS file_max,
+       |       min(z_min) AS z_min, max(z_max) AS z_max
+       |FROM g GROUP BY 1 ORDER BY group_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "zorder_layout" -> zorderLayout,
     "pipeline_layout" -> pipelineLayout,
+    "compaction_plan" -> compactionPlan,
   )
   val oracles: Map[String, String] = Map(
     "zorder_layout" -> zorderLayoutSql,
     "pipeline_layout" -> pipelineLayoutSql,
+    "compaction_plan" -> compactionPlanSql,
   )
 }

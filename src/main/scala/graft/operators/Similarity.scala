@@ -162,6 +162,115 @@ object Similarity {
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X113 rrf_fusion — hybrid lexical+dense retrieval, rank-fused
+  // ---------------------------------------------------------------------
+
+  /** Per-ranker list depth fed into the fusion. */
+  private val RrfDepth = 10
+  /** The RRF smoothing constant (Cormack et al. 2009's k = 60). */
+  private val RrfC = 60L
+  /** Fused results reported per query. */
+  private val FuseTopK = 5
+
+  /** Reciprocal-rank fusion of a LEXICAL and a DENSE retriever
+    * (Cormack, Clarke & Buettcher 2009) — the hybrid-retrieval pattern
+    * every RAG/hard-negative pipeline runs: the two rankers see
+    * different signals (shared vocabulary vs embedding geometry), and
+    * fusing by RANK sidesteps their incomparable score scales. Queries
+    * are the bounded id set < [[NumQueries]] over the ALIGNED id spaces
+    * (doc_id ≡ vec_id in the harness corpus): the lexical ranker orders
+    * candidates by distinct-token overlap with the query document, the
+    * dense ranker by exact cosine; each list is cut at [[RrfDepth]] and
+    * fused with score = Σ_lists 10⁶ div ([[RrfC]] + rank) — exact
+    * integers, so the fused ORDER is bit-deterministic cross-engine
+    * (ties → lower doc_id).
+    *
+    * Scale shape: both rankers are corpus × bounded-query broadcasts
+    * ranked by the bounded-heap `graft_topk_min` (O(partitions·q·k)
+    * shuffled rows — the cosine_topk/pq family shape); the lexical
+    * overlap count is map-combinable after an equi-join of the corpus
+    * token relation onto the BROADCAST query tokens (never corpus²);
+    * the fusion itself touches only 2·q·[[RrfDepth]] rows. */
+  val rrfFusion: Q = (spark, dir) => {
+    // dense list — cosine_topk_bruteforce's audited plan at RrfDepth
+    val e = Tables.embeddingsD(spark, dir)
+      .withColumn("norm", expr(s"sqrt(${dotSql("embedding", "embedding")})"))
+      .filter(col("norm") > 0)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val dense = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        expr(s"${dotSql("q_emb", "embedding")}") / (col("q_norm") * col("norm")))
+      .groupBy("q_id")
+      .agg(expr(s"graft_topk_min(-cos, vec_id, $RrfDepth)").as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("doc_id"), (col("pos") + 1).cast("long").as("r"))
+    // lexical list — distinct-token overlap against the query doc
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+    val lex = tok.join(broadcast(tok.filter(col("doc_id") < NumQueries)
+        .select(col("doc_id").as("q_id"), col("w"))), Seq("w"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id").agg(count(lit(1)).as("ov"))
+      .groupBy("q_id")
+      .agg(expr(s"graft_topk_min(-ov, doc_id, $RrfDepth)").as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("doc_id"), (col("pos") + 1).cast("long").as("r"))
+    dense.unionByName(lex)
+      .withColumn("c", expr(s"1000000L div ($RrfC + r)"))
+      .groupBy("q_id", "doc_id").agg(sum(col("c")).as("rrf_score"))
+      .groupBy("q_id")
+      .agg(expr(s"graft_topk_min(-rrf_score, doc_id, $FuseTopK)").as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("doc_id"), (-col("t.key")).as("rrf_score"))
+      .orderBy("q_id", "rank")
+  }
+  val rrfFusionSql: String =
+    s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
+       |  sqrt(${dotDuck("embedding", "embedding")}) AS norm FROM $EmbD)
+       |  WHERE norm > 0),
+       |dscored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+       |         ${dotDuck("q.embedding", "c.embedding")} / (q.norm * c.norm) AS cos
+       |  FROM e q JOIN e c ON q.vec_id < $NumQueries AND c.vec_id <> q.vec_id),
+       |dense AS (
+       |  SELECT q_id, doc_id, r FROM (
+       |    SELECT q_id, doc_id,
+       |           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id)
+       |                AS BIGINT) AS r
+       |    FROM dscored)
+       |  WHERE r <= $RrfDepth),
+       |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+       |        FROM documents),
+       |lexov AS (
+       |  SELECT q.doc_id AS q_id, t.doc_id, count(*) AS ov
+       |  FROM tok t JOIN tok q USING (w)
+       |  WHERE q.doc_id < $NumQueries AND t.doc_id <> q.doc_id
+       |  GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT q_id, doc_id, r FROM (
+       |    SELECT q_id, doc_id,
+       |           CAST(row_number() OVER (PARTITION BY q_id ORDER BY ov DESC, doc_id)
+       |                AS BIGINT) AS r
+       |    FROM lexov)
+       |  WHERE r <= $RrfDepth),
+       |contrib AS (
+       |  SELECT q_id, doc_id, 1000000 // ($RrfC + r) AS c FROM dense
+       |  UNION ALL
+       |  SELECT q_id, doc_id, 1000000 // ($RrfC + r) AS c FROM lex),
+       |fused AS (
+       |  SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_score
+       |  FROM contrib GROUP BY 1, 2)
+       |SELECT q_id, rank, doc_id, rrf_score FROM (
+       |  SELECT q_id, doc_id, rrf_score,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |                ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM fused)
+       |WHERE rank <= $FuseTopK ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   // 2. embedding_cosine_near_dup
   // ---------------------------------------------------------------------
 
@@ -1054,6 +1163,7 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    "rrf_fusion" -> rrfFusion,
     "mmr_rerank" -> mmrRerank,
     "embedding_moments" -> embeddingMoments,
     "cosine_topk_bruteforce" -> cosineTopkBruteforce,
@@ -1068,6 +1178,7 @@ object Similarity {
     "embedding_audit" -> embeddingAudit,
   )
   val oracles: Map[String, String] = Map(
+    "rrf_fusion" -> rrfFusionSql,
     "mmr_rerank" -> mmrRerankSql,
     "embedding_moments" -> embeddingMomentsSql,
     "cosine_topk_bruteforce" -> cosineTopkBruteforceSql,

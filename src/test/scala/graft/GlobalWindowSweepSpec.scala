@@ -68,7 +68,12 @@ class GlobalWindowSweepSpec extends AnyFunSuite {
     // r19 user_path_ngrams: the share denominator sums over the path
     // HISTOGRAM — ≤ |event types|³ = 125 rows by construction (the
     // corpus collapsed in the path-count aggregate above it).
-    "user_path_ngrams" -> 1)
+    "user_path_ngrams" -> 1,
+    // r20 compaction_plan: the layout offsets window (zorder_layout's
+    // allowlisted cell-manifest prefix sum) plus the compaction
+    // running-sum — both over the FILE MANIFEST, metadata-scale by the
+    // ~1 GB-per-file argument in the op's scaladoc.
+    "compaction_plan" -> 2)
 
   test("no registered query plans an unpartitioned window over an unbounded relation") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -67,6 +67,10 @@ class NestedLoopSweepSpec extends AnyFunSuite {
     * fails. */
   private val BoundedByConstruction = Map(
     "cosine_topk_bruteforce" -> 1,
+    // r20 rrf_fusion: the dense ranker is the cosine_topk_bruteforce
+    // shape verbatim — corpus × the same bounded (< NumQueries)
+    // broadcast query set; the lexical ranker is an equi-join on token.
+    "rrf_fusion" -> 1,
     "ann_ivf_topk" -> 2,
     // X70: `crossJoin(broadcast(qrel))` — the hinted side is the ADC
     // query relation, `vec_id < PqQueries` (10 rows at any corpus size)
