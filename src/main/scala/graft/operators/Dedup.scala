@@ -394,15 +394,27 @@ object Dedup {
   val editDistanceVerify: Q = (spark, dir) => {
     val txt = withNearDupes(spark, dir)
       .select(col("doc_id"), substring(col("text"), 1, EditPrefix).as("t"))
-    minhashPairs(spark, dir)
+    // Two deliberate physical moves around the O(len²) scalar:
+    //  - repartition(par) BEFORE the lev projection: the pair relation
+    //    is AQE-coalesced by BYTES (a few KB of ids+prefixes → 3
+    //    partitions at sf0.1), but levenshtein's CPU-per-byte is ~256×
+    //    a normal projection, so byte-targeted coalescing serializes
+    //    the one genuinely hot stage (measured 2×1.2 s walls over 3
+    //    tasks, r18 profile); the shuffle moved is candidate-bounded.
+    //  - persist BEFORE the global sort: orderBy's RangePartitioner
+    //    sampling pass re-executes its child, which here means paying
+    //    every edit distance twice.
+    val scored = minhashPairs(spark, dir)
       .join(txt.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
       .join(txt.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
       .withColumn("dist_permille",
         expr("(lev * 1000L) div greatest(length(ta), length(tb))"))
       .select(col("doc_a"), col("doc_b"), col("lev"), col("dist_permille"),
         (col("dist_permille") <= EditKeepMax).as("is_dup"))
-      .orderBy("doc_a", "doc_b")
+      .persist()
+    scored.orderBy("doc_a", "doc_b")
   }
   val editDistanceVerifySql: String =
     s"""WITH ${minhashCtes(NearDupesSql)},

@@ -321,20 +321,37 @@ object Semantic {
     array_min(array(ds: _*))
   }
 
-  /** Train the [[PqM]] codebooks: the SAME Lloyd shape as [[kmeans]]
-    * (driver-collected K·SubDim-long state per round, per-row work
-    * distributed), with all four subspaces' centroid updates fused into
-    * ONE aggregate job — the (m, cid_m, qs_m) triples explode 4 rows per
-    * vector into a single (m, cid)-keyed map-combinable sum, so a round
-    * costs one shuffle regardless of M. Seeds: the [[PqK]] vectors with
-    * the smallest md5(vec_id) (the kmeans draw), sliced per subspace —
-    * every engine replays the identical draw. A centroid that loses all
-    * members disappears from the update aggregate (and from the oracle's
-    * c1 CTE) — codes only ever reference surviving cids. */
+  /** Codebook TRAINING SET bound: the [[PqTrainN]] vectors with the
+    * smallest md5(vec_id). PQ codebooks are trained on a bounded sample
+    * in every production deployment (Jégou et al. 2011 §V trains on a
+    * learning subset disjoint concerns from the indexed set; faiss's
+    * `train()` takes a sample, not the corpus) — a codebook is an
+    * O(M·K·SubDim) model, and its quality saturates long before the
+    * sample stops fitting in one driver heap. Deterministic: the same
+    * md5 draw as the seeds, so every engine replays the identical
+    * sample. */
+  private val PqTrainN = 512
+
+  /** Train the [[PqM]] codebooks on the [[PqTrainN]]-vector sample:
+    * ONE bounded top-N collect (map-side partial top-N — O(sample)
+    * rows ever reach the driver at any corpus size), then the Lloyd
+    * rounds run driver-side over the sample with the exact integer
+    * arithmetic of the distributed encode path (d = ‖sub−c‖² on
+    * quantized longs, assignment ties → lowest cid, update mean =
+    * floor-division matching the oracle's `//`). The r17 spelling ran
+    * each update round as a corpus-wide Spark job; at sf0.1 those job
+    * constants were ~40% of the query (docs/SCALE.md r18 ledger), and
+    * at 100 TB a full-corpus pass per Lloyd round is exactly what
+    * sample training exists to avoid. Seeds: the first [[PqK]] sample
+    * vectors (unchanged draw). A centroid that loses all sample
+    * members disappears from the update (and from the oracle's c1
+    * CTE) — codes only ever reference surviving cids. */
   private[operators] def pqTrain(v: DataFrame): Seq[Seq[(Long, Seq[Long], Long)]] = {
-    val seeds = v.withColumn("mh", md5(col("vec_id").cast("string")))
-      .orderBy("mh").limit(PqK).select("q").collect().toSeq
-      .map(_.getSeq[Long](0))
+    val sample = v.withColumn("mh", md5(col("vec_id").cast("string")))
+      .orderBy("mh").limit(PqTrainN).select("mh", "q").collect().toSeq
+      .sortBy(_.getString(0))
+      .map(_.getSeq[Long](1))
+    val seeds = sample.take(PqK)
     var cents: Seq[Seq[(Long, Seq[Long], Long)]] = (0 until PqM).map { m =>
       seeds.zipWithIndex.map { case (q, i) =>
         val c = q.slice(m * PqSubDim, (m + 1) * PqSubDim)
@@ -342,25 +359,23 @@ object Semantic {
       }
     }
     if (seeds.isEmpty) return cents
+    val subs: Seq[Seq[Seq[Long]]] = (0 until PqM).map { m =>
+      sample.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim))
+    }
     for (_ <- 2 to Iters) {
-      val withCid = (0 until PqM).foldLeft(v) { (df, m) =>
-        df.withColumn(s"cid$m", pqBest(m, cents(m)).getField("cid"))
-      }
-      val ex = withCid.select(explode(array((0 until PqM).map(m =>
-        struct(lit(m.toLong).as("m"), col(s"cid$m").as("cid"),
-          col(s"qs$m").as("qs"))): _*)).as("e"))
-        .select(col("e.m").as("m"), col("e.cid").as("cid"), col("e.qs").as("qs"))
-      val sums = (0 until PqSubDim).map(i => sum(col("qs").getItem(i)).as(s"s$i"))
-      val rows = ex.groupBy("m", "cid")
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .select(col("m"), col("cid"),
-          array((0 until PqSubDim).map(i => expr(s"s$i div n")): _*).as("c"))
-        .withColumn("nc", expr("graft_doti(c, c)"))
-        .collect().toSeq
       cents = (0 until PqM).map { m =>
-        rows.filter(_.getLong(0) == m.toLong)
-          .map(r => (r.getLong(1), r.getSeq[Long](2), r.getLong(3)))
-          .sortBy(_._1)
+        val assigned = subs(m).map { sub =>
+          val best = cents(m).minBy { case (cid, c, _) =>
+            (sub.lazyZip(c).map((a, b) => (a - b) * (a - b)).sum, cid)
+          }
+          (best._1, sub)
+        }
+        assigned.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, members) =>
+          val n = members.size.toLong
+          val c = (0 until PqSubDim).map(i =>
+            Math.floorDiv(members.iterator.map(_._2(i)).sum, n)).toSeq
+          (cid, c, c.map(x => x * x).sum)
+        }
       }
     }
     cents
@@ -445,10 +460,10 @@ object Semantic {
     * M·K·SubDim longs at any corpus). */
   private[graft] def pqTrainOn(spark: SparkSession, dir: String): Seq[Seq[(Long, Seq[Long], Long)]] =
     graft.Models.artifact(spark, s"pq_cents:$dir") {
-      // fanout: same single-scan-partition reasoning as [[pqAdcTopk]]
-      val v = withSubs(quantShifted(
-        Tables.fanout(Tables.embeddings(spark, dir)))).persist()
-      try pqTrain(v) finally { v.unpersist(); () }
+      // fanout: same single-scan-partition reasoning as [[pqAdcTopk]];
+      // no persist — training is ONE bounded top-N collect now
+      pqTrain(withSubs(quantShifted(
+        Tables.fanout(Tables.embeddings(spark, dir)))))
     }
 
   /** Query-side ADC tables over a PREPARED ([[withSubs]]) relation:
@@ -529,7 +544,7 @@ object Semantic {
       s"""c0_$m AS (SELECT cid, ${subSlice("q", m)} AS c FROM seeds),
          |d1_$m AS (
          |  SELECT v.vec_id, c.cid, ${dist(s"${subSlice("v.q", m)}", "c.c")} AS d
-         |  FROM quant v CROSS JOIN c0_$m c),
+         |  FROM train v CROSS JOIN c0_$m c),
          |a1_$m AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
@@ -540,7 +555,7 @@ object Semantic {
          |  SELECT cid, list(cv ORDER BY pos) AS c FROM (
          |    SELECT a.cid, r.i AS pos,
          |           sum(v.q[${m * PqSubDim} + r.i]) // count(*) AS cv
-         |    FROM a1_$m a JOIN quant v USING (vec_id)
+         |    FROM a1_$m a JOIN train v USING (vec_id)
          |    CROSS JOIN range(1, ${PqSubDim + 1}) r(i)
          |    GROUP BY 1, 2)
          |  GROUP BY 1),
@@ -565,10 +580,13 @@ object Semantic {
        |         list_transform(embedding,
        |           x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT) + $QShift) AS q
        |  FROM embeddings),
+       |train AS (
+       |  SELECT vec_id, q
+       |  FROM quant ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $PqTrainN),
        |seeds AS (
        |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
        |              AS BIGINT) AS cid, q
-       |  FROM quant ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $PqK),
+       |  FROM train ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $PqK),
        |$perSub,
        |qv AS (SELECT vec_id AS q_id, q FROM quant WHERE vec_id < $PqQueries),
        |scored AS (
