@@ -1239,7 +1239,93 @@ object Curation {
        |FROM header, keeps""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // X119 percentile_rank_norm — exact per-source percentile rank, no
+  // corpus-sorted window
+  // ---------------------------------------------------------------------
+
+  /** Exact per-source percentile rank (per-mille) of every document's
+    * length — the score-NORMALIZATION pass a multi-source curation
+    * pipeline runs before mixing: raw scores aren't comparable across
+    * sources (a "long" doc from a tweet source is a short one from a
+    * book source), rank within source is. rank_permille =
+    * ⌊1000 · |{docs in source with smaller score}| / (n_source − 1)⌋
+    * (0 for a singleton source — no peers, no evidence).
+    *
+    * Scale shape — the POINT of this operator: the naive spelling is
+    * `percent_rank() OVER (PARTITION BY source ORDER BY score)`, a
+    * corpus-sized sort partition per source (the exact shape the rest
+    * of this engine avoids). This spelling never sorts the corpus: the
+    * corpus collapses into a (source, score) HISTOGRAM (bounded by the
+    * score domain × sources, not by rows), one cumulative window runs
+    * over that bounded histogram, and the ranks join back score-keyed
+    * (broadcast-sized). Bit-identical to the naive window — the oracle
+    * IS the naive window. Same pattern as `global_row_index` (X117). */
+  val percentileRankNorm: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val d = Tables.documents(spark, dir).select("doc_id", "source", "n_chars")
+    val hist = d.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+    val bySrc = W.partitionBy("source").orderBy("n_chars")
+    val ranked = hist
+      .withColumn("below", coalesce(sum(col("c")).over(
+        bySrc.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_src", sum(col("c")).over(
+        W.partitionBy("source").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      .select(col("source"), col("n_chars"),
+        expr("CASE WHEN n_src <= 1 THEN 0L ELSE (below * 1000) div (n_src - 1) END")
+          .as("rank_permille"))
+    d.join(ranked, Seq("source", "n_chars"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rank_permille"))
+      .orderBy("doc_id")
+  }
+  val percentileRankNormSql: String =
+    """SELECT doc_id, source, n_chars,
+      |       CAST(CASE WHEN n_src <= 1 THEN 0
+      |                 ELSE (below * 1000) // (n_src - 1) END AS BIGINT)
+      |         AS rank_permille
+      |FROM (
+      |  SELECT doc_id, source, n_chars,
+      |         rank() OVER (PARTITION BY source ORDER BY n_chars) - 1 AS below,
+      |         count(*) OVER (PARTITION BY source) AS n_src
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X125 k_anonymity_audit — quasi-identifier group-size audit
+  // ---------------------------------------------------------------------
+
+  /** k for the k-anonymity bar. */
+  private val KAnon = 5L
+
+  /** k-anonymity audit over the corpus's quasi-identifiers (lang,
+    * source, length bucket): every equivalence class with its size and
+    * the k ≥ 5 verdict — the governance gate a dataset release runs
+    * before publishing per-group statistics (a class smaller than k
+    * re-identifies its members; those groups get suppressed or
+    * generalized). Length buckets at 100-char granularity keep the
+    * identifier space meaningfully coarse.
+    *
+    * Scale shape: ONE map-combinable groupBy over row-local derived
+    * keys; the report is bounded by the identifier domain (langs ×
+    * sources × buckets), never corpus-sized. */
+  val kAnonymityAudit: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .withColumn("len_bucket", expr("n_chars div 100"))
+      .groupBy("lang", "source", "len_bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_safe", col("n") >= KAnon)
+      .orderBy("lang", "source", "len_bucket")
+  val kAnonymityAuditSql: String =
+    s"""SELECT lang, source, n_chars // 100 AS len_bucket,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       count(*) >= $KAnon AS is_safe
+       |FROM documents
+       |GROUP BY 1, 2, 3
+       |ORDER BY lang, source, len_bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "percentile_rank_norm" -> percentileRankNorm,
+    "k_anonymity_audit" -> kAnonymityAudit,
     "dataset_card_report" -> datasetCardReport,
     "quality_calibration_bins" -> qualityCalibrationBins,
     "filter_ablation_matrix" -> filterAblationMatrix,
@@ -1258,6 +1344,8 @@ object Curation {
     "source_unigram_drift" -> sourceUnigramDrift,
   )
   val oracles: Map[String, String] = Map(
+    "percentile_rank_norm" -> percentileRankNormSql,
+    "k_anonymity_audit" -> kAnonymityAuditSql,
     "dataset_card_report" -> datasetCardReportSql,
     "quality_calibration_bins" -> qualityCalibrationBinsSql,
     "filter_ablation_matrix" -> filterAblationMatrixSql,

@@ -700,7 +700,56 @@ object Indexing {
        |       CAST(sum(tf * idf_m) // sum(tf) AS BIGINT) AS specificity_permille
        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X122 join_skew_diagnose — pre-flight key-skew audit
+  // ---------------------------------------------------------------------
+
+  /** Target rows per task for the salt-sizing recommendation. */
+  val SkewTargetRows = 1024L
+
+  /** Pre-flight skew audit for [[saltedSkewJoin]]'s term-keyed join —
+    * the diagnostic a campaign runs BEFORE choosing salt fanout: the
+    * 20 heaviest join keys by posting size, each with its exact
+    * per-mille share of total join volume and the salt-bucket count
+    * that caps its per-task rows at [[SkewTargetRows]]. Zipf-skewed
+    * corpora concentrate a constant fraction of the posting volume in
+    * a handful of stopword keys; this report is where `SaltBuckets=8`
+    * comes FROM rather than a constant asserted in a comment.
+    *
+    * Scale shape: the corpus collapses in the shared (doc, term, tf)
+    * agg, the vocab-sized df relation ranks via `orderBy.limit` —
+    * physical `TakeOrderedAndProject`, map-side partial top-k, no
+    * vocab-wide sort shuffle — and the total attaches as a broadcast
+    * 1-row relation. Output is 20 rows at any corpus size. */
+  val joinSkewDiagnose: Q = (spark, dir) => {
+    val tf = tfRel(spark, dir)
+    val perKey = tf.groupBy("term").agg(count(lit(1)).as("left_rows"))
+    val total = perKey.agg(sum(col("left_rows")).as("total_rows"))
+    perKey.crossJoin(broadcast(total))
+      .withColumn("share_permille", expr("(left_rows * 1000) div total_rows"))
+      .withColumn("salt_buckets_needed",
+        expr(s"(left_rows + $SkewTargetRows - 1) div $SkewTargetRows"))
+      .select("term", "left_rows", "share_permille", "salt_buckets_needed")
+      .orderBy(desc("left_rows"), col("term"))
+      .limit(20)
+  }
+  val joinSkewDiagnoseSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY 1, 2),
+       |pk AS (SELECT term, CAST(count(*) AS BIGINT) AS left_rows FROM tf GROUP BY 1),
+       |t AS (SELECT sum(left_rows) AS total_rows FROM pk)
+       |SELECT term, left_rows,
+       |       CAST((left_rows * 1000) // total_rows AS BIGINT) AS share_permille,
+       |       CAST((left_rows + $SkewTargetRows - 1) // $SkewTargetRows AS BIGINT)
+       |         AS salt_buckets_needed
+       |FROM pk CROSS JOIN t
+       |ORDER BY left_rows DESC, term
+       |LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "join_skew_diagnose" -> joinSkewDiagnose,
     "salted_skew_join" -> saltedSkewJoin,
     "tfidf_topk" -> tfidfTopk,
     "inverted_index" -> invertedIndex,
@@ -713,6 +762,7 @@ object Indexing {
     "vocab_pareto_curve" -> vocabParetoCurve,
   )
   val oracles: Map[String, String] = Map(
+    "join_skew_diagnose" -> joinSkewDiagnoseSql,
     "salted_skew_join" -> saltedSkewJoinSql,
     "tfidf_topk" -> tfidfTopkSql,
     "inverted_index" -> invertedIndexSql,

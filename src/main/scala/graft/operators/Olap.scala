@@ -228,7 +228,43 @@ object Olap {
        |ORDER BY col_name""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // X124 grouping_sets_report — explicit GROUPING SETS with grouping_id
+  // ---------------------------------------------------------------------
+
+  /** Explicit GROUPING SETS — the general form `rollup_agg`/`cube_agg`
+    * are shorthands of: exactly the four groupings ((lang, source),
+    * (lang), (source), ()) in one pass, disambiguated by
+    * `grouping_id()` (a NULL key cell could be a real NULL or a
+    * rolled-up cell; the gid bitmask is the only sound discriminator,
+    * and both engines define it identically: bit set = column rolled
+    * up). Completes the OLAP grouping family with the shape BI tools
+    * actually emit.
+    *
+    * Scale shape: Spark expands grouping sets in ONE Expand+hash-agg
+    * pass (4× row multiplication before partial aggregation, map-side
+    * combinable) — the same physical shape as cube/rollup, one
+    * shuffle. */
+  val groupingSetsReport: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("lang")),
+          Seq(col("source")), Seq.empty),
+        col("lang"), col("source"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"))
+      .select("gid", "lang", "source", "n_docs", "chars")
+      .orderBy("gid", "lang", "source")
+  val groupingSetsReportSql: String =
+    """SELECT CAST(grouping(lang, source) AS BIGINT) AS gid, lang, source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents
+      |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+      |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "grouping_sets_report" -> groupingSetsReport,
     "rollup_agg" -> rollupAgg,
     "cube_agg" -> cubeAgg,
     "pivot_wide" -> pivotWide,
@@ -237,6 +273,7 @@ object Olap {
     "profile_table" -> profileTable,
   )
   val oracles: Map[String, String] = Map(
+    "grouping_sets_report" -> groupingSetsReportSql,
     "rollup_agg" -> rollupAggSql,
     "cube_agg" -> cubeAggSql,
     "pivot_wide" -> pivotWideSql,

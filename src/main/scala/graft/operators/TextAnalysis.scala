@@ -915,7 +915,72 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // X123 stopword_discovery — corpus-derived stopword candidates
+  // ---------------------------------------------------------------------
+
+  /** Minimum per-source document-frequency share (per-mille) for a
+    * stopword candidate. */
+  private val StopDfPermille = 300L
+
+  /** Corpus-DERIVED stopword discovery: terms whose document frequency
+    * is high in EVERY source (min over sources of per-source df share
+    * ≥ [[StopDfPermille]]‰, present in all sources) — the empirical
+    * replacement for a hand-curated stopword list, and the input the
+    * tf-idf / BM25 family's vocabulary pruning actually wants. A term
+    * frequent in one source but absent elsewhere is a DOMAIN term (the
+    * exact complement of `source_ngram_specificity`'s output), not a
+    * stopword; the min-share gate is what separates the two.
+    *
+    * Scale shape: explode to DISTINCT (doc, term) pairs (shingle-family
+    * row volume), collapse to the (source, term) df relation — bounded
+    * by vocabulary × sources, not corpus — then a broadcast join of the
+    * per-source doc totals and ONE term-keyed min/count agg. No
+    * windows, no corpus-sized join. */
+  val stopwordDiscovery: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir)
+    val totals = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val df = d.select(col("doc_id"), col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("df"))
+    // |sources| attached as a broadcast 1-row relation (the scalar-attach
+    // pattern) — a .count() here would run a job at construction time
+    val allSources = d.agg(countDistinct(col("source")).as("all_sources"))
+    df.join(broadcast(totals), "source")
+      .withColumn("share", expr("(df * 1000) div n_docs"))
+      .groupBy("term")
+      .agg(min(col("share")).as("min_share_permille"),
+        count(lit(1)).as("n_sources"), sum(col("df")).as("df_total"))
+      .crossJoin(broadcast(allSources))
+      .filter(col("n_sources") === col("all_sources") &&
+        col("min_share_permille") >= StopDfPermille)
+      .select("term", "min_share_permille", "df_total")
+      .orderBy(desc("min_share_permille"), col("term"))
+  }
+  val stopwordDiscoverySql: String =
+    s"""WITH totals AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY 1),
+       |df AS (
+       |  SELECT source, term, CAST(count(*) AS BIGINT) AS df FROM (
+       |    SELECT DISTINCT doc_id, source,
+       |           unnest(string_split(text, ' ')) AS term
+       |    FROM documents)
+       |  GROUP BY 1, 2),
+       |shares AS (
+       |  SELECT term, min((df * 1000) // n_docs) AS min_share_permille,
+       |         count(*) AS n_sources, sum(df) AS df_total
+       |  FROM df JOIN totals USING (source)
+       |  GROUP BY 1)
+       |SELECT term, CAST(min_share_permille AS BIGINT) AS min_share_permille,
+       |       CAST(df_total AS BIGINT) AS df_total
+       |FROM shares
+       |WHERE n_sources = (SELECT count(*) FROM totals)
+       |  AND min_share_permille >= $StopDfPermille
+       |ORDER BY min_share_permille DESC, term""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "stopword_discovery" -> stopwordDiscovery,
     "source_ngram_specificity" -> sourceNgramSpecificity,
     "vocab_growth_curve" -> vocabGrowthCurve,
     "top_terms_per_lang" -> topTermsPerLang,
@@ -934,6 +999,7 @@ object TextAnalysis {
     "topic_lexicon_assign" -> topicLexiconAssign,
   )
   val oracles: Map[String, String] = Map(
+    "stopword_discovery" -> stopwordDiscoverySql,
     "source_ngram_specificity" -> sourceNgramSpecificitySql,
     "vocab_growth_curve" -> vocabGrowthCurveSql,
     "top_terms_per_lang" -> topTermsPerLangSql,

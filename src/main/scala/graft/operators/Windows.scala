@@ -391,6 +391,160 @@ object Windows {
        |FROM paths
        |ORDER BY n DESC, path""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X120 anomaly_mad — MAD-based daily-volume anomaly detection
+  // ---------------------------------------------------------------------
+
+  /** Robust per-type daily-volume anomaly flags: for every (event_type,
+    * day) count, the type's DISCRETE median daily count, the median
+    * absolute deviation (MAD — the robust spread estimate outliers
+    * can't poison, unlike stddev), and the 3-MAD verdict. The
+    * monitoring pass an ingest pipeline runs over its own event stream:
+    * a day whose volume sits > 3 MADs from the type's median is a
+    * burst or an outage, not noise.
+    *
+    * Exactness: counts are ints; the median is the explicit LOWER
+    * median — `sort(ns)[(cnt+1) div 2]`, 1-based — spelled as element
+    * picks in BOTH engines (DuckDB's `quantile_disc`/Spark's
+    * interpolating `percentile` each have their own convention; an
+    * explicit index has neither). Verdict `|n−med| > 3·mad` is integer
+    * arithmetic; mad = 0 (a perfectly flat type) flags ANY deviation,
+    * which is the correct reading of a constant-rate stream.
+    *
+    * Scale shape: the corpus collapses in ONE map-combinable
+    * (type, day) count; everything downstream runs on that bounded
+    * histogram (rows = types × days — time-range-bounded metadata, the
+    * compaction_plan regime): two collect_list medians per type over
+    * day-bounded lists, one broadcast join back. No corpus-sized
+    * window, no second scan. */
+  val anomalyMad: Q = (spark, dir) => {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val med = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(col("n"))).as("ns"))
+      .select(col("event_type"),
+        element_at(col("ns"), ((size(col("ns")) + 1) / 2).cast("int")).as("med"))
+    val withMed = daily.join(broadcast(med), "event_type")
+      .withColumn("ad", abs(col("n") - col("med")))
+    val mad = withMed.groupBy("event_type")
+      .agg(sort_array(collect_list(col("ad"))).as("ads"))
+      .select(col("event_type"),
+        element_at(col("ads"), ((size(col("ads")) + 1) / 2).cast("int")).as("mad"))
+    withMed.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("day"), col("n"), col("med"), col("mad"),
+        (abs(col("n") - col("med")) > lit(3L) * col("mad")).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+  val anomalyMadSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |med AS (
+       |  SELECT event_type, ns[CAST((len(ns) + 1) // 2 AS INT)] AS med
+       |  FROM (SELECT event_type, list_sort(list(n)) AS ns FROM daily GROUP BY 1)),
+       |wm AS (
+       |  SELECT d.*, m.med, abs(d.n - m.med) AS ad
+       |  FROM daily d JOIN med m USING (event_type)),
+       |mad AS (
+       |  SELECT event_type, ads[CAST((len(ads) + 1) // 2 AS INT)] AS mad
+       |  FROM (SELECT event_type, list_sort(list(ad)) AS ads FROM wm GROUP BY 1))
+       |SELECT wm.event_type, wm.day, wm.n, wm.med, mad.mad,
+       |       abs(wm.n - wm.med) > 3 * mad.mad AS is_anomaly
+       |FROM wm JOIN mad USING (event_type)
+       |ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X121 scd2_history — type-2 slowly-changing-dimension build
+  // ---------------------------------------------------------------------
+
+  /** SCD type-2 dimension build from a change stream — the warehouse
+    * primitive behind every `dim_*_history` table: per user, collapse
+    * consecutive same-type events into versions and interval-ize them
+    * as [valid_from, valid_to) with an is_current flag and a dense
+    * version number. The reference's upsert sinks keep ONLY the latest
+    * row (type-1); this is the audited-history counterpart a 100 TB
+    * warehouse actually maintains.
+    *
+    * Scale shape: two user-partitioned windows (lag to find change
+    * points, lead over the SURVIVING change rows to close intervals) —
+    * partitions bounded by per-user activity, the session_window
+    * family's audited shape; no join, no corpus-sized partition. Total
+    * order pinned by (user_id, version). */
+  val scd2History: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val byUser = W.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val changes = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    val byUser2 = W.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUser2))
+      .withColumn("version", row_number().over(byUser2).cast("long"))
+      .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+        col("valid_to"), col("version"), col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+  val scd2HistorySql: String =
+    s"""WITH ordered AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+       |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |changes AS (
+       |  SELECT * FROM ordered WHERE prev IS NULL OR prev <> event_type)
+       |SELECT user_id, event_type, ts AS valid_from,
+       |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+       |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+       |FROM changes
+       |ORDER BY user_id, version""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X126 markov_transitions — first-order event-type transition matrix
+  // ---------------------------------------------------------------------
+
+  /** First-order Markov transition matrix over user journeys: for every
+    * (prev, next) consecutive event-type pair (ordered within user),
+    * the count and the exact per-mille conditional probability
+    * P(next | prev). [[userPathNgrams]] surfaces frequent 3-step PATHS;
+    * this is the normalized MODEL those paths sample from — the
+    * matrix product analytics fits for next-action prediction and
+    * anomaly scoring.
+    *
+    * Scale shape: one user-partitioned lead window (activity-bounded
+    * partitions), then the corpus collapses in a map-combinable
+    * (prev, next) count; the conditional share is a prev-partitioned
+    * window over the ≤ |types|² matrix — bounded by construction. */
+  val markovTransitions: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val byUser = W.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("prev_type"))
+      .withColumn("next_type", lead(col("prev_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+      .withColumn("p_permille",
+        expr("n * 1000 div sum(n) OVER (PARTITION BY prev_type)").cast("long"))
+      .select(col("prev_type"), col("next_type"), col("n"), col("p_permille"))
+      .orderBy("prev_type", "next_type")
+  }
+  val markovTransitionsSql: String =
+    s"""WITH seq AS (
+       |  SELECT event_type AS prev_type,
+       |         lead(event_type) OVER (PARTITION BY user_id
+       |                                ORDER BY ts, event_id) AS next_type
+       |  FROM $EV ev),
+       |m AS (
+       |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+       |SELECT prev_type, next_type, n,
+       |       CAST(n * 1000 // (sum(n) OVER (PARTITION BY prev_type)) AS BIGINT) AS p_permille
+       |FROM m
+       |ORDER BY prev_type, next_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tumbling_window_agg" -> tumblingWindowAgg,
     "sliding_window_agg" -> slidingWindowAgg,
@@ -400,6 +554,9 @@ object Windows {
     "stickiness_report" -> stickinessReport,
     "rfm_segments" -> rfmSegments,
     "user_path_ngrams" -> userPathNgrams,
+    "anomaly_mad" -> anomalyMad,
+    "scd2_history" -> scd2History,
+    "markov_transitions" -> markovTransitions,
   )
   val oracles: Map[String, String] = Map(
     "tumbling_window_agg" -> tumblingWindowAggSql,
@@ -410,5 +567,8 @@ object Windows {
     "stickiness_report" -> stickinessReportSql,
     "rfm_segments" -> rfmSegmentsSql,
     "user_path_ngrams" -> userPathNgramsSql,
+    "anomaly_mad" -> anomalyMadSql,
+    "scd2_history" -> scd2HistorySql,
+    "markov_transitions" -> markovTransitionsSql,
   )
 }
