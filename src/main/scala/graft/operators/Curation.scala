@@ -1323,9 +1323,63 @@ object Curation {
        |GROUP BY 1, 2, 3
        |ORDER BY lang, source, len_bucket""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X129 lang_source_lift — (lang × source) independence lift
+  // ---------------------------------------------------------------------
+
+  /** Association lift between language and source: per (lang, source)
+    * cell, the observed count, the count expected under independence
+    * (n_lang · n_source / N, floor), and the exact per-mille lift
+    * n·N / (n_lang·n_source) — the contingency audit that tells a
+    * mixing pipeline which sources ARE a language (lift ≫ 1000) and
+    * which are language-balanced (≈ 1000). The integer-exact stand-in
+    * for mutual information (log-free, so cross-engine bit-stable; the
+    * MI ranking is monotone in the per-cell lift).
+    *
+    * Scale shape: ONE map-combinable (lang, source) count; marginals
+    * re-aggregate from that bounded cell relation (never a second
+    * corpus pass) and attach by broadcast joins on the bounded keys.
+    * Lift arithmetic peaks at n·1000·N ≈ 10²³ for a 10¹⁰-doc corpus —
+    * spelled over DECIMAL(38,0) in BOTH engines so the spelling
+    * survives the scale the BIGINT version would overflow at. */
+  val langSourceLift: Q = (spark, dir) => {
+    val cells = Tables.documents(spark, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val byLang = cells.groupBy("lang").agg(sum(col("n")).as("n_lang"))
+    val bySrc = cells.groupBy("source").agg(sum(col("n")).as("n_source"))
+    val total = cells.agg(sum(col("n")).as("total"))
+    cells.join(broadcast(byLang), "lang")
+      .join(broadcast(bySrc), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("expected",
+        expr("CAST((CAST(n_lang AS DECIMAL(38,0)) * n_source) DIV total AS BIGINT)"))
+      .withColumn("lift_permille",
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000 * total) DIV (CAST(n_lang AS DECIMAL(38,0)) * n_source) AS BIGINT)"))
+      .select("lang", "source", "n", "expected", "lift_permille")
+      .orderBy("lang", "source")
+  }
+  val langSourceLiftSql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |bl AS (SELECT lang, sum(n) AS n_lang FROM cells GROUP BY 1),
+      |bs AS (SELECT source, sum(n) AS n_source FROM cells GROUP BY 1),
+      |t AS (SELECT sum(n) AS total FROM cells)
+      |SELECT lang, source, n,
+      |       -- HUGEINT, not DECIMAL: DuckDB's // on DECIMAL returns a
+      |       -- DOUBLE quotient and CAST..BIGINT ROUNDS it (3.9 -> 4);
+      |       -- HUGEINT // is true integer division, matching Spark's
+      |       -- decimal DIV truncation
+      |       CAST((CAST(n_lang AS HUGEINT) * n_source) // total AS BIGINT) AS expected,
+      |       CAST((CAST(n AS HUGEINT) * 1000 * total)
+      |            // (CAST(n_lang AS HUGEINT) * n_source) AS BIGINT) AS lift_permille
+      |FROM cells JOIN bl USING (lang) JOIN bs USING (source) CROSS JOIN t
+      |ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "percentile_rank_norm" -> percentileRankNorm,
     "k_anonymity_audit" -> kAnonymityAudit,
+    "lang_source_lift" -> langSourceLift,
     "dataset_card_report" -> datasetCardReport,
     "quality_calibration_bins" -> qualityCalibrationBins,
     "filter_ablation_matrix" -> filterAblationMatrix,
@@ -1346,6 +1400,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "percentile_rank_norm" -> percentileRankNormSql,
     "k_anonymity_audit" -> kAnonymityAuditSql,
+    "lang_source_lift" -> langSourceLiftSql,
     "dataset_card_report" -> datasetCardReportSql,
     "quality_calibration_bins" -> qualityCalibrationBinsSql,
     "filter_ablation_matrix" -> filterAblationMatrixSql,

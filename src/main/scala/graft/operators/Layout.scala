@@ -200,14 +200,74 @@ object Layout {
        |       min(z_min) AS z_min, max(z_max) AS z_max
        |FROM g GROUP BY 1 ORDER BY group_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X128 zone_map_prune_audit — data-skipping effectiveness report
+  // ---------------------------------------------------------------------
+
+  /** Zone-map pruning audit over the Z-ordered manifest: for EVERY
+    * point predicate on each clustered dimension (`len_b = v` /
+    * `lang_b = v`, v over the full 2^ZBits bucket grid), how many files
+    * a min/max zone map lets the scan planner SKIP — the report that
+    * justifies (or indicts) the layout choice. This is the measurement
+    * half of [[zorderLayout]]: the manifest is the decision artifact, the
+    * prune ratio is its value; a lexicographic sort would score ~0 on
+    * the second dimension, Morton order scores high on BOTH, and this
+    * query is where that claim becomes a number.
+    *
+    * Scale shape: the manifest is metadata-scale (a row per file) and
+    * the predicate grid is 2·2^ZBits rows; the audit is their bounded
+    * cross join + one (dimension, value) aggregate. The corpus is
+    * touched exactly once — to build the manifest it audits. */
+  val zoneMapPruneAudit: Q = (spark, dir) => {
+    val manifest = manifestOf(zorderInput(spark, dir))
+    val grid = Seq("len_b", "lang_b").map { dim =>
+      spark.range(1).select(lit(dim).as("dimension"),
+        explode(expr(s"sequence(0L, ${(1 << ZBits) - 1}L)")).as("v"))
+    }.reduce(_ unionByName _)
+    manifest.crossJoin(broadcast(grid))
+      .withColumn("pruned",
+        when(col("dimension") === "len_b",
+          col("v") < col("len_min") || col("v") > col("len_max"))
+          .otherwise(col("v") < col("lang_min") || col("v") > col("lang_max")))
+      .groupBy("dimension", "v")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("pruned"), 1L).otherwise(0L)).as("n_pruned"))
+      .withColumn("prune_permille", expr("(n_pruned * 1000) div n_files"))
+      .orderBy("dimension", "v")
+  }
+  val zoneMapPruneAuditSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         least(n_chars // 64, ${(1 << ZBits) - 1}) AS len_b,
+       |         ${h60Duck("lang")} % ${1 << ZBits} AS lang_b
+       |  FROM documents),
+       |${manifestCtes("d")},
+       |grid AS (
+       |  SELECT 'len_b' AS dimension, unnest(range(0, ${1 << ZBits})) AS v
+       |  UNION ALL
+       |  SELECT 'lang_b' AS dimension, unnest(range(0, ${1 << ZBits})) AS v)
+       |SELECT dimension, CAST(v AS BIGINT) AS v,
+       |       CAST(count(*) AS BIGINT) AS n_files,
+       |       CAST(sum(CASE WHEN (dimension = 'len_b' AND (v < len_min OR v > len_max))
+       |                       OR (dimension = 'lang_b' AND (v < lang_min OR v > lang_max))
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       |       CAST((sum(CASE WHEN (dimension = 'len_b' AND (v < len_min OR v > len_max))
+       |                        OR (dimension = 'lang_b' AND (v < lang_min OR v > lang_max))
+       |                 THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS prune_permille
+       |FROM manifest CROSS JOIN grid
+       |GROUP BY 1, 2
+       |ORDER BY dimension, v""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "zorder_layout" -> zorderLayout,
     "pipeline_layout" -> pipelineLayout,
     "compaction_plan" -> compactionPlan,
+    "zone_map_prune_audit" -> zoneMapPruneAudit,
   )
   val oracles: Map[String, String] = Map(
     "zorder_layout" -> zorderLayoutSql,
     "pipeline_layout" -> pipelineLayoutSql,
     "compaction_plan" -> compactionPlanSql,
+    "zone_map_prune_audit" -> zoneMapPruneAuditSql,
   )
 }

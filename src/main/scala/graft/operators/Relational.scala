@@ -675,11 +675,71 @@ object Relational {
       |GROUP BY p_brand, p_type
       |ORDER BY p_brand, p_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X127 fk_orphan_audit — referential-integrity audit over the star
+  // ---------------------------------------------------------------------
+
+  /** Referential-integrity audit: for every FK relationship of the star
+    * schema, the child row count, the orphan count (child keys with no
+    * parent), and the orphan share in per-mille — the ingest-quality
+    * gate a warehouse runs after every load (a nonzero orphan rate
+    * means the load order or the upstream extract is broken). NULL FKs
+    * count as orphans: a row that cannot join its dimension is lost to
+    * every downstream star join regardless of why.
+    *
+    * Scale shape: each relationship is ONE left-anti-shaped aggregate —
+    * spelled as a left join + count of null parent keys so the child
+    * scan is a single pass per relationship; parent sides are the
+    * bounded dimension tables (broadcast, AQE-owned). Output is 5 rows
+    * at any corpus size. */
+  val fkOrphanAudit: Q = (spark, dir) => {
+    def audit(rel: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      child.select(col(ck)).join(
+          parent.select(col(pk).as("__pk")).distinct(),
+          col(ck) === col("__pk"), "left")
+        .agg(count(lit(1)).as("child_rows"),
+          sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("orphan_rows"))
+        .select(lit(rel).as("relationship"), col("child_rows"),
+          col("orphan_rows"),
+          expr("(orphan_rows * 1000) div child_rows").as("orphan_permille"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    Seq(
+      audit("lineitem.orderkey->orders", li, "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey"),
+      audit("lineitem.partkey->part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"),
+      audit("lineitem.suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"),
+      audit("orders.custkey->customer", Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"),
+      audit("customer.nationkey->nation", Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"),
+    ).reduce(_ unionByName _).orderBy("relationship")
+  }
+  val fkOrphanAuditSql: String = {
+    def arm(rel: String, child: String, ck: String, parent: String, pk: String) =
+      s"""SELECT '$rel' AS relationship,
+         |       CAST(count(*) AS BIGINT) AS child_rows,
+         |       CAST(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+         |       CAST((sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS orphan_permille
+         |FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p ON c.$ck = p.$pk""".stripMargin
+    Seq(
+      arm("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      arm("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      arm("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      arm("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      arm("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+  }
+
   // ===========================================================================
   // registry
   // ===========================================================================
 
   val queries: Map[String, Q] = Map(
+    "fk_orphan_audit" -> fkOrphanAudit,
     "fact_join_agg" -> factJoinAgg,
     "part_enrich_agg" -> partEnrichAgg,
     "argmax_per_group" -> argmaxPerGroup,
@@ -713,6 +773,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "fk_orphan_audit" -> fkOrphanAuditSql,
     "fact_join_agg" -> factJoinAggSql,
     "part_enrich_agg" -> partEnrichAggSql,
     "argmax_per_group" -> argmaxPerGroupSql,

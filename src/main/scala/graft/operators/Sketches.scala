@@ -334,14 +334,109 @@ object Sketches {
        |ORDER BY term""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // X130 hll_weekly_rollup — mergeable-sketch rollup (weekly → monthly)
+  // ---------------------------------------------------------------------
+
+  /** The PAYOFF of sketch mergeability: per (event_type, week), HLL
+    * registers over the week's distinct users; per (event_type, month),
+    * the distinct-user estimate computed by MERGING the weekly
+    * registers (register-wise max) — never re-touching the events. This
+    * is the production pattern exact distinct counts cannot do: a
+    * 100 TB warehouse persists m integers per (type, week) partition
+    * and answers any coarser rollup (month, quarter, lifetime, any ad
+    * hoc week set) from the stored sketches alone, because max is
+    * associative/commutative/idempotent — the same property that makes
+    * the register agg map-side combinable and stream-mergeable
+    * (HllStreamSpec's argument, rolled up a second level). A week
+    * straddling a month boundary belongs to the month of its Monday —
+    * pinned identically in both engines.
+    *
+    * Output carries the exact distinct beside the estimate (the
+    * verifiable error bar, as in `hll_distinct`) and the merged week
+    * count. Same raw-estimate arithmetic as X38: exact BIGINT register
+    * sum, ONE correctly-rounded float division, floor. */
+  val hllWeeklyRollup: Q = (spark, dir) => {
+    val rb = HllRankBits + 1
+    val wk = Tables.events(spark, dir).select(col("event_type"),
+      date_trunc("WEEK", col("ts")).as("week"), col("user_id"))
+    val regs = wk
+      .withColumn("h", Dedup.h60(col("user_id").cast("string")))
+      .select(col("event_type"), col("week"),
+        pmod(col("h"), lit(HllM.toLong)).as("bucket"),
+        expr(s"h div $HllM").as("rest"))
+      .groupBy("event_type", "week", "bucket")
+      .agg(max(when(col("rest") === 0, lit(rb))
+        .otherwise(lit(rb) - length(bin(col("rest"))))).as("m"))
+    // month merge: register-wise max over the month's weekly sketches
+    val monthRegs = regs
+      .withColumn("month", date_trunc("MONTH", col("week")))
+      .groupBy("event_type", "month", "bucket").agg(max("m").as("m"))
+    val weeks = wk.select("event_type", "week").distinct()
+      .withColumn("month", date_trunc("MONTH", col("week")))
+      .groupBy("event_type", "month").agg(count(lit(1)).as("n_weeks"))
+    val grid = wk
+      .withColumn("month", date_trunc("MONTH", col("week")))
+      .select("event_type", "month").distinct()
+      .select(col("event_type"), col("month"),
+        explode(expr(s"sequence(0L, ${HllM - 1}L)")).as("bucket"))
+    val s = grid.join(monthRegs, Seq("event_type", "month", "bucket"), "left")
+      .withColumn("m", coalesce(col("m"), lit(0)))
+      .groupBy("event_type", "month")
+      .agg(sum(expr(s"shiftleft(1L, CAST($rb - m AS INT))")).as("s"))
+    val exact = wk
+      .withColumn("month", date_trunc("MONTH", col("week")))
+      .groupBy("event_type", "month")
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    exact.join(s, Seq("event_type", "month")).join(weeks, Seq("event_type", "month"))
+      .select(col("event_type"), col("month"), col("n_weeks"), col("n_exact"),
+        floor(lit(HllNumerator) / col("s").cast("double")).as("n_hll"))
+      .orderBy("event_type", "month")
+  }
+  val hllWeeklyRollupSql: String = {
+    val rb = HllRankBits + 1
+    s"""WITH wk AS (
+       |  SELECT event_type, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week, user_id
+       |  FROM events),
+       |parts AS (SELECT event_type, week, h % $HllM AS bucket, h // $HllM AS rest
+       |  FROM (SELECT event_type, week, ${h60Duck("CAST(user_id AS VARCHAR)")} AS h FROM wk)),
+       |regs AS (SELECT event_type, week, bucket,
+       |    max(CASE WHEN rest = 0 THEN $rb ELSE $rb - length(bin(rest)) END) AS m
+       |  FROM parts GROUP BY 1, 2, 3),
+       |mregs AS (SELECT event_type, date_trunc('month', week) AS month, bucket, max(m) AS m
+       |  FROM regs GROUP BY 1, 2, 3),
+       |weeks AS (SELECT event_type, date_trunc('month', week) AS month,
+       |    CAST(count(*) AS BIGINT) AS n_weeks
+       |  FROM (SELECT DISTINCT event_type, week FROM wk) GROUP BY 1, 2),
+       |grid AS (SELECT t.event_type, t.month, g.range AS bucket
+       |  FROM (SELECT DISTINCT event_type, date_trunc('month', week) AS month FROM wk) t
+       |  CROSS JOIN range(0, $HllM) g),
+       |s AS (SELECT grid.event_type, grid.month,
+       |    sum(CAST(1 AS BIGINT) << ($rb - coalesce(mregs.m, 0))) AS s
+       |  FROM grid LEFT JOIN mregs ON grid.event_type = mregs.event_type
+       |    AND grid.month = mregs.month AND grid.bucket = mregs.bucket
+       |  GROUP BY 1, 2),
+       |ex AS (SELECT event_type, date_trunc('month', week) AS month,
+       |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+       |  FROM wk GROUP BY 1, 2)
+       |SELECT ex.event_type, ex.month, weeks.n_weeks, ex.n_exact,
+       |       CAST(floor($HllNumLit / CAST(s.s AS DOUBLE)) AS BIGINT) AS n_hll
+       |FROM ex
+       |JOIN s ON ex.event_type = s.event_type AND ex.month = s.month
+       |JOIN weeks ON ex.event_type = weeks.event_type AND ex.month = weeks.month
+       |ORDER BY ex.event_type, ex.month""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "bloom_prefilter" -> bloomPrefilter,
     "hll_distinct" -> hllDistinct,
     "cms_heavy_hitters" -> cmsHeavyHitters,
+    "hll_weekly_rollup" -> hllWeeklyRollup,
   )
   val oracles: Map[String, String] = Map(
     "bloom_prefilter" -> bloomPrefilterSql,
     "hll_distinct" -> hllDistinctSql,
     "cms_heavy_hitters" -> cmsHeavyHittersSql,
+    "hll_weekly_rollup" -> hllWeeklyRollupSql,
   )
 }

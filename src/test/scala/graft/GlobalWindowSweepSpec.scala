@@ -73,7 +73,11 @@ class GlobalWindowSweepSpec extends AnyFunSuite {
     // allowlisted cell-manifest prefix sum) plus the compaction
     // running-sum — both over the FILE MANIFEST, metadata-scale by the
     // ~1 GB-per-file argument in the op's scaladoc.
-    "compaction_plan" -> 2)
+    "compaction_plan" -> 2,
+    // r20 zone_map_prune_audit: the inherited zorder_layout cell-offset
+    // prefix sum — same ≤ 2^(2·ZBits)-row cell-count relation as the
+    // zorder_layout entry above
+    "zone_map_prune_audit" -> 1)
 
   test("no registered query plans an unpartitioned window over an unbounded relation") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -116,7 +116,11 @@ class NestedLoopSweepSpec extends AnyFunSuite {
     // FIXED 7-literal array, X87's pattern) range-joined to the
     // distinct-count histogram — O(√tokens) rows by Zipf; both sides
     // bounded by construction at any corpus size
-    "vocab_pareto_curve" -> 1)
+    "vocab_pareto_curve" -> 1,
+    // X128: FILE MANIFEST (metadata-scale, zorder_layout's ~1 GB-per-
+    // file argument) × the FIXED 2·2^ZBits predicate grid — both sides
+    // corpus-size-independent by construction
+    "zone_map_prune_audit" -> 1)
 
   test("no registered query plans an unbounded nested-loop or cartesian join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
