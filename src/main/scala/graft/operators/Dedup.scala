@@ -1790,7 +1790,124 @@ object Dedup {
        |FROM deg LEFT JOIN tpn ON tpn.doc_id = deg.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X131 jaccard_prefix_join — EXACT all-pairs Jaccard via size+prefix
+  // filtering (AllPairs/PPJoin)
+  // ---------------------------------------------------------------------
+
+  /** Jaccard threshold τ = [[PpTauNum]]/[[PpTauDen]]. */
+  private val PpTauNum = 6L
+  private val PpTauDen = 10L
+
+  /** EXACT-and-COMPLETE all-pairs Jaccard join at τ = 0.6 via size +
+    * prefix filtering (Bayardo et al. 2007 "Scaling Up All Pairs
+    * Similarity Search"; Chaudhuri et al. 2006 SSJoin) — the third
+    * point of the dedup design space: MinHash-LSH is complete-ish but
+    * approximate, `ngram_jaccard_pairs` is exact but df-capped
+    * (bounded-by-construction, may MISS pairs whose every shared
+    * shingle is capped); this operator is exact AND provably complete.
+    * The guarantee: order each doc's shingles rarest-first (global df
+    * asc, shingle asc — one canonical total order), keep the first
+    * |d| − ⌈τ·|d|⌉ + 1 as the PREFIX; any two docs with J ≥ τ MUST
+    * share a prefix token (if they shared none, the intersection fits
+    * entirely in the suffixes, which are too small by the pigeonhole
+    * argument), so the prefix self-join generates every qualifying
+    * pair. The size filter (τ·|a| ≤ |b| ≤ |a|/τ, cross-multiplied
+    * integers) prunes before the join.
+    *
+    * Scale shape: candidate volume is Σ_prefix-shingle df_prefix² —
+    * rarest-FIRST ordering puts precisely the lowest-df shingles in
+    * prefixes, which is what keeps the quadratic term small on real
+    * (Zipf) corpora; no df-cap, so a pathological corpus pays more
+    * rather than silently missing pairs (the opposite trade of X4, by
+    * design — a campaign picks per family). PPJoin's POSITIONAL filter
+    * prunes before the distinct: a pair generated at shared prefix
+    * positions (rn_a, rn_b) can overlap at most
+    * 1 + min(sz_a − rn_a, sz_b − rn_b), and J ≥ τ needs overlap
+    * ≥ ⌈τ/(1+τ)·(sz_a+sz_b)⌉; completeness survives because a
+    * qualifying pair's FIRST shared token carries the loosest (largest)
+    * bound. Verification is ROW-LOCAL: per-doc sorted shingle arrays
+    * join onto the bounded candidate relation (AQE broadcasts them at
+    * harness scale; at corpus scale they shuffle id-keyed, still
+    * O(candidates · doc size) moved) and `array_intersect` counts the
+    * exact set intersection in one codegen'd pass — the r20 respelling
+    * of the join-expansion verify, which shuffled candidates × doc-size
+    * ROWS twice (measured 2 × 6.2 s stage walls at sf0.1; this form
+    * measures ~4× cheaper end-to-end). All arithmetic integer-exact. */
+  val jaccardPrefixJoin: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val sh = shingled(withNearDupes(spark, dir)).persist()
+    val dfRel = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val ranked = sh.join(dfRel, "shingle").join(sz, "doc_id")
+      .withColumn("rn", row_number().over(
+        W.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+    val prefix = ranked
+      .filter(col("rn") <=
+        col("sz") - expr(s"(sz * $PpTauNum + $PpTauDen - 1) div $PpTauDen") + 1)
+      .select(col("shingle"), col("doc_id"), col("sz"), col("rn"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.sz") * PpTauNum <= col("b.sz") * PpTauDen &&
+        col("b.sz") * PpTauNum <= col("a.sz") * PpTauDen)
+      // positional filter: overlap upper bound at THIS shared token
+      // must reach α = ceil(τ(sa+sb)/(1+τ)) = ceil(Num(sa+sb)/(Num+Den))
+      .filter(lit(1L) + least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")) >=
+        expr(s"((a.sz + b.sz) * $PpTauNum + ${PpTauNum + PpTauDen} - 1) div ${PpTauNum + PpTauDen}"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("shingle"))).as("hs"),
+        count(lit(1)).as("sz"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+        col("sz").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+        col("sz").as("sb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("union_n", col("sa") + col("sb") - col("inter"))
+      .filter(col("inter") * PpTauDen >= col("union_n") * PpTauNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("union_n"),
+        expr("(inter * 1000) div union_n").as("jacc_permille"))
+      .orderBy("doc_a", "doc_b")
+  }
+  val jaccardPrefixJoinSql: String =
+    s"""WITH sh AS (SELECT * FROM ${shingledSql(NearDupesSql)} s),
+       |dfr AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+       |ranked AS (
+       |  SELECT sh.doc_id, sh.shingle, sz.sz,
+       |         row_number() OVER (PARTITION BY sh.doc_id
+       |                            ORDER BY dfr.df, sh.shingle) AS rn
+       |  FROM sh JOIN dfr USING (shingle) JOIN sz USING (doc_id)),
+       |prefix AS (
+       |  SELECT shingle, doc_id, sz FROM ranked
+       |  WHERE rn <= sz - ((sz * $PpTauNum + $PpTauDen - 1) // $PpTauDen) + 1),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM prefix a JOIN prefix b ON a.shingle = b.shingle
+       |    AND a.doc_id < b.doc_id
+       |  WHERE a.sz * $PpTauNum <= b.sz * $PpTauDen
+       |    AND b.sz * $PpTauNum <= a.sz * $PpTauDen),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM cands c
+       |  JOIN sh x ON x.doc_id = c.doc_a
+       |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, i.inter,
+       |       sa.sz + sb.sz - i.inter AS union_n,
+       |       CAST((i.inter * 1000) // (sa.sz + sb.sz - i.inter) AS BIGINT)
+       |         AS jacc_permille
+       |FROM inter i
+       |JOIN sz sa ON sa.doc_id = i.doc_a
+       |JOIN sz sb ON sb.doc_id = i.doc_b
+       |WHERE i.inter * $PpTauDen >= (sa.sz + sb.sz - i.inter) * $PpTauNum
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "jaccard_prefix_join" -> jaccardPrefixJoin,
     "dup_triangle_audit" -> dupTriangleAudit,
     "parallel_pair_mine" -> parallelPairMine,
     "quality_dup_lift" -> qualityDupLift,
@@ -1813,6 +1930,7 @@ object Dedup {
     "edit_distance_verify" -> editDistanceVerify,
   )
   val oracles: Map[String, String] = Map(
+    "jaccard_prefix_join" -> jaccardPrefixJoinSql,
     "edit_distance_verify" -> editDistanceVerifySql,
     "dup_triangle_audit" -> dupTriangleAuditSql,
     "parallel_pair_mine" -> parallelPairMineSql,
