@@ -130,12 +130,172 @@ object TemporalJoins {
        |GROUP BY p.event_id, p.user_id
        |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X132 asof_nearest_tolerance — nearest-match as-of with a tolerance
+  // ---------------------------------------------------------------------
+
+  /** Nearest-match tolerance (µs): 6 hours. */
+  private val NearTolUs = 21600L * 1000000L
+
+  /** As-of NEAREST with tolerance — pandas `merge_asof(direction=
+    * 'nearest', tolerance=…)` semantics, the variant plain as-of can't
+    * express: each purchase matches the CLOSEST view within ±6 h,
+    * whichever side of the purchase it falls on (sensor/trade alignment
+    * semantics: the nearest reading is the right one, not the last).
+    * Distance ties break BACKWARD (the earlier view) — pinned in both
+    * engines. Unmatched purchases surface with direction 'none'.
+    *
+    * Spark shape: the union+window as-of core run in BOTH directions
+    * over one union relation — a running `last(ignoreNulls)` for the
+    * latest view at-or-before, a `first(ignoreNulls)` over the mirrored
+    * frame for the earliest view after — then the nearest/tolerance
+    * pick is row-local arithmetic on epoch-µs longs. Two in-partition
+    * sorts, zero join fanout (the forward frame may skip a view at the
+    * EXACT purchase ts, but the backward frame captures it at distance
+    * 0, which always wins — so the asymmetry is unobservable).
+    *
+    * The oracle is two native DuckDB ASOF joins (>= for backward, <=
+    * for forward) — an independent implementation of both directions. */
+  val asofNearestTolerance: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+    val left = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val right = e.filter(col("event_type") === "view")
+      .select("user_id", "ts").distinct()
+    val r = right.select(col("user_id"), col("ts"), lit(0).as("src"),
+      lit(null).cast("long").as("event_id"), col("ts").as("r_ts"))
+    val l = left.select(col("user_id"), col("ts"), lit(1).as("src"),
+      col("event_id"), lit(null).cast("timestamp").as("r_ts"))
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("src"), col("event_id"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    r.unionByName(l)
+      .withColumn("prev_ts", last(col("r_ts"), ignoreNulls = true).over(back))
+      .withColumn("next_ts", first(col("r_ts"), ignoreNulls = true).over(fwd))
+      .filter(col("src") === 1)
+      .withColumn("db", unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+      .withColumn("df", unix_micros(col("next_ts")) - unix_micros(col("ts")))
+      .withColumn("back_ok", col("prev_ts").isNotNull && col("db") <= NearTolUs)
+      .withColumn("fwd_ok", col("next_ts").isNotNull && col("df") <= NearTolUs)
+      .withColumn("direction",
+        when(col("back_ok") && (!col("fwd_ok") || col("db") <= col("df")), lit("back"))
+          .when(col("fwd_ok"), lit("fwd"))
+          .otherwise(lit("none")))
+      .withColumn("matched_view_ts",
+        when(col("direction") === "back", col("prev_ts"))
+          .when(col("direction") === "fwd", col("next_ts")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("matched_view_ts"), col("direction"))
+      .orderBy("event_id")
+  }
+  val asofNearestToleranceSql: String =
+    s"""WITH e AS (SELECT * FROM $EV),
+       |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+       |v AS (SELECT DISTINCT user_id, ts FROM e WHERE event_type = 'view'),
+       |b AS (
+       |  SELECT p.event_id, v.ts AS prev_ts
+       |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts),
+       |f AS (
+       |  SELECT p.event_id, v.ts AS next_ts
+       |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts),
+       |j AS (
+       |  SELECT p.event_id, p.user_id, p.ts, b.prev_ts, f.next_ts,
+       |         epoch_us(p.ts) - epoch_us(b.prev_ts) AS db,
+       |         epoch_us(f.next_ts) - epoch_us(p.ts) AS df,
+       |         (b.prev_ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(b.prev_ts) <= $NearTolUs) AS back_ok,
+       |         (f.next_ts IS NOT NULL AND epoch_us(f.next_ts) - epoch_us(p.ts) <= $NearTolUs) AS fwd_ok
+       |  FROM p JOIN b USING (event_id) JOIN f USING (event_id))
+       |SELECT event_id, user_id, ts,
+       |       CASE WHEN back_ok AND (NOT fwd_ok OR db <= df) THEN prev_ts
+       |            WHEN fwd_ok THEN next_ts END AS matched_view_ts,
+       |       CASE WHEN back_ok AND (NOT fwd_ok OR db <= df) THEN 'back'
+       |            WHEN fwd_ok THEN 'fwd' ELSE 'none' END AS direction
+       |FROM j ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X133 attribution_report — last-touch revenue attribution
+  // ---------------------------------------------------------------------
+
+  /** Attribution lookback window (µs): 3 days. */
+  private val AttrTolUs = 3L * 86400L * 1000000L
+
+  /** Last-touch revenue attribution: each purchase's exact cents go to
+    * the user's LATEST view-or-click within the 3-day lookback (ties at
+    * the same touch ts break to 'view' — pinned); purchases with no
+    * touch in window report under 'none'. The rollup every growth team
+    * runs; built on the same union+window as-of core as X26/X132, with
+    * the touch TYPE carried through the running-last as a packed
+    * struct so one window does both jobs.
+    *
+    * Scale shape: one user-partitioned sort over purchases + touches,
+    * row-local tolerance arithmetic, then a 3-row map-combinable
+    * rollup. Cents are exact: floor(value·100) longs (the rfm_segments
+    * spelling — the trunc-vs-round CAST trap documented there). */
+  val attributionReport: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts"), lit(0).as("src"),
+        lit(null).cast("long").as("event_id"), lit(0L).as("cents"),
+        // tie rule inside the struct max: at one ts, 'view' beats
+        // 'click' — struct ordering is field-by-field, so pack a
+        // priority byte ahead of the name
+        struct(col("ts").as("t"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("prio"),
+          col("event_type").as("tpe")).as("touch"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("src"), col("event_id"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+        lit(null).cast("struct<t:timestamp,prio:bigint,tpe:string>").as("touch"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("src"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    touches.unionByName(purchases)
+      .withColumn("last_touch", max(col("touch")).over(w))
+      .filter(col("src") === 1)
+      .withColumn("attributed",
+        when(col("last_touch").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("last_touch.t")) <= AttrTolUs,
+          col("last_touch.tpe")).otherwise(lit("none")))
+      .groupBy(col("attributed").as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents_total"))
+      .orderBy("touch_type")
+  }
+  val attributionReportSql: String =
+    s"""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+       |                  event_type, value FROM events),
+       |p AS (SELECT event_id, user_id, ts,
+       |             CAST(floor(value * 100) AS BIGINT) AS cents
+       |      FROM e WHERE event_type = 'purchase'),
+       |t AS (SELECT user_id, ts,
+       |             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS prio,
+       |             event_type AS tpe
+       |      FROM e WHERE event_type IN ('view', 'click')),
+       |-- last touch at-or-before each purchase: max (ts, prio) per purchase
+       |lt AS (
+       |  SELECT event_id, tpe FROM (
+       |    SELECT p.event_id, t.tpe,
+       |           row_number() OVER (PARTITION BY p.event_id
+       |                              ORDER BY t.ts DESC, t.prio DESC) AS rn
+       |    FROM p JOIN t ON t.user_id = p.user_id
+       |      AND t.ts <= p.ts AND t.ts >= p.ts - INTERVAL 3 DAY)
+       |  WHERE rn = 1)
+       |SELECT coalesce(lt.tpe, 'none') AS touch_type,
+       |       CAST(count(*) AS BIGINT) AS n_purchases,
+       |       CAST(sum(p.cents) AS BIGINT) AS cents_total
+       |FROM p LEFT JOIN lt USING (event_id)
+       |GROUP BY 1 ORDER BY touch_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "asof_join" -> asofJoin,
     "range_join_count" -> rangeJoinCount,
+    "asof_nearest_tolerance" -> asofNearestTolerance,
+    "attribution_report" -> attributionReport,
   )
   val oracles: Map[String, String] = Map(
     "asof_join" -> asofJoinSql,
     "range_join_count" -> rangeJoinCountSql,
+    "asof_nearest_tolerance" -> asofNearestToleranceSql,
+    "attribution_report" -> attributionReportSql,
   )
 }
