@@ -263,7 +263,73 @@ object Olap {
       |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
       |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X134 histogram_quantiles — exact per-group quantiles, no corpus sort
+  // ---------------------------------------------------------------------
+
+  /** Quantile lattice (per-mille). */
+  private val HQuantiles = Seq(500L, 900L, 990L)
+
+  /** Exact DISCRETE per-type quantiles (P50/P90/P99 of the cents-
+    * quantized value) computed from a VALUE HISTOGRAM — the monitoring-
+    * system quantile path, and the X119 pattern applied to quantiles:
+    * the naive spelling sorts each type's values in one partition
+    * (`percentile`/`sort_array` holds a corpus-sized list per group);
+    * this one collapses the corpus into (type, cents) counts — bounded
+    * by the VALUE DOMAIN, not the row count — runs one cumulative
+    * window over that histogram, and picks, per quantile q, the
+    * smallest cents whose running count reaches ⌈q·n⌉. Exact and
+    * deterministic (discrete lower quantile — no interpolation, no
+    * float), mergeable (histograms add), and the same arithmetic in
+    * both engines.
+    *
+    * Complements X23 (`quantile_stats`, exact via full sort at harness
+    * scale) and X24 (`quantile_sampled`): this is the shape that holds
+    * when the corpus does not fit a sort but the value domain is
+    * bounded — which quantized cents always are. */
+  val histogramQuantiles: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val hist = Tables.events(spark, dir)
+      .withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        W.partitionBy("event_type").orderBy("cents")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("n", sum(col("c")).over(
+        W.partitionBy("event_type")
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    val lattice = spark.range(1)
+      .select(explode(lit(HQuantiles.toArray)).as("q_permille"))
+    cum.crossJoin(broadcast(lattice))
+      .filter(col("cum") * 1000 >= col("n") * col("q_permille"))
+      .groupBy("event_type", "q_permille")
+      .agg(min(col("cents")).as("cents_q"))
+      .orderBy("event_type", "q_permille")
+  }
+  val histogramQuantilesSql: String = {
+    val lattice = HQuantiles.map(q => s"($q)").mkString(", ")
+    s"""WITH hist AS (
+       |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, cents, c,
+       |         sum(c) OVER (PARTITION BY event_type ORDER BY cents
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |         sum(c) OVER (PARTITION BY event_type) AS n
+       |  FROM hist),
+       |lattice(q_permille) AS (VALUES $lattice)
+       |SELECT event_type, CAST(q_permille AS BIGINT) AS q_permille,
+       |       min(cents) AS cents_q
+       |FROM cum CROSS JOIN lattice
+       |WHERE cum * 1000 >= n * q_permille
+       |GROUP BY 1, 2
+       |ORDER BY event_type, q_permille""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "histogram_quantiles" -> histogramQuantiles,
     "grouping_sets_report" -> groupingSetsReport,
     "rollup_agg" -> rollupAgg,
     "cube_agg" -> cubeAgg,
@@ -273,6 +339,7 @@ object Olap {
     "profile_table" -> profileTable,
   )
   val oracles: Map[String, String] = Map(
+    "histogram_quantiles" -> histogramQuantilesSql,
     "grouping_sets_report" -> groupingSetsReportSql,
     "rollup_agg" -> rollupAggSql,
     "cube_agg" -> cubeAggSql,

@@ -120,7 +120,11 @@ class NestedLoopSweepSpec extends AnyFunSuite {
     // X128: FILE MANIFEST (metadata-scale, zorder_layout's ~1 GB-per-
     // file argument) × the FIXED 2·2^ZBits predicate grid — both sides
     // corpus-size-independent by construction
-    "zone_map_prune_audit" -> 1)
+    "zone_map_prune_audit" -> 1,
+    // X134: the domain-bounded value HISTOGRAM × the FIXED 3-literal
+    // quantile lattice (range(1) explode — X87's pattern, the one-row
+    // bound hidden from the detector by the explode)
+    "histogram_quantiles" -> 1)
 
   test("no registered query plans an unbounded nested-loop or cartesian join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
