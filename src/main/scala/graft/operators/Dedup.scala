@@ -1834,7 +1834,11 @@ object Dedup {
     * of the join-expansion verify, which shuffled candidates × doc-size
     * ROWS twice (measured 2 × 6.2 s stage walls at sf0.1; this form
     * measures ~4× cheaper end-to-end). All arithmetic integer-exact. */
-  val jaccardPrefixJoin: Q = (spark, dir) => {
+  /** The (shingle relation, deduped candidate pairs) of the prefix
+    * join — the seam the decade-sweep measurement and the LSH-recall
+    * audit read; `sh` comes back persisted (callers reuse it). */
+  private[graft] def jaccardPrefixCands(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.{Window => W}
     val sh = shingled(withNearDupes(spark, dir)).persist()
     val dfRel = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -1857,6 +1861,11 @@ object Dedup {
         expr(s"((a.sz + b.sz) * $PpTauNum + ${PpTauNum + PpTauDen} - 1) div ${PpTauNum + PpTauDen}"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    (sh, cands)
+  }
+
+  val jaccardPrefixJoin: Q = (spark, dir) => {
+    val (sh, cands) = jaccardPrefixCands(spark, dir)
     val sets = sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("shingle"))).as("hs"),
         count(lit(1)).as("sz"))
@@ -1906,7 +1915,74 @@ object Dedup {
        |WHERE i.inter * $PpTauDen >= (sa.sz + sb.sz - i.inter) * $PpTauNum
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X135 lsh_vs_exact_recall — LSH candidate generation audited against
+  // the exact-complete τ-truth
+  // ---------------------------------------------------------------------
+
+  /** The audit the LSH tuning family was missing an exact reference
+    * for: [[lshBandRecall]] prices banding against the MinHash
+    * ESTIMATE; this prices the production candidate generator
+    * ([[minhashLshCandidates]]'s banded pairs) against the exact
+    * ground truth X131 makes affordable — every pair with true shingle
+    * Jaccard ≥ 0.6. One row: truth size, LSH candidate count, hits,
+    * recall‰ (qualifying pairs the bands caught) and precision‰
+    * (candidates that actually qualify). The number that decides
+    * whether a campaign's (bands × rows) setting is generating enough
+    * — or wastefully many — verification candidates.
+    *
+    * Scale shape: both inputs are pair-BOUNDED relations (banded
+    * buckets / prefix-filtered), the overlap is one equi-join on the
+    * pair key, and the report is three 1-row aggregates attached by
+    * the broadcast scalar pattern. */
+  val lshVsExactRecall: Q = (spark, dir) => {
+    val truth = jaccardPrefixJoin(spark, dir).select("doc_a", "doc_b")
+      .withColumn("in_t", lit(1L))
+    val cands = minhashPairs(spark, dir).select("doc_a", "doc_b")
+      .withColumn("in_c", lit(1L))
+    // ONE full-outer join on the pair key + ONE aggregate computes all
+    // three set sizes — the three-independent-scalar-aggregates
+    // spelling paid three plan subtrees (59 jobs, +1 s of constants)
+    truth.join(cands, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum(coalesce(col("in_t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("in_c"), lit(0L))).as("n_cands"),
+        sum(when(col("in_t").isNotNull && col("in_c").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .select(col("n_truth"), col("n_cands"), col("n_hit"),
+        expr("CASE WHEN n_truth = 0 THEN 1000L ELSE (n_hit * 1000) div n_truth END")
+          .as("recall_permille"),
+        expr("CASE WHEN n_cands = 0 THEN 1000L ELSE (n_hit * 1000) div n_cands END")
+          .as("precision_permille"))
+  }
+  val lshVsExactRecallSql: String =
+    s"""WITH ${minhashCtes(NearDupesSql)},
+       |psh AS (SELECT doc_id, shingle FROM ${shingledSql(NearDupesSql)} s),
+       |psz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM psh GROUP BY 1),
+       |pinter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(count(*) AS BIGINT) AS inter
+       |  FROM psh a JOIN psh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT doc_a, doc_b FROM pinter
+       |  JOIN psz sa ON sa.doc_id = pinter.doc_a
+       |  JOIN psz sb ON sb.doc_id = pinter.doc_b
+       |  WHERE inter * $PpTauDen >= (sa.sz + sb.sz - inter) * $PpTauNum),
+       |m AS (
+       |  SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       |         CAST((SELECT count(*) FROM mh_pairs) AS BIGINT) AS n_cands,
+       |         CAST((SELECT count(*) FROM truth t
+       |               JOIN mh_pairs p ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b)
+       |              AS BIGINT) AS n_hit)
+       |SELECT n_truth, n_cands, n_hit,
+       |       CAST(CASE WHEN n_truth = 0 THEN 1000
+       |                 ELSE (n_hit * 1000) // n_truth END AS BIGINT) AS recall_permille,
+       |       CAST(CASE WHEN n_cands = 0 THEN 1000
+       |                 ELSE (n_hit * 1000) // n_cands END AS BIGINT) AS precision_permille
+       |FROM m""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "lsh_vs_exact_recall" -> lshVsExactRecall,
     "jaccard_prefix_join" -> jaccardPrefixJoin,
     "dup_triangle_audit" -> dupTriangleAudit,
     "parallel_pair_mine" -> parallelPairMine,
@@ -1930,6 +2006,7 @@ object Dedup {
     "edit_distance_verify" -> editDistanceVerify,
   )
   val oracles: Map[String, String] = Map(
+    "lsh_vs_exact_recall" -> lshVsExactRecallSql,
     "jaccard_prefix_join" -> jaccardPrefixJoinSql,
     "edit_distance_verify" -> editDistanceVerifySql,
     "dup_triangle_audit" -> dupTriangleAuditSql,
