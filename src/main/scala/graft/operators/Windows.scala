@@ -545,6 +545,39 @@ object Windows {
        |FROM m
        |ORDER BY prev_type, next_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X136 hourly_seasonality — hour-of-day load profile per event type
+  // ---------------------------------------------------------------------
+
+  /** Hour-of-day seasonality profile: per (event_type, UTC hour),
+    * count, exact per-mille share within the type, and the peak-hour
+    * flag (ties all flagged — deterministic) — the capacity-planning /
+    * anomaly-baseline fingerprint; [[anomalyMad]] flags days against
+    * the DAILY baseline, this is the intra-day shape those days follow.
+    *
+    * Scale shape: ONE map-combinable (type, hour) count; share and
+    * peak windows run over the ≤ types × 24 histogram — bounded by the
+    * clock, not the corpus. */
+  val hourlySeasonality: Q = (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_permille",
+        expr("n * 1000 div sum(n) OVER (PARTITION BY event_type)").cast("long"))
+      .withColumn("is_peak", expr("n = max(n) OVER (PARTITION BY event_type)"))
+      .orderBy("event_type", "hour")
+  val hourlySeasonalitySql: String =
+    s"""WITH h AS (
+       |  SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, hour, n,
+       |       CAST(n * 1000 // (sum(n) OVER (PARTITION BY event_type)) AS BIGINT)
+       |         AS share_permille,
+       |       n = max(n) OVER (PARTITION BY event_type) AS is_peak
+       |FROM h
+       |ORDER BY event_type, hour""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tumbling_window_agg" -> tumblingWindowAgg,
     "sliding_window_agg" -> slidingWindowAgg,
@@ -557,6 +590,7 @@ object Windows {
     "anomaly_mad" -> anomalyMad,
     "scd2_history" -> scd2History,
     "markov_transitions" -> markovTransitions,
+    "hourly_seasonality" -> hourlySeasonality,
   )
   val oracles: Map[String, String] = Map(
     "tumbling_window_agg" -> tumblingWindowAggSql,
@@ -570,5 +604,6 @@ object Windows {
     "anomaly_mad" -> anomalyMadSql,
     "scd2_history" -> scd2HistorySql,
     "markov_transitions" -> markovTransitionsSql,
+    "hourly_seasonality" -> hourlySeasonalitySql,
   )
 }

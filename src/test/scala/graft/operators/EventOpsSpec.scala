@@ -76,6 +76,25 @@ class EventOpsSpec extends AnyFunSuite {
     assert(rows.groupBy(_._1).view.mapValues(_.size).toMap == expected)
   }
 
+  // --- hourly_seasonality --------------------------------------------------
+
+  test("hourly_seasonality: counts partition the stream, shares and peaks exact") {
+    val rows = SparkEntry.queries("hourly_seasonality")(spark, Dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(rows.map(_._3).sum == events.size, "hour cells partition the stream")
+    rows.groupBy(_._1).foreach { case (tpe, g) =>
+      val total = g.map(_._3).sum
+      val mx = g.map(_._3).max
+      g.foreach { case (_, h, n, share, peak) =>
+        assert(h >= 0 && h <= 23)
+        assert(share == n * 1000 / total, s"($tpe, $h)")
+        assert(peak == (n == mx))
+      }
+      assert(g.count(_._5) >= 1, s"$tpe must flag at least one peak hour")
+    }
+  }
+
   // --- markov_transitions ------------------------------------------------
 
   test("markov_transitions: counts and conditional permilles match the brute-force matrix") {
