@@ -287,11 +287,14 @@ object Olap {
     * scale) and X24 (`quantile_sampled`): this is the shape that holds
     * when the corpus does not fit a sort but the value domain is
     * bounded — which quantized cents always are. */
-  val histogramQuantiles: Q = (spark, dir) => {
+  /** The quantile extraction over any (event_type, cents, c) histogram
+    * relation — shared by the batch query and the streaming twin
+    * ([[graft.streaming.QuantileStream]] maintains the identical
+    * histogram as its bounded state and reads quantiles through THIS
+    * code, so batch/stream parity is by construction). */
+  private[graft] def quantilesOfHist(hist: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
-    val hist = Tables.events(spark, dir)
-      .withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
-      .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+    val spark = hist.sparkSession
     val cum = hist
       .withColumn("cum", sum(col("c")).over(
         W.partitionBy("event_type").orderBy("cents")
@@ -307,6 +310,15 @@ object Olap {
       .agg(min(col("cents")).as("cents_q"))
       .orderBy("event_type", "q_permille")
   }
+
+  /** The (event_type, cents, c) histogram shape both paths aggregate. */
+  private[graft] def centsHist(events: DataFrame): DataFrame =
+    events
+      .withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+
+  val histogramQuantiles: Q = (spark, dir) =>
+    quantilesOfHist(centsHist(Tables.events(spark, dir)))
   val histogramQuantilesSql: String = {
     val lattice = HQuantiles.map(q => s"($q)").mkString(", ")
     s"""WITH hist AS (
