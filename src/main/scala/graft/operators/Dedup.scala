@@ -1981,7 +1981,72 @@ object Dedup {
        |                 ELSE (n_hit * 1000) // n_cands END AS BIGINT) AS precision_permille
        |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X137 containment_verify — asymmetric near-superset detection
+  // ---------------------------------------------------------------------
+
+  /** Containment threshold (permille of the SMALLER set). */
+  private val ContainMin = 800L
+
+  /** Asymmetric CONTAINMENT verification over the LSH candidates —
+    * the quote/subset detector Jaccard structurally cannot be: when a
+    * short document is wholly contained in a long one (a quoted
+    * paragraph, a template plus additions), Jaccard ≈ |A|/|B| is tiny
+    * while containment |A∩B|/min(|A|,|B|) ≈ 1000‰. Per candidate
+    * pair: both set sizes, the exact intersection, containment
+    * permille, and the near-superset verdict (≥ [[ContainMin]]‰ with
+    * Jaccard below the dedup bar — i.e. pairs ONLY containment
+    * catches). The dedup family's fourth estimator lens: X2 generates,
+    * X90 thresholds Jaccard, X131 is exact-complete Jaccard, this
+    * reads the asymmetric axis of the same candidates.
+    *
+    * Scale shape: candidate-BOUNDED (the X114 edit-verify regime);
+    * per-doc sorted shingle arrays join onto the pairs and ONE
+    * codegen'd `array_intersect` per row does the set work (the X131
+    * verify shape). */
+  val containmentVerify: Q = (spark, dir) => {
+    val sh = shingled(withNearDupes(spark, dir)).persist()
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("shingle"))).as("hs"),
+        count(lit(1)).as("sz"))
+    minhashPairs(spark, dir)
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+        col("sz").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+        col("sz").as("sb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("containment_permille",
+        expr("(inter * 1000) div least(sa, sb)"))
+      .withColumn("is_near_superset",
+        col("containment_permille") >= ContainMin &&
+          expr(s"inter * $PpTauDen < (sa + sb - inter) * $PpTauNum"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"), col("inter"),
+        col("containment_permille"), col("is_near_superset"))
+      .orderBy("doc_a", "doc_b")
+  }
+  val containmentVerifySql: String =
+    s"""WITH ${minhashCtes(NearDupesSql)},
+       |psh AS (SELECT doc_id, shingle FROM ${shingledSql(NearDupesSql)} s),
+       |psz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM psh GROUP BY 1),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM mh_pairs p
+       |  JOIN psh x ON x.doc_id = p.doc_a
+       |  JOIN psh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, sa.sz AS sa, sb.sz AS sb, i.inter,
+       |       CAST((i.inter * 1000) // least(sa.sz, sb.sz) AS BIGINT)
+       |         AS containment_permille,
+       |       ((i.inter * 1000) // least(sa.sz, sb.sz) >= $ContainMin
+       |        AND i.inter * $PpTauDen < (sa.sz + sb.sz - i.inter) * $PpTauNum)
+       |         AS is_near_superset
+       |FROM inter i
+       |JOIN psz sa ON sa.doc_id = i.doc_a
+       |JOIN psz sb ON sb.doc_id = i.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "containment_verify" -> containmentVerify,
     "lsh_vs_exact_recall" -> lshVsExactRecall,
     "jaccard_prefix_join" -> jaccardPrefixJoin,
     "dup_triangle_audit" -> dupTriangleAudit,
@@ -2006,6 +2071,7 @@ object Dedup {
     "edit_distance_verify" -> editDistanceVerify,
   )
   val oracles: Map[String, String] = Map(
+    "containment_verify" -> containmentVerifySql,
     "lsh_vs_exact_recall" -> lshVsExactRecallSql,
     "jaccard_prefix_join" -> jaccardPrefixJoinSql,
     "edit_distance_verify" -> editDistanceVerifySql,

@@ -546,6 +546,54 @@ object Windows {
        |ORDER BY prev_type, next_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // X138 scd2_point_in_time — as-of dimension state over the history
+  // ---------------------------------------------------------------------
+
+  /** Point-in-time reads over the X121 SCD2 history — the query a
+    * versioned dimension EXISTS for: at every day boundary the stream
+    * spans, how many users sat in each state (their open version's
+    * type at that instant, interval containment
+    * valid_from ≤ t < valid_to). The daily census of dimension state —
+    * time-travel semantics expressed over interval rows, no snapshot
+    * copies.
+    *
+    * Scale shape: the probe lattice is the DISTINCT DAY relation —
+    * calendar-bounded (the stickiness_report day-lattice argument) —
+    * broadcast against the corpus-scale version relation with the
+    * containment predicate row-local; each version row matches at most
+    * its interval's days. The census collapses map-combinably. */
+  val scd2PointInTime: Q = (spark, dir) => {
+    val hist = scd2History(spark, dir)
+    val probes = Tables.events(spark, dir)
+      .select(date_trunc("DAY", col("ts")).as("probe_day")).distinct()
+    hist.crossJoin(broadcast(probes))
+      .filter(col("probe_day") >= col("valid_from") &&
+        (col("valid_to").isNull || col("probe_day") < col("valid_to")))
+      .groupBy("probe_day", "event_type")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("probe_day", "event_type")
+  }
+  val scd2PointInTimeSql: String =
+    s"""WITH ordered AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+       |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |changes AS (
+       |  SELECT * FROM ordered WHERE prev IS NULL OR prev <> event_type),
+       |hist AS (
+       |  SELECT user_id, event_type, ts AS valid_from,
+       |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+       |  FROM changes),
+       |probes AS (
+       |  SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS probe_day
+       |  FROM events)
+       |SELECT probe_day, event_type, CAST(count(*) AS BIGINT) AS n_active
+       |FROM hist JOIN probes
+       |  ON probe_day >= valid_from AND (valid_to IS NULL OR probe_day < valid_to)
+       |GROUP BY 1, 2
+       |ORDER BY probe_day, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // X136 hourly_seasonality — hour-of-day load profile per event type
   // ---------------------------------------------------------------------
 
@@ -591,6 +639,7 @@ object Windows {
     "scd2_history" -> scd2History,
     "markov_transitions" -> markovTransitions,
     "hourly_seasonality" -> hourlySeasonality,
+    "scd2_point_in_time" -> scd2PointInTime,
   )
   val oracles: Map[String, String] = Map(
     "tumbling_window_agg" -> tumblingWindowAggSql,
@@ -605,5 +654,6 @@ object Windows {
     "scd2_history" -> scd2HistorySql,
     "markov_transitions" -> markovTransitionsSql,
     "hourly_seasonality" -> hourlySeasonalitySql,
+    "scd2_point_in_time" -> scd2PointInTimeSql,
   )
 }

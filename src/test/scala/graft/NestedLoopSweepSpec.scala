@@ -124,7 +124,11 @@ class NestedLoopSweepSpec extends AnyFunSuite {
     // X134: the domain-bounded value HISTOGRAM × the FIXED 3-literal
     // quantile lattice (range(1) explode — X87's pattern, the one-row
     // bound hidden from the detector by the explode)
-    "histogram_quantiles" -> 1)
+    "histogram_quantiles" -> 1,
+    // X138: version intervals × the DISTINCT-DAY probe lattice —
+    // calendar-bounded build side (the stickiness_report day-lattice
+    // argument); each version row matches at most its interval's days
+    "scd2_point_in_time" -> 1)
 
   test("no registered query plans an unbounded nested-loop or cartesian join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
