@@ -702,7 +702,11 @@ object Relational {
           sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("orphan_rows"))
         .select(lit(rel).as("relationship"), col("child_rows"),
           col("orphan_rows"),
-          expr("(orphan_rows * 1000) div child_rows").as("orphan_permille"))
+          // empty-child guard: harness tables are non-empty by contract,
+          // but an empty child must read as 0-orphan, not a null/error
+          // (Spark div -> NULL, DuckDB // -> error — both wrong)
+          expr("CASE WHEN child_rows = 0 THEN 0L ELSE (orphan_rows * 1000) div child_rows END")
+            .as("orphan_permille"))
     }
     val li = Tables.lineitem(spark, dir)
     Seq(
@@ -723,7 +727,8 @@ object Relational {
       s"""SELECT '$rel' AS relationship,
          |       CAST(count(*) AS BIGINT) AS child_rows,
          |       CAST(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
-         |       CAST((sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS orphan_permille
+         |       CAST(CASE WHEN count(*) = 0 THEN 0
+         |            ELSE (sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) * 1000) // count(*) END AS BIGINT) AS orphan_permille
          |FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p ON c.$ck = p.$pk""".stripMargin
     Seq(
       arm("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),

@@ -3,9 +3,9 @@ package graft.operators
 import org.scalatest.funsuite.AnyFunSuite
 import graft.{SparkEntry, Tables, TestSpark}
 
-/** Laws for the r20 event-stream trio (anomaly_mad / scd2_history /
-  * markov_transitions) at sf0.001, each checked against a driver-side
-  * brute-force recompute of the same definition.
+/** Laws for the r20 event-stream family (anomaly_mad / scd2_history /
+  * hourly_seasonality / markov_transitions) at sf0.001, each checked
+  * against a driver-side brute-force recompute of the same definition.
   */
 class EventOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
