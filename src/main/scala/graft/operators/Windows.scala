@@ -416,11 +416,13 @@ object Windows {
     * histogram (rows = types × days — time-range-bounded metadata, the
     * compaction_plan regime): two collect_list medians per type over
     * day-bounded lists, one broadcast join back. No corpus-sized
-    * window, no second scan. */
-  val anomalyMad: Q = (spark, dir) => {
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+    * window, no second scan.
+    *
+    * `madOfDaily` is the extraction over any (event_type, day, n)
+    * relation — shared with the streaming twin
+    * ([[graft.streaming.AnomalyStream]] maintains the identical daily
+    * histogram as bounded state and reads flags through THIS code). */
+  private[graft] def madOfDaily(daily: DataFrame): DataFrame = {
     val med = daily.groupBy("event_type")
       .agg(sort_array(collect_list(col("n"))).as("ns"))
       .select(col("event_type"),
@@ -436,6 +438,16 @@ object Windows {
         (abs(col("n") - col("med")) > lit(3L) * col("mad")).as("is_anomaly"))
       .orderBy("event_type", "day")
   }
+
+  /** The (event_type, day, n) daily-count shape both paths aggregate. */
+  private[graft] def dailyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+
+  val anomalyMad: Q = (spark, dir) =>
+    madOfDaily(dailyCounts(Tables.events(spark, dir)))
+
   val anomalyMadSql: String =
     s"""WITH daily AS (
        |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
