@@ -34,9 +34,17 @@ object Models {
   def enabled(spark: SparkSession): Boolean =
     spark.conf.getOption(Flag).exists(_.toBoolean)
 
+  /** Per-name cell: training runs under the CELL's lock, so one slow
+    * training (PQ codebooks) blocks only concurrent requests for the
+    * SAME artifact, never lookups of unrelated names (r18 ADVICE). The
+    * session map's own lock covers only get-or-create of cells. */
+  private final class Cell {
+    var ref: java.lang.ref.SoftReference[AnyRef] =
+      new java.lang.ref.SoftReference[AnyRef](null)
+  }
+
   private type Registry =
-    java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, java.lang.ref.SoftReference[AnyRef]]]
+    java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Cell]]
 
   private val artifacts: Registry = new Registry()
 
@@ -50,12 +58,13 @@ object Models {
       if (m == null) { m = scala.collection.mutable.Map.empty; artifacts.put(spark, m) }
       m
     }
-    perSession.synchronized {
-      perSession.get(name).flatMap(r => Option(r.get)) match {
+    val cell = perSession.synchronized(perSession.getOrElseUpdate(name, new Cell))
+    cell.synchronized {
+      Option(cell.ref.get) match {
         case Some(v) => v.asInstanceOf[T]
         case None =>
           val trained = train
-          perSession(name) = new java.lang.ref.SoftReference[AnyRef](trained)
+          cell.ref = new java.lang.ref.SoftReference[AnyRef](trained)
           trained
       }
     }
@@ -73,6 +82,6 @@ object Models {
   private[graft] def artifactCount(spark: SparkSession): Int =
     artifacts.synchronized {
       Option(artifacts.get(spark))
-        .map(_.valuesIterator.count(_.get != null)).getOrElse(0)
+        .map(_.valuesIterator.count(_.ref.get != null)).getOrElse(0)
     }
 }

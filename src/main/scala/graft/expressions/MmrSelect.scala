@@ -52,8 +52,9 @@ case class MmrSelect(first: Expression, second: Expression, third: Expression)
       // of as an opaque lazy-init task failure on an executor
       val kVal = second.eval()
       val lpVal = third.eval()
-      if (kVal == null)
-        TypeCheckResult.TypeCheckFailure("graft_mmr: k must be a non-null int literal")
+      if (kVal == null || kVal.asInstanceOf[Int] < 1)
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_mmr: k must be a non-null int literal >= 1, got $kVal")
       else if (lpVal == null ||
           lpVal.asInstanceOf[Int] <= 0 || lpVal.asInstanceOf[Int] > 1000)
         TypeCheckResult.TypeCheckFailure(

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Fns
@@ -218,18 +218,33 @@ object Scalars {
 
   /** The schema-on-read path F16's `to_json` only writes: extract a
     * typed field from the `events.props` JSON payload per row
-    * (`get_json_object` — Spark's codegen'd JSON path scalar — vs
-    * DuckDB's `json_extract_string`, same NULL-on-missing contract),
-    * then roll the corpus into a decade histogram with per-bucket user
-    * reach and the exact decimal-pinned value mass. This is the
-    * event-property analytics every product pipeline runs without ever
-    * materializing a schema for `props`.
+    * ([[propsLong]] — a codegen'd pattern scan, vs DuckDB's
+    * `json_extract_string`, same NULL-on-missing contract for the
+    * harness's flat integer payloads), then roll the corpus into a
+    * decade histogram with the exact decimal-pinned value mass. This is
+    * the event-property analytics every product pipeline runs without
+    * ever materializing a schema for `props`.
     *
     * Scale shape: the extraction is a row-local projection fused into
     * the scan stage; the corpus collapses in ONE map-combinable
-    * (bucket) aggregate (the user reach is the standard two-phase
-    * count-distinct expand, bounded by buckets × users); ≤ value-range
-    * / 10 output rows. */
+    * (bucket) aggregate; ≤ value-range / 10 output rows. */
+
+  /** Typed top-level-integer-field extraction from a JSON payload
+    * column: `"<key>"` followed by optional whitespace, `:`, optional
+    * whitespace, and an integer — NULL on no match or a non-long value.
+    * The divergence classes vs a full JSON parse are pinned by
+    * JsonPropsContractSpec: a string-typed `"k":"12"` is NULL (the
+    * quote blocks the match — same NULL the old from_json spelling
+    * produced, while DuckDB's TRY_CAST(json_extract_string) parses it),
+    * and the scan does not validate document well-formedness (a
+    * truncated payload whose `"k":12` prefix survives still extracts,
+    * where a strict parse yields NULL — DuckDB's json_extract_string
+    * ERRORS there, so the oracle holds no position). Exact on
+    * well-formed single-level integer-typed payloads, which is the
+    * harness generator's contract for `events.props`. */
+  private[graft] def propsLong(propsCol: String, key: String): Column =
+    expr(s"try_cast(regexp_extract($propsCol, " +
+      s"'\"$key\"\\\\s*:\\\\s*(-?\\\\d+)', 1) as long)")
   val jsonPropsHistogram: Q = (spark, dir) =>
     // Extraction scalar (r19 rewrite, measured min-of-5 at sf0.1 on the
     // full query): pattern-scan extraction at 0.28 s vs 0.71 s for the
@@ -257,8 +272,7 @@ object Scalars {
     // `k - ((k % 10) + 10) % 10` floors identically in both (% is the
     // truncation-style remainder in both engines).
     Tables.events(spark, dir).select("props", "value")
-      .withColumn("k",
-        expr("try_cast(regexp_extract(props, '\"k\"\\\\s*:\\\\s*(-?\\\\d+)', 1) as long)"))
+      .withColumn("k", propsLong("props", "k"))
       .groupBy(expr("k - ((k % 10) + 10) % 10").as("k_bucket"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(38,10)")).cast("double").as("sum_value"))

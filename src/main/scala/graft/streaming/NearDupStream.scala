@@ -39,12 +39,22 @@ object NearDupStream {
 
   /** Freeze `refDir`'s LSH index and probe the stream; per-batch
     * candidate rows (doc_id, cand_id) go to `onCandidates` with the
-    * batch id. */
-  def start(docs: Dataset[NearDupDoc], refDir: String, name: String)(
+    * batch id. `eagerCount = false` skips the construction-time index
+    * materialization (and its empty-index warning) when the caller
+    * already knows the index is warm and non-empty. */
+  def start(docs: Dataset[NearDupDoc], refDir: String, name: String,
+      eagerCount: Boolean = true)(
       onCandidates: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = docs.sparkSession
     val index = Dedup.frozenBandRel(spark, refDir).persist()
-    require(index.count() > 0, s"empty LSH index from $refDir — nothing to probe")
+    // A legitimately empty (or not-yet-staged) reference corpus is a
+    // valid gate that emits no candidates — log it instead of refusing
+    // to construct the stream (r18 ADVICE). The count doubles as the
+    // index materialization the first batch would otherwise pay; callers
+    // that know the index is warm can skip it via eagerCount = false.
+    if (eagerCount && index.count() == 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"graft NearDupStream: empty LSH index from $refDir — the stream will emit no candidates")
     val query = docs.toDF().writeStream
       .queryName(name)
       .outputMode(OutputMode.Append())

@@ -77,4 +77,14 @@ class MmrSelectSpec extends AnyFunSuite {
     val cands = Seq((30L, 10L, e), (10L, 10L, e), (20L, 10L, e))
     assert(run(cands, 3, 500) == Seq(10L, 20L, 30L))
   }
+
+  test("bad literals fail at ANALYSIS time: k < 1 and out-of-range lambda") {
+    val e = Array(1L, 2L)
+    val cands = Seq((1L, 5L, e))
+    for ((k, lp) <- Seq((0, 500L), (-3, 500L), (2, 0L), (2, 1001L))) {
+      val ex = intercept[Exception](run(cands, k, lp))
+      assert(ex.getMessage.contains("graft_mmr"),
+        s"(k=$k, lp=$lp) expected the analysis-time validation message, got: ${ex.getMessage}")
+    }
+  }
 }
