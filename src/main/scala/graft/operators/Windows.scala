@@ -121,6 +121,17 @@ object Windows {
         .select(lit(i + 1L).as("step"), lit(FunnelSteps(i)).as("step_name"),
           col("n_users"))
     }.reduce(_ unionByName _)
+    funnelReportOfCounts(rows)
+  }
+
+  /** The funnel's ordered step names, for the streaming twin
+    * ([[graft.streaming.FunnelStream]]) to share. */
+  private[graft] def funnelStepNames: Seq[String] = FunnelSteps
+
+  /** The report tail over a (step, step_name, n_users) relation —
+    * shared by the batch query and the streaming twin's rollup so the
+    * conversion arithmetic has exactly one spelling. */
+  private[graft] def funnelReportOfCounts(rows: DataFrame): DataFrame =
     rows
       .withColumn("prev_users", coalesce(
         lag(col("n_users"), 1).over(
@@ -130,7 +141,6 @@ object Windows {
         "CASE WHEN prev_users = 0 THEN 0L ELSE (n_users * 1000) div prev_users END"))
       .select("step", "step_name", "n_users", "conv_permille")
       .orderBy("step")
-  }
   val funnelReportSql: String = {
     val stepCtes = FunnelSteps.zipWithIndex.map { case (tpe, i) =>
       if (i == 0)

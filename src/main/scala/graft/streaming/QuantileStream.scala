@@ -1,10 +1,22 @@
 package graft.streaming
 
+import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** A value observation entering the quantile tracker. */
 final case class QObs(eventType: String, value: Double)
+
+/** A keyed-CDC observation for the replay-gated tracker: `(ts,
+  * eventId)` is the per-type delivery order the gate advances along. */
+final case class QEvent(eventType: String, value: Double, ts: Timestamp,
+  eventId: Long)
+
+/** One per-batch histogram increment: adding `dc` to the (eventType,
+  * cents) cell. Summing all emitted deltas reconstructs the batch
+  * histogram exactly. */
+final case class HistDelta(eventType: String, cents: Long, dc: Long)
 
 /** Streaming twin of the batch `histogram_quantiles` (X134) — the
   * monitoring-system quantile path run as a continuous query: the
@@ -18,14 +30,23 @@ final case class QObs(eventType: String, value: Double)
   * not: the histogram is bounded by the VALUE DOMAIN (cents), not the
   * stream length — the same argument as the batch op — and counts are
   * a commutative monoid, so any micro-batch split converges to the
-  * batch histogram exactly. At-least-once REDELIVERY, unlike the
-  * CRDT trackers (min/max/union), would double-count — the tracker
-  * sits behind an exactly-once source (the Structured Streaming
-  * default with replayable sources + idempotent sinks), documented
-  * rather than silently wrong.
+  * batch histogram exactly.
   *
-  * Scale shape: state rows ≤ types × cents-domain; updates map-side
-  * combinable within every micro-batch.
+  * Delivery: [[histogram]] is the exactly-once-source spelling (the
+  * Structured Streaming default with replayable sources + idempotent
+  * sinks); at-least-once REDELIVERY would double-count it. For an
+  * at-least-once keyed CDC source, [[trackedDeltas]] is the
+  * replay-gated spelling under [[Scd2Stream]]'s ordered-delivery
+  * contract: per event_type the tracker advances a (ts, event_id)
+  * watermark, skips anything at or before it as an idempotent replay,
+  * and emits per-batch histogram DELTAS — a monoid, so the downstream
+  * rollup (a second streaming agg or a batch sum) reconstructs the
+  * exact histogram under arbitrary prefix redelivery
+  * ([[QuantileStreamSpec]] proves replay ≡ batch).
+  *
+  * Scale shape: complete-mode state rows ≤ types × cents-domain;
+  * tracked-gate state is ONE watermark tuple per event_type; updates
+  * map-side combinable within every micro-batch.
   */
 object QuantileStream {
 
@@ -39,4 +60,41 @@ object QuantileStream {
     * query's own extraction, re-exported for sink-side reads. */
   def quantiles(hist: DataFrame): DataFrame =
     graft.operators.Olap.quantilesOfHist(hist)
+
+  private def micros(ts: Timestamp): Long =
+    ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+
+  /** Exact cents bucket of `value` — the JVM spelling of the batch
+    * `CAST(floor(value * 100) AS BIGINT)` (both are IEEE double
+    * multiply + floor, bit-identical). */
+  private def centsOf(value: Double): Long = math.floor(value * 100).toLong
+
+  /** (lastTsMicros, lastId) per event_type — the replay watermark. */
+  private type St = (Long, Long)
+
+  /** Replay-gated histogram deltas for an at-least-once ORDERED keyed
+    * CDC source — see the delivery contract in the object Scaladoc. */
+  def trackedDeltas(events: Dataset[QEvent]): Dataset[HistDelta] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.eventType)
+      .flatMapGroupsWithState[St, HistDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (etype, incoming, state: GroupState[St]) =>
+          var (lastTs, lastId) =
+            state.getOption.getOrElse((Long.MinValue, Long.MinValue))
+          val delta = scala.collection.mutable.Map.empty[Long, Long]
+          incoming.toSeq.sortBy(e => (micros(e.ts), e.eventId)).foreach { e =>
+            val t = micros(e.ts)
+            // replay gate: at-or-before the watermark = already counted
+            if (t > lastTs || (t == lastTs && e.eventId > lastId)) {
+              val c = centsOf(e.value)
+              delta(c) = delta.getOrElse(c, 0L) + 1L
+              lastTs = t; lastId = e.eventId
+            }
+          }
+          state.update((lastTs, lastId))
+          delta.iterator.map { case (c, dc) => HistDelta(etype, c, dc) }
+      }
+  }
 }

@@ -53,4 +53,48 @@ class AnomalyStreamSpec extends AnyFunSuite {
     val parts = rng.shuffle(corpus).grouped(corpus.length / 3 + 1).toSeq
     assert(run(parts) == batchRows)
   }
+
+  // ------------------------------------------------------------------
+  // replay-gated tracker (at-least-once ordered CDC contract)
+  // ------------------------------------------------------------------
+
+  private def cdcCorpus: Seq[VolEvent] =
+    graft.Tables.events(spark, Dir)
+      .selectExpr("event_type", "ts", "event_id").collect()
+      .map(r => VolEvent(r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      .toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+
+  private def runTracked(batches: Seq[Seq[VolEvent]]): Set[Row] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[VolEvent]
+    val name = s"vdelta_${System.nanoTime()}"
+    val q = AnomalyStream.trackedDeltas(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      // downstream monoid rollup: sum of emitted deltas IS the daily
+      // histogram; snapshot before the self-joining MAD extraction
+      val t = spark.table(name).groupBy("eventType", "day")
+        .agg(org.apache.spark.sql.functions.sum("dn").as("n"))
+        .withColumnRenamed("eventType", "event_type")
+      val hist = spark.createDataFrame(
+        spark.sparkContext.parallelize(t.collect().toSeq), t.schema)
+      AnomalyStream.flags(hist).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5))).toSet
+    } finally q.stop()
+  }
+
+  test("tracked: in-order splits WITH prefix replays converge to the batch flags") {
+    val c = cdcCorpus
+    val parts = c.grouped(c.length / 3 + 1).toSeq
+    val replayed = Seq(parts(0), parts(0).takeRight(40) ++ parts(1), parts(1) ++ parts(2))
+    assert(batchRows.nonEmpty && runTracked(replayed) == batchRows)
+  }
+
+  test("tracked: a fully redelivered corpus emits nothing new") {
+    val c = cdcCorpus
+    assert(runTracked(Seq(c, c)) == batchRows)
+  }
 }
