@@ -8,13 +8,17 @@ import graft.Tables
   * opaque `binary` payloads + typed metadata structs, with
   * decode / feature-extract / resize / frame-sample stages.
   *
-  * The environment has no image/audio codecs, so the DECODE KERNELS are
-  * deterministic fakes (clearly marked below) — but everything Spark-side
-  * is real and tested: the schema contract, the `mapPartitions` batch
-  * shape (the Scala analog of `mapInPandas` — one iterator pass per
-  * partition, no per-row function-call overhead, kernels amortized over
-  * the batch), partition-level parallelism, and the metadata plumbing.
-  * Swapping a fake kernel for libjpeg/ffmpeg changes one function body.
+  * The IMAGE decode is REAL for the formats the JDK ships pure-JVM
+  * codecs for (PNG/BMP/GIF/JPEG via `javax.imageio` — r19,
+  * golden-fixture-tested in MultimodalSpec); payloads outside that set
+  * (and the audio/video planes, which have no JVM codec) fall back to
+  * deterministic fakes, clearly quarantined below. Everything
+  * Spark-side is real and tested: the schema contract, the
+  * `mapPartitions` batch shape (the Scala analog of `mapInPandas` —
+  * one iterator pass per partition, no per-row function-call overhead,
+  * kernels amortized over the batch), partition-level parallelism, and
+  * the metadata plumbing. Swapping a fake kernel for ffmpeg changes
+  * one function body.
   *
   * Scale notes: payloads never shuffle unless the user asks for it —
   * every stage here is a narrow map over partitions; metadata-only
@@ -27,7 +31,13 @@ object Multimodal {
   final case class Media(
       media_id: Long, kind: String, payload: Array[Byte],
       width: Int, height: Int, sample_rate: Int, duration_ms: Long)
-  final case class DecodedImage(media_id: Long, width: Int, height: Int, pixels: Array[Byte])
+
+  /** Decoded raster: `pixels.length == width * height * channels`,
+    * row-major top-down. The REAL decode path ([[decodeImageJvm]])
+    * emits 3-channel sRGB; the quarantined fake emits 1-channel
+    * (grayscale-shaped) buffers for payloads no JVM codec reads. */
+  final case class DecodedImage(media_id: Long, width: Int, height: Int,
+      channels: Int, pixels: Array[Byte])
   final case class MediaFeatures(media_id: Long, kind: String, embedding: Array[Float])
 
   /** Synthesize a deterministic media table from `documents` (no binary
@@ -49,12 +59,47 @@ object Multimodal {
   }
 
   // -------------------------------------------------------------------
-  // kernels — STUB decoders (deterministic fakes; see object Scaladoc)
+  // kernels — REAL JVM decode (javax.imageio) + quarantined fake
   // -------------------------------------------------------------------
 
-  /** FAKE image decode: real codec would inflate payload → RGB bytes.
-    * The fake emits width*height bytes derived from a rolling hash of
-    * the payload — deterministic, size-correct, codec-free. */
+  /** REAL image decode for the formats the JDK ships codecs for
+    * (PNG, BMP, GIF, JPEG — `javax.imageio`, pure JVM, no native
+    * libraries): payload bytes → row-major top-down 3-channel sRGB.
+    * `getRGB` routes every source color model through the same packed
+    * sRGB conversion, so the bytes are deterministic per payload
+    * regardless of the codec's internal raster layout. Returns None
+    * when no registered codec reads the payload — the caller falls
+    * back to the quarantined fake. Disk-cache is off (ImageIO's
+    * default scratch-file cache would do executor-local I/O per image). */
+  private[graft] def decodeImageJvm(m: Media): Option[DecodedImage] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    Option(img).map { im =>
+      val w = im.getWidth; val h = im.getHeight
+      val px = new Array[Byte](w * h * 3)
+      var i = 0; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          px(i) = ((rgb >> 16) & 0xFF).toByte
+          px(i + 1) = ((rgb >> 8) & 0xFF).toByte
+          px(i + 2) = (rgb & 0xFF).toByte
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      DecodedImage(m.media_id, w, h, 3, px)
+    }
+  }
+
+  /** FAKE image decode — QUARANTINED to payloads no JVM codec reads
+    * (the harness's synthesized text-byte media; real deployments with
+    * formats outside the JDK's codec set swap in libjpeg-turbo/ffmpeg
+    * here). Emits width*height 1-channel bytes derived from a rolling
+    * hash of the payload — deterministic, size-correct, codec-free. */
   private def fakeDecodeImage(m: Media): DecodedImage = {
     val n = m.width * m.height
     val px = new Array[Byte](n)
@@ -62,7 +107,7 @@ object Multimodal {
     m.payload.foreach(b => h = h * 31 + b)
     var i = 0
     while (i < n) { h = h * 6364136223846793005L + 1442695040888963407L; px(i) = (h >>> 56).toByte; i += 1 }
-    DecodedImage(m.media_id, m.width, m.height, px)
+    DecodedImage(m.media_id, m.width, m.height, 1, px)
   }
 
   /** FAKE feature extraction: real kernel would run a vision/audio
@@ -82,11 +127,14 @@ object Multimodal {
   // -------------------------------------------------------------------
 
   /** Decode stage: one kernel invocation per row, batched per partition
-    * (mapPartitions = the mapInPandas batch shape in Scala). */
+    * (mapPartitions = the mapInPandas batch shape in Scala). Payloads
+    * the JDK's codecs read (PNG/BMP/GIF/JPEG) take the REAL decode
+    * path; anything else falls back to the quarantined fake. */
   def decodeImages(media: Dataset[Media]): Dataset[DecodedImage] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.filter(_.kind == "image").mapPartitions(_.map(fakeDecodeImage))
+    media.filter(_.kind == "image").mapPartitions(_.map(m =>
+      decodeImageJvm(m).getOrElse(fakeDecodeImage(m))))
   }
 
   /** Resize stage: pure metadata arithmetic on the decoded struct —
