@@ -54,7 +54,13 @@ object Layout {
     */
   /** The manifest core over any (doc_id, len_b, lang_b) relation —
     * shared by `zorder_layout` and the composed `pipeline_layout`. */
-  private[operators] def manifestOf(d0: DataFrame): DataFrame = {
+  /** The per-row file assignment under the Z-order plan — (doc_id,
+    * len_b, lang_b, z, file_id). Split out of [[manifestOf]] so the
+    * layout can be PHYSICALLY WRITTEN (partitioned by file_id) and the
+    * manifest audited against the written files' actual Parquet footer
+    * statistics (ZoneMapFooterSpec — the r18-verdict ask: the pruning
+    * claim measured against what a scanner would really skip). */
+  private[operators] def assignedOf(d0: DataFrame): DataFrame = {
     val d = d0.withColumn("z", expr(mortonSql("len_b", "lang_b")))
     val ranked = d.withColumn("rn",
       row_number().over(Window.partitionBy("z").orderBy("doc_id")))
@@ -65,13 +71,17 @@ object Layout {
       .select("z", "off")
     ranked.join(broadcast(offsets), "z")
       .withColumn("file_id", expr("(off + rn - 1) div " + RowsPerFile))
+      .select("doc_id", "len_b", "lang_b", "z", "file_id")
+  }
+
+  private[operators] def manifestOf(d0: DataFrame): DataFrame =
+    assignedOf(d0)
       .groupBy("file_id")
       .agg(count(lit(1)).as("n_rows"),
         min("z").as("z_min"), max("z").as("z_max"),
         min("len_b").as("len_min"), max("len_b").as("len_max"),
         min("lang_b").as("lang_min"), max("lang_b").as("lang_max"))
       .orderBy("file_id")
-  }
 
   /** CTE chain producing `manifest(file_id, n_rows, z_min, z_max,
     * len_min, len_max, lang_min, lang_max)` over a relation
@@ -98,7 +108,7 @@ object Layout {
 
   /** The bucketed (doc_id, len_b, lang_b) relation both layout queries
     * cluster on. */
-  private def zorderInput(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def zorderInput(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         least(expr(s"n_chars div 64"), lit((1 << ZBits) - 1)).as("len_b"),
