@@ -247,6 +247,14 @@ object Scratch {
         .orderBy("doc_id")
     }
     time("fluency_shj") { noop(fluencyShj) }
+    time("tercile_window") {
+      noop(SparkEntry.queries("fluency_buckets")(spark, dir))
+    }
+    spark.conf.set("graft.fluency.twophase.minBytes", "1")
+    time("tercile_twophase") {
+      noop(SparkEntry.queries("fluency_buckets")(spark, dir))
+    }
+    spark.conf.unset("graft.fluency.twophase.minBytes")
     time("substr_spans_window2") { noop(spansWindow) }
     time("substr_spans_current2") {
       noop(SparkEntry.queries("exact_substr_spans")(spark, dir))

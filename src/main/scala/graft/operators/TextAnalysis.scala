@@ -476,16 +476,73 @@ object TextAnalysis {
     * offsets trick keyed by lang. The registered query keeps the
     * window spelling because its oracle pins ntile's exact
     * remainder-placement semantics. */
-  val fluencyBuckets: Q = (spark, dir) =>
-    bigramFluency(spark, dir)
-      .withColumn("tercile", ntile(3).over(
-        Window.partitionBy("lang").orderBy(col("fluency").desc, col("doc_id")))
-        .cast("long"))
-      .select(col("doc_id"), col("lang"), col("fluency"), col("tercile"),
-        when(col("tercile") === 1, "head")
-          .when(col("tercile") === 2, "middle")
-          .otherwise("tail").as("tier"))
+  /** tercile → tier projection shared by both spellings. */
+  private def tiered(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("lang"), col("fluency"), col("tercile"),
+      when(col("tercile") === 1, "head")
+        .when(col("tercile") === 2, "middle")
+        .otherwise("tail").as("tier"))
       .orderBy("doc_id")
+
+  /** Single-window spelling over a (doc_id, lang, …, fluency) relation:
+    * one ntile per language partition. */
+  private[operators] def fluencyTerciledWindow(fl: DataFrame): DataFrame =
+    tiered(fl.withColumn("tercile", ntile(3).over(
+      Window.partitionBy("lang").orderBy(col("fluency").desc, col("doc_id")))
+      .cast("long")))
+
+  /** Coarse fluency class width for the two-phase rank (fluency ∈
+    * [0, 10⁶] → ≤ 245 classes per language — the offsets relation
+    * stays langs × classes, metadata-scale). */
+  private val FluencyCoarseB = 4096L
+
+  /** Two-phase respelling of the SAME ntile semantics (the r18-verdict
+    * skew ask, landed): instead of sorting a whole language inside one
+    * window partition, rank WITHIN each (lang, coarse fluency class) —
+    * parallel, bounded partitions — prefix-sum the tiny class-count
+    * relation into offsets (the [[TrainingMix.globalRowIndex]] trick
+    * keyed by lang, descending classes), and assign the tercile from
+    * the exact global rank with ntile's own remainder arithmetic:
+    * n = 3q + r ⇒ the first r terciles take q+1 rows, thresholds
+    * t₁ = q + (r≥1), t₂ = 2q + (r≥1) + (r≥2). Spec-pinned equal to the
+    * window spelling row-for-row, remainders and single-language skew
+    * included (FluencyTwoPhaseSpec). */
+  private[operators] def fluencyTerciledTwoPhase(fl: DataFrame): DataFrame = {
+    val b = fl.withColumn("cb", expr(s"fluency div $FluencyCoarseB"))
+    val ranked = b.withColumn("rn", row_number().over(
+      Window.partitionBy("lang", "cb").orderBy(col("fluency").desc, col("doc_id"))))
+    val offs = b.groupBy("lang", "cb").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(
+        sum(col("bn")).over(Window.partitionBy("lang").orderBy(col("cb").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("bn")).over(Window.partitionBy("lang")))
+      .select("lang", "cb", "off", "n")
+    tiered(ranked.join(broadcast(offs), Seq("lang", "cb"))
+      .withColumn("rank", col("off") + col("rn"))
+      .withColumn("tercile",
+        when(col("rank") <= expr("n div 3 + if(n % 3 >= 1, 1, 0)"), 1L)
+          .when(col("rank") <= expr(
+            "2 * (n div 3) + if(n % 3 >= 1, 1, 0) + if(n % 3 >= 2, 1, 0)"), 2L)
+          .otherwise(3L)))
+  }
+
+  /** Conf knob for the spelling heuristic: documents-scan size (bytes)
+    * at which fluency_buckets switches to the two-phase rank. Default
+    * 8 GiB — at harness row widths that is ~10⁷ docs, the regime where
+    * a dominant language's single ntile partition stops fitting one
+    * task comfortably; the harness SFs stay far below it, so the
+    * registered query keeps the (faster at small scale) window plan. */
+  private[operators] val FluencyTwoPhaseConf = "graft.fluency.twophase.minBytes"
+
+  val fluencyBuckets: Q = (spark, dir) => {
+    val fl = bigramFluency(spark, dir)
+    val threshold = spark.conf.getOption(FluencyTwoPhaseConf)
+      .map(_.toLong).getOrElse(8L << 30)
+    val scanBytes = Tables.documents(spark, dir)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    if (scanBytes >= threshold) fluencyTerciledTwoPhase(fl)
+    else fluencyTerciledWindow(fl)
+  }
   val fluencyBucketsSql: String =
     s"""WITH bi AS (
        |  SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2 FROM (
