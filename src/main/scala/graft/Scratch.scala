@@ -255,6 +255,35 @@ object Scratch {
       noop(SparkEntry.queries("fluency_buckets")(spark, dir))
     }
     spark.conf.unset("graft.fluency.twophase.minBytes")
+
+    // fact_join_agg: serial probe chain vs fanned lineitem
+    def factJoin(fan: Boolean) = {
+      val li0 = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") > to_timestamp(lit("1996-01-01 00:00:00")))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val li = if (fan) Tables.fanout(li0) else li0
+      li.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(round(col("l_extendedprice") * 100).cast("long") *
+               (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+            .cast("double") / 1000000L).as("revenue"))
+        .orderBy("c_mktsegment", "o_orderpriority")
+    }
+    time("factjoin_plain") { noop(factJoin(fan = false)) }
+    time("factjoin_fan") { noop(factJoin(fan = true)) }
+
+    time("chunkdedup_plain") {
+      noop(SparkEntry.queries("corpus_chunk_dedup")(spark, dir))
+      spark.catalog.clearCache()
+    }
+    time("chunkdedup_fan") {
+      noop(graft.operators.Dedup.chunkDedupOf(
+        Tables.fanout(graft.operators.Dedup.withExactDupes(spark, dir)))
+        .orderBy("doc_id"))
+      spark.catalog.clearCache()
+    }
     time("substr_spans_window2") { noop(spansWindow) }
     time("substr_spans_current2") {
       noop(SparkEntry.queries("exact_substr_spans")(spark, dir))

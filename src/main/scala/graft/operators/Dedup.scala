@@ -67,7 +67,7 @@ object Dedup {
     * spans 1.13 s nofan vs 1.08 fan (noise), cut 1.34 vs 1.42 (worse)
     * — the union doubling the fanned task count eats the win; decision
     * unchanged. */
-  private def withExactDupes(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def withExactDupes(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select("doc_id", "text")
     d.unionByName(
       d.filter(col("doc_id") % 3 === 0)
@@ -1138,7 +1138,7 @@ object Dedup {
   /** The span-removal core over any (doc_id, text, ...) relation:
     * (doc_id, n_chunks, n_removed, clean_text), one row per input doc —
     * shared by `corpus_chunk_dedup` and the composed `corpus_pipeline`. */
-  private[operators] def chunkDedupOf(input: DataFrame): DataFrame = {
+  private[graft] def chunkDedupOf(input: DataFrame): DataFrame = {
     // token count WITHOUT materializing the split: for a single-space
     // separator with trailing empties kept (Spark split limit -1 and
     // DuckDB string_split agree), size(split(text,' ')) ≡ #spaces+1 —

@@ -292,23 +292,30 @@ object Olap {
     * ([[graft.streaming.QuantileStream]] maintains the identical
     * histogram as its bounded state and reads quantiles through THIS
     * code, so batch/stream parity is by construction). */
-  private[graft] def quantilesOfHist(hist: DataFrame): DataFrame = {
+  private[graft] def quantilesOfHist(hist: DataFrame): DataFrame =
+    quantilesOfHistBy(hist, Seq("event_type"))
+
+  /** The keyed generalization: quantiles per arbitrary key tuple over a
+    * (keys..., cents, c) histogram — [[dailyQuantileTrend]] keys by
+    * (event_type, day), the X134 path by event_type alone. */
+  private[graft] def quantilesOfHistBy(hist: DataFrame, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
     val spark = hist.sparkSession
+    val kc = keys.map(col)
     val cum = hist
       .withColumn("cum", sum(col("c")).over(
-        W.partitionBy("event_type").orderBy("cents")
+        W.partitionBy(kc: _*).orderBy("cents")
           .rowsBetween(W.unboundedPreceding, W.currentRow)))
       .withColumn("n", sum(col("c")).over(
-        W.partitionBy("event_type")
+        W.partitionBy(kc: _*)
           .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
     val lattice = spark.range(1)
       .select(explode(lit(HQuantiles.toArray)).as("q_permille"))
     cum.crossJoin(broadcast(lattice))
       .filter(col("cum") * 1000 >= col("n") * col("q_permille"))
-      .groupBy("event_type", "q_permille")
+      .groupBy(kc :+ col("q_permille"): _*)
       .agg(min(col("cents")).as("cents_q"))
-      .orderBy("event_type", "q_permille")
+      .orderBy(kc :+ col("q_permille"): _*)
   }
 
   /** The (event_type, cents, c) histogram shape both paths aggregate. */
@@ -340,7 +347,58 @@ object Olap {
        |ORDER BY event_type, q_permille""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // X139 daily_quantile_trend — per-day quantile bands from histograms
+  // ---------------------------------------------------------------------
+
+  /** The monitoring TREND completing X134's point-in-time quantiles and
+    * X120's count anomalies: exact discrete P50/P90/P99 of event value
+    * per (event_type, DAY) — the latency/value band chart every
+    * dashboard draws, and the per-day baseline a value-anomaly gate
+    * compares against (X120 flags volume; this profiles magnitude).
+    * Same numeric policy as X134: no interpolation, no floats —
+    * cents_q = min cents with cum ≥ ⌈q·n⌉ inside each (type, day)
+    * histogram.
+    *
+    * Scale shape: the corpus collapses into (type, day, cents) counts
+    * bounded by types × days × VALUE DOMAIN — calendar- and
+    * domain-bounded, never row-count-shaped; the cumulative window
+    * partitions by (type, day) (one day's histogram per partition, ≤
+    * cents-domain rows); the 3-row lattice cross join is the X134
+    * counted allowlist. Histograms being mergeable, a deployment rolls
+    * this up from the SAME daily state [[graft.streaming.QuantileStream]]
+    * would keep per day. */
+  val dailyQuantileTrend: Q = (spark, dir) =>
+    quantilesOfHistBy(
+      Tables.events(spark, dir)
+        .withColumn("day", date_trunc("DAY", col("ts")))
+        .withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+        .groupBy("event_type", "day", "cents").agg(count(lit(1)).as("c")),
+      Seq("event_type", "day"))
+  val dailyQuantileTrendSql: String = {
+    val lattice = HQuantiles.map(q => s"($q)").mkString(", ")
+    s"""WITH hist AS (
+       |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       |         CAST(floor(value * 100) AS BIGINT) AS cents,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2, 3),
+       |cum AS (
+       |  SELECT event_type, day, cents, c,
+       |         sum(c) OVER (PARTITION BY event_type, day ORDER BY cents
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |         sum(c) OVER (PARTITION BY event_type, day) AS n
+       |  FROM hist),
+       |lattice(q_permille) AS (VALUES $lattice)
+       |SELECT event_type, day, CAST(q_permille AS BIGINT) AS q_permille,
+       |       min(cents) AS cents_q
+       |FROM cum CROSS JOIN lattice
+       |WHERE cum * 1000 >= n * q_permille
+       |GROUP BY 1, 2, 3
+       |ORDER BY event_type, day, q_permille""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "daily_quantile_trend" -> dailyQuantileTrend,
     "histogram_quantiles" -> histogramQuantiles,
     "grouping_sets_report" -> groupingSetsReport,
     "rollup_agg" -> rollupAgg,
@@ -351,6 +409,7 @@ object Olap {
     "profile_table" -> profileTable,
   )
   val oracles: Map[String, String] = Map(
+    "daily_quantile_trend" -> dailyQuantileTrendSql,
     "histogram_quantiles" -> histogramQuantilesSql,
     "grouping_sets_report" -> groupingSetsReportSql,
     "rollup_agg" -> rollupAggSql,

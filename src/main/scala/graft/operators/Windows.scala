@@ -648,7 +648,79 @@ object Windows {
        |FROM h
        |ORDER BY event_type, hour""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X140 sequence_match_report — regex CEP over per-user event journeys
+  // ---------------------------------------------------------------------
+
+  /** The fixed pattern lattice — each pattern a product question over
+    * the journey alphabet (event types by first letter: c=click,
+    * e=error, p=purchase, s=signup, v=view; all initials distinct in
+    * the harness inventory, spec-pinned). Patterns use the regex
+    * subset (literals, `.`, `*`, `{n,}`) whose semantics Java regex and
+    * DuckDB's RE2 share exactly. */
+  private val SeqPatterns = Seq(
+    "v.*p", // viewed then eventually purchased — the conversion question
+    "vp", // purchase IMMEDIATELY after a view (no intervening events)
+    "e{3,}", // 3+ consecutive errors — the rage-quit / outage signature
+    "p.*e", // an error after a purchase — the post-conversion-failure audit
+    "s.*p") // signup later converts
+
+  /** Regex CEP (complex-event-processing lite) over user journeys —
+    * the sequence-pattern layer above [[userPathNgrams]]' fixed 3-grams
+    * and [[markovTransitions]]' single steps: each user's full event
+    * history becomes a compact symbol string (one char per event, in
+    * exact (ts, event_id) order), and the report counts, per pattern,
+    * the users whose journey matches (unanchored regex search, the
+    * shared Java/RE2 semantics) with exact per-mille reach. The
+    * pattern set every funnel tool compiles to under the hood,
+    * expressed directly.
+    *
+    * Scale shape: ONE map-combinable user-keyed aggregate builds the
+    * journey strings (collect_list of (ts, id, sym) structs +
+    * row-local sort — state bounded by per-user ACTIVITY, the
+    * session-window family's audited bound, never corpus-shaped); the
+    * pattern lattice is a fixed literal array crossed onto the
+    * user-sized relation (≤ |patterns| fanout, counted BNLJ
+    * allowlist); the report collapses in one |patterns|-group
+    * aggregate. Journey strings at 100 TB: a user with 10⁶ events
+    * carries a 1 MB string through ONE task — the same per-user
+    * activity bound session windows already assume; pathological
+    * actors get capped upstream by the ingest dedup. */
+  val sequenceMatchReport: Q = (spark, dir) => {
+    val seqs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("sym"))
+      .groupBy("user_id")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(ts, event_id, sym))), x -> x.sym)"),
+        "").as("s"))
+    val lattice = spark.range(1)
+      .select(explode(lit(SeqPatterns.toArray)).as("pattern"))
+    seqs.crossJoin(broadcast(lattice))
+      .groupBy("pattern")
+      .agg(count(when(expr("s rlike pattern"), 1)).as("n_users"),
+        count(lit(1)).as("n_total"))
+      .select(col("pattern"), col("n_users"),
+        expr("(n_users * 1000) div n_total").as("match_permille"))
+      .orderBy("pattern")
+  }
+  val sequenceMatchReportSql: String = {
+    val lattice = SeqPatterns.map(p => s"('$p')").mkString(", ")
+    s"""WITH seq AS (
+       |  SELECT user_id,
+       |         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+       |  FROM $EV ev GROUP BY 1),
+       |pats(pattern) AS (VALUES $lattice)
+       |SELECT pattern,
+       |       CAST(count(*) FILTER (regexp_matches(s, pattern)) AS BIGINT) AS n_users,
+       |       CAST(count(*) FILTER (regexp_matches(s, pattern)) * 1000 // count(*)
+       |            AS BIGINT) AS match_permille
+       |FROM seq CROSS JOIN pats
+       |GROUP BY 1 ORDER BY pattern""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "sequence_match_report" -> sequenceMatchReport,
     "tumbling_window_agg" -> tumblingWindowAgg,
     "sliding_window_agg" -> slidingWindowAgg,
     "session_window_agg" -> sessionWindowAgg,
@@ -672,6 +744,7 @@ object Windows {
     "stickiness_report" -> stickinessReportSql,
     "rfm_segments" -> rfmSegmentsSql,
     "user_path_ngrams" -> userPathNgramsSql,
+    "sequence_match_report" -> sequenceMatchReportSql,
     "anomaly_mad" -> anomalyMadSql,
     "scd2_history" -> scd2HistorySql,
     "markov_transitions" -> markovTransitionsSql,

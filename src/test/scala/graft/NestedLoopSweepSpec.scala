@@ -125,6 +125,12 @@ class NestedLoopSweepSpec extends AnyFunSuite {
     // quantile lattice (range(1) explode — X87's pattern, the one-row
     // bound hidden from the detector by the explode)
     "histogram_quantiles" -> 1,
+    // X139: the same 3-literal quantile lattice crossed onto the
+    // (type, day, cents) histogram — calendar- and domain-bounded
+    "daily_quantile_trend" -> 1,
+    // X140: the FIXED 5-literal pattern lattice crossed onto the
+    // user-journey relation (≤ |patterns| fanout by construction)
+    "sequence_match_report" -> 1,
     // X138: version intervals × the DISTINCT-DAY probe lattice —
     // calendar-bounded build side (the stickiness_report day-lattice
     // argument); each version row matches at most its interval's days
