@@ -719,7 +719,115 @@ object Windows {
        |GROUP BY 1 ORDER BY pattern""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // X141 window_funnel — TIME-BOUNDED conversion funnel (24 h deadline)
+  // ---------------------------------------------------------------------
+
+  /** The completion deadline: a chain converts only if its last step
+    * lands within this many MICROSECONDS of its first. 24 h separates
+    * the corpus cleanly (sf0.01: 150 viewers → 147 clickers → 86
+    * purchasers, vs 150/150/150 at a 7-day window — the unbounded X104
+    * regime). */
+  private val FunnelWindowUs: Long = 86400L * 1000000L
+
+  /** The time-bounded funnel (the ClickHouse `windowFunnel` shape):
+    * a user reaches level k if events e₁ < e₂ < … < e_k of the step
+    * types exist IN (ts, event_id) ORDER with t_k − t₁ ≤ 24 h —
+    * X104's question with a deadline, which is what growth teams
+    * actually ask ("converted within a day", not "ever"). Exact
+    * single-pass DP per user over the time-ordered journey: A[j] =
+    * the MAXIMUM chain-anchor t₁ over valid level-j chains seen so
+    * far; a step-j event at t extends iff t − A[j−1] ≤ W, and anchors
+    * only ever improve (the later anchor admits a superset of future
+    * completions, so the greedy is exhaustive — the brute-force
+    * 3-way-join oracle is the independent proof). Report: per level,
+    * users reaching ≥ level + per-mille conversion from the previous
+    * level through the SHARED [[funnelReportOfCounts]] tail.
+    *
+    * Scale shape: ONE map-combinable user-keyed aggregate collects the
+    * time-ordered journey (per-user ACTIVITY bound — the
+    * sequence_match_report argument), the DP is a row-local fold, and
+    * the corpus collapses in a single global 3-counter aggregate (one
+    * row; the explode below it is the X87 one-row-lattice pattern, no
+    * BNLJ anywhere). The oracle deliberately spells the DEFINITION
+    * instead (3-way self-join with the deadline predicate) — an
+    * independent implementation, quadratic-per-user and fine at oracle
+    * scale, which is exactly why the engine side is the DP. */
+  val windowFunnel: Q = (spark, dir) => {
+    val journeys = Tables.events(spark, dir)
+      .filter(col("event_type").isin(FunnelSteps: _*))
+      .select(col("user_id"),
+        struct(expr("unix_micros(ts)").as("t"), col("event_id").as("id"),
+          substring(col("event_type"), 1, 1).as("sym")).as("e"))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(col("e"))).as("evs"))
+    val levels = journeys.select(expr(
+      s"""aggregate(evs,
+         |  named_struct('a1', CAST(-1 AS BIGINT), 'a2', CAST(-1 AS BIGINT),
+         |               'a3', CAST(-1 AS BIGINT)),
+         |  (acc, e) -> named_struct(
+         |    'a1', CASE WHEN e.sym = 'v' AND e.t > acc.a1 THEN e.t ELSE acc.a1 END,
+         |    'a2', CASE WHEN e.sym = 'c' AND acc.a1 >= 0
+         |               AND e.t - acc.a1 <= $FunnelWindowUs
+         |               AND acc.a1 > acc.a2 THEN acc.a1 ELSE acc.a2 END,
+         |    'a3', CASE WHEN e.sym = 'p' AND acc.a2 >= 0
+         |               AND e.t - acc.a2 <= $FunnelWindowUs
+         |               AND acc.a2 > acc.a3 THEN acc.a2 ELSE acc.a3 END),
+         |  acc -> CASE WHEN acc.a3 >= 0 THEN 3L WHEN acc.a2 >= 0 THEN 2L
+         |              WHEN acc.a1 >= 0 THEN 1L ELSE 0L END)""".stripMargin)
+      .as("level"))
+    val counts = levels.agg(
+      count(when(col("level") >= 1, 1)).as("n1"),
+      count(when(col("level") >= 2, 1)).as("n2"),
+      count(when(col("level") >= 3, 1)).as("n3"))
+    val rows = counts.select(explode(array(
+      struct(lit(1L).as("step"), lit(FunnelSteps(0)).as("step_name"), col("n1").as("n_users")),
+      struct(lit(2L).as("step"), lit(FunnelSteps(1)).as("step_name"), col("n2").as("n_users")),
+      struct(lit(3L).as("step"), lit(FunnelSteps(2)).as("step_name"), col("n3").as("n_users"))))
+      .as("r"))
+      .select(col("r.step").as("step"), col("r.step_name").as("step_name"),
+        col("r.n_users").as("n_users"))
+    funnelReportOfCounts(rows)
+  }
+  val windowFunnelSql: String = {
+    val wUs = FunnelWindowUs
+    s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+       |           FROM events),
+       |l3 AS (
+       |  SELECT DISTINCT v.user_id FROM e v
+       |  JOIN e c ON c.user_id = v.user_id
+       |    AND (c.ts > v.ts OR (c.ts = v.ts AND c.event_id > v.event_id))
+       |  JOIN e p ON p.user_id = c.user_id
+       |    AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+       |  WHERE v.event_type = '${FunnelSteps(0)}' AND c.event_type = '${FunnelSteps(1)}'
+       |    AND p.event_type = '${FunnelSteps(2)}'
+       |    AND epoch_us(p.ts) - epoch_us(v.ts) <= $wUs),
+       |l2 AS (
+       |  SELECT DISTINCT v.user_id FROM e v
+       |  JOIN e c ON c.user_id = v.user_id
+       |    AND (c.ts > v.ts OR (c.ts = v.ts AND c.event_id > v.event_id))
+       |  WHERE v.event_type = '${FunnelSteps(0)}' AND c.event_type = '${FunnelSteps(1)}'
+       |    AND epoch_us(c.ts) - epoch_us(v.ts) <= $wUs),
+       |l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = '${FunnelSteps(0)}'),
+       |f AS (
+       |  SELECT 1 AS step, '${FunnelSteps(0)}' AS step_name,
+       |         (SELECT count(*) FROM l1) AS n_users
+       |  UNION ALL SELECT 2, '${FunnelSteps(1)}', (SELECT count(*) FROM l2)
+       |  UNION ALL SELECT 3, '${FunnelSteps(2)}', (SELECT count(*) FROM l3)),
+       |g AS (
+       |  SELECT step, step_name, n_users,
+       |         coalesce(lag(n_users) OVER (ORDER BY step), n_users) AS prev_users
+       |  FROM f)
+       |SELECT CAST(step AS BIGINT) AS step, step_name,
+       |       CAST(n_users AS BIGINT) AS n_users,
+       |       CAST(CASE WHEN prev_users = 0 THEN 0
+       |                 ELSE (n_users * 1000) // prev_users END AS BIGINT)
+       |         AS conv_permille
+       |FROM g ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "window_funnel" -> windowFunnel,
     "sequence_match_report" -> sequenceMatchReport,
     "tumbling_window_agg" -> tumblingWindowAgg,
     "sliding_window_agg" -> slidingWindowAgg,
@@ -744,6 +852,7 @@ object Windows {
     "stickiness_report" -> stickinessReportSql,
     "rfm_segments" -> rfmSegmentsSql,
     "user_path_ngrams" -> userPathNgramsSql,
+    "window_funnel" -> windowFunnelSql,
     "sequence_match_report" -> sequenceMatchReportSql,
     "anomaly_mad" -> anomalyMadSql,
     "scd2_history" -> scd2HistorySql,

@@ -65,6 +65,10 @@ class GlobalWindowSweepSpec extends AnyFunSuite {
     // funnel report (bounded by the step list's length — the corpus
     // collapsed in the per-step user-keyed aggregates above it).
     "funnel_report" -> 1,
+    // driver-r19 window_funnel: the SAME shared report tail
+    // (funnelReportOfCounts) over the 3-row level-count relation — the
+    // corpus collapsed in one global 3-counter aggregate above it.
+    "window_funnel" -> 1,
     // r19 user_path_ngrams: the share denominator sums over the path
     // HISTOGRAM — ≤ |event types|³ = 125 rows by construction (the
     // corpus collapsed in the path-count aggregate above it).
