@@ -332,7 +332,15 @@ object Dedup {
       .withColumn("n_agree",
         (0 until NumHashes).map(i =>
           when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _))
-      .select(col("doc_a"), col("doc_b"), col("n_agree"))
+      // 1-BIT agreement (Li & Koenig 2010 b-bit minwise hashing, b = 1):
+      // only the PARITY of each minhash is compared — the 12× storage
+      // reduction [[bbitMinhashAudit]] prices against the full
+      // signatures. Rides the same join, row-local, free for the
+      // consumers that ignore it.
+      .withColumn("n_bit_agree",
+        (0 until NumHashes).map(i =>
+          when(col(s"a$i") % 2 === col(s"b$i") % 2, 1L).otherwise(0L)).reduce(_ + _))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"), col("n_bit_agree"))
   }
 
   val minhashJaccardEstimate: Q = (spark, dir) =>
@@ -460,7 +468,11 @@ object Dedup {
     * report is 12 rows. The h-space (h60 % MersenneP) is the signature
     * chain's own, so hash collisions — equal on both engines — cancel
     * in the comparison. */
-  val dedupThresholdSweep: Q = (spark, dir) => {
+  /** (doc_a, doc_b, n_agree, n_bit_agree, inter, uni) per LSH candidate
+    * pair: the signature-agreement relation with the EXACT shingle
+    * Jaccard attached — shared by [[dedupThresholdSweep]] (threshold
+    * tuning) and [[bbitMinhashAudit]] (estimator-compression audit). */
+  private def candidateJaccardRel(spark: SparkSession, dir: String): DataFrame = {
     val ap = agreementPairs(spark, dir)
     // fanout: the shingle+hash pass otherwise runs on the union's 2
     // serial scan tasks (r19 stage profile) — same reasoning as
@@ -473,13 +485,18 @@ object Dedup {
     // relation is small-bytes but CPU-dense (array_intersect over
     // hundred-element sets) — the r19 stage profile put it on 2 tasks
     // at 586 ms wall / 1149 ms run.
-    val jac = ap
+    ap
       .join(hsets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("uni",
         (size(col("ha")) + size(col("hb"))).cast("long") - col("inter"))
+      .select("doc_a", "doc_b", "n_agree", "n_bit_agree", "inter", "uni")
+  }
+
+  val dedupThresholdSweep: Q = (spark, dir) => {
+    val jac = candidateJaccardRel(spark, dir)
     jac.select(explode(expr("sequence(1L, 12L)")).as("t"),
         col("n_agree"), col("inter"), col("uni"))
       .groupBy("t")
@@ -532,6 +549,89 @@ object Dedup {
        |       CASE WHEN exact_pos > 0 THEN (tp * 1000) // exact_pos ELSE -1 END
        |         AS recall_permille
        |FROM sweep ORDER BY t""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // X142 bbit_minhash_audit — b-bit minwise compression audit (b = 1)
+  // ---------------------------------------------------------------------
+
+  /** The storage/accuracy trade of b-bit minwise hashing (Li & König
+    * 2010) measured on THIS corpus's candidate pairs: the full 12-hash
+    * estimator (Ĵ = agree/12) against the 1-bit variant that keeps only
+    * each minhash's PARITY (12 bits instead of 12 longs — a 64×
+    * signature compression; Ĵ₁ = 2·A − 1 for bit-agreement fraction A,
+    * the paper's b = 1 unbiased form under the large-universe collision
+    * model, clamped at 0), both scored against the EXACT shingle
+    * Jaccard. Per estimator: pair count, mean absolute error and the
+    * SIGNED error sum in permille — the one-row-per-estimator audit
+    * that says whether the compressed index can issue verify-skipping
+    * verdicts at this corpus's similarity profile or only pre-rank
+    * candidates for the exact pass.
+    *
+    * All arithmetic exact integer; the signed error is a SUM (not a
+    * mean) because DuckDB's `//` floors while Spark's `div` truncates —
+    * a negative mean would diverge, the exact sum cannot. Clamping
+    * before the ×1000 division keeps every quotient non-negative.
+    *
+    * Scale shape: rides [[candidateJaccardRel]] — the session-staged
+    * signatures, candidate-BOUNDED pairs, and the row-local exact
+    * intersection the sweep already prices; the audit itself is a
+    * 2-way explode of that bounded relation into ONE 2-group aggregate. */
+  val bbitMinhashAudit: Q = (spark, dir) =>
+    candidateJaccardRel(spark, dir)
+      .withColumn("exact_pm", expr("(inter * 1000) div uni"))
+      .select(explode(array(
+        struct(lit("full12").as("estimator"),
+          expr(s"(n_agree * 1000) div $NumHashes").as("est_pm"), col("exact_pm")),
+        struct(lit("bit1").as("estimator"),
+          expr(s"(greatest(0L, 2 * n_bit_agree - $NumHashes) * 1000) div $NumHashes")
+            .as("est_pm"), col("exact_pm")))).as("r"))
+      .select(col("r.estimator").as("estimator"), col("r.est_pm").as("est_pm"),
+        col("r.exact_pm").as("exact_pm"))
+      .groupBy("estimator")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(abs(est_pm - exact_pm)) div count(1)").as("mae_permille"),
+        sum(col("est_pm") - col("exact_pm")).as("err_sum_permille"))
+      .orderBy("estimator")
+  val bbitMinhashAuditSql: String = {
+    val agree = (0 until NumHashes)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    val bitAgree = (0 until NumHashes)
+      .map(i => s"CASE WHEN a.mh$i % 2 = b.mh$i % 2 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ${minhashCtes(NearDupesSql)},
+       |ag AS (
+       |  SELECT p.doc_a, p.doc_b, CAST($agree AS BIGINT) AS n_agree,
+       |         CAST($bitAgree AS BIGINT) AS n_bit_agree
+       |  FROM mh_pairs p
+       |  JOIN sig a ON a.doc_id = p.doc_a
+       |  JOIN sig b ON b.doc_id = p.doc_b),
+       |shd AS (SELECT DISTINCT doc_id, h FROM sh),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY 1),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM mh_pairs p
+       |  JOIN shd x ON x.doc_id = p.doc_a
+       |  JOIN shd y ON y.doc_id = p.doc_b AND y.h = x.h
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT g.n_agree, g.n_bit_agree,
+       |         (COALESCE(i.inter, 0) * 1000)
+       |           // (sa.n + sb.n - COALESCE(i.inter, 0)) AS exact_pm
+       |  FROM ag g
+       |  LEFT JOIN inter i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+       |  JOIN sizes sa ON sa.doc_id = g.doc_a
+       |  JOIN sizes sb ON sb.doc_id = g.doc_b),
+       |est AS (
+       |  SELECT 'full12' AS estimator,
+       |         (n_agree * 1000) // $NumHashes AS est_pm, exact_pm FROM jac
+       |  UNION ALL
+       |  SELECT 'bit1',
+       |         (greatest(0, 2 * n_bit_agree - $NumHashes) * 1000) // $NumHashes,
+       |         exact_pm FROM jac)
+       |SELECT estimator, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(abs(est_pm - exact_pm)) // count(*) AS BIGINT) AS mae_permille,
+       |       CAST(sum(est_pm - exact_pm) AS BIGINT) AS err_sum_permille
+       |FROM est GROUP BY 1 ORDER BY estimator""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -2077,6 +2177,7 @@ object Dedup {
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
     "minhash_jaccard_estimate" -> minhashJaccardEstimate,
     "dedup_threshold_sweep" -> dedupThresholdSweep,
+    "bbit_minhash_audit" -> bbitMinhashAudit,
     "lsh_band_recall" -> lshBandRecall,
     "fuzzy_fingerprint_join" -> fuzzyFingerprintJoin,
     "edit_distance_verify" -> editDistanceVerify,
@@ -2103,6 +2204,7 @@ object Dedup {
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "minhash_jaccard_estimate" -> minhashJaccardEstimateSql,
     "dedup_threshold_sweep" -> dedupThresholdSweepSql,
+    "bbit_minhash_audit" -> bbitMinhashAuditSql,
     "lsh_band_recall" -> lshBandRecallSql,
     "fuzzy_fingerprint_join" -> fuzzyFingerprintJoinSql,
   )
