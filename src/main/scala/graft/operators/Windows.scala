@@ -728,7 +728,7 @@ object Windows {
     * the corpus cleanly (sf0.01: 150 viewers → 147 clickers → 86
     * purchasers, vs 150/150/150 at a 7-day window — the unbounded X104
     * regime). */
-  private val FunnelWindowUs: Long = 86400L * 1000000L
+  private[graft] val FunnelWindowUs: Long = 86400L * 1000000L
 
   /** The time-bounded funnel (the ClickHouse `windowFunnel` shape):
     * a user reaches level k if events e₁ < e₂ < … < e_k of the step
