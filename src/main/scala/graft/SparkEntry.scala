@@ -39,9 +39,10 @@ object SparkEntry {
     "graft_set_cap" -> (ch => graft.expressions.CappedSet(ch.head, ch(1))),
     "graft_mmr" -> (ch => graft.expressions.MmrSelect(ch.head, ch(1), ch(2))),
     "graft_bigrams" -> (ch => graft.expressions.BigramPairs(ch.head)),
+    "graft_looprun" -> (ch => graft.expressions.LoopRun(ch.head, ch(1))),
   )
 
-  private def ensure(spark: SparkSession): Unit = {
+  private[graft] def ensure(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     nativeFns.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1376,7 +1376,86 @@ object Curation {
       |FROM cells JOIN bl USING (lang) JOIN bs USING (source) CROSS JOIN t
       |ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // X143 loop_run_gate — consecutive-repeat (degenerate-loop) detection
+  // ---------------------------------------------------------------------
+
+  /** Loop gram width (tokens) and the keep threshold: a doc whose
+    * longest back-to-back [[LoopK]]-gram run reaches [[LoopRejectAt]]
+    * repeats is degenerate-loop text. 3-grams at 4 repeats — short
+    * enough to catch phrase loops, long enough that natural prose
+    * (repeated single words, "very very") passes. */
+  private val LoopK = 3
+  private val LoopRejectAt = 4L
+
+  /** The degenerate-loop gate [[repetitionScore]]'s RATIOS structurally
+    * miss: "the cat the cat the cat …" appended to a long document
+    * barely moves top-term or dup-bigram fractions, but it is exactly
+    * the text that loops an LM's sampling — so the gate measures the
+    * longest BACK-TO-BACK n-gram run directly (`graft_looprun`, a
+    * fused native kernel over the family's 60-bit window hashes: max
+    * stride-n equal-hash chain + 1, O(windows) per row). The corpus is
+    * documents ∪ a loop-injected re-crawl of every 7th doc (the
+    * [[Dedup.withNearDupes]] injection discipline — the organic corpus
+    * is loop-free at harness SFs, 499/500 docs at max_reps = 1, so the
+    * injection is what gives the gate a measurable positive class;
+    * both engines spell the injected text identically via
+    * repeat()/array slicing).
+    *
+    * Scale shape: the injection and the kernel are row-local
+    * projections fused into the scan; no join, no window, no shuffle
+    * except the final presentation sort. The oracle spells the SAME
+    * definition relationally: per-position hashes, stride-K islands,
+    * max island size. */
+  val loopRunGate: Q = (spark, dir) => {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    val injected = d
+      .withColumn("words", split(col("text"), " "))
+      .filter(col("doc_id") % 7 === 0 && size(col("words")) >= LoopK)
+      .select((col("doc_id") + Dedup.ReKeyB).as("doc_id"),
+        concat(col("text"), lit(" "),
+          expr(s"trim(repeat(concat_ws(' ', slice(words, 1, $LoopK)) || ' ', $LoopRejectAt))"))
+          .as("text"))
+    d.unionByName(injected)
+      .withColumn("max_reps",
+        expr(s"graft_looprun(split(text, ' '), $LoopK)"))
+      .select(col("doc_id"), col("max_reps"),
+        (col("max_reps") < LoopRejectAt).as("keep"))
+      .orderBy("doc_id")
+  }
+  val loopRunGateSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${Dedup.ReKeyB} AS doc_id,
+       |         text || ' ' ||
+       |         trim(repeat(array_to_string(words[1:$LoopK], ' ') || ' ', $LoopRejectAt))
+       |           AS text
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+       |  WHERE doc_id % 7 = 0 AND len(words) >= $LoopK),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+       |hs AS (
+       |  SELECT doc_id, i,
+       |         ${Dedup.h60Duck(s"array_to_string(words[i+1:i+$LoopK], ' ')")} AS h
+       |  FROM (SELECT doc_id, words,
+       |               unnest(range(0, greatest(len(words) - ${LoopK - 1}, 0))) AS i
+       |        FROM w)),
+       |isl AS (
+       |  SELECT doc_id,
+       |         (i // $LoopK) - row_number()
+       |           OVER (PARTITION BY doc_id, i % $LoopK, h ORDER BY i) AS grp,
+       |         h, i % $LoopK AS r
+       |  FROM hs),
+       |runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS reps
+       |         FROM isl GROUP BY doc_id, r, h, grp),
+       |mx AS (SELECT doc_id, max(reps) AS max_reps FROM runs GROUP BY doc_id)
+       |SELECT c.doc_id, COALESCE(mx.max_reps, 0) AS max_reps,
+       |       COALESCE(mx.max_reps, 0) < $LoopRejectAt AS keep
+       |FROM corpus c LEFT JOIN mx ON mx.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "loop_run_gate" -> loopRunGate,
     "percentile_rank_norm" -> percentileRankNorm,
     "k_anonymity_audit" -> kAnonymityAudit,
     "lang_source_lift" -> langSourceLift,
@@ -1398,6 +1477,7 @@ object Curation {
     "source_unigram_drift" -> sourceUnigramDrift,
   )
   val oracles: Map[String, String] = Map(
+    "loop_run_gate" -> loopRunGateSql,
     "percentile_rank_norm" -> percentileRankNormSql,
     "k_anonymity_audit" -> kAnonymityAuditSql,
     "lang_source_lift" -> langSourceLiftSql,
