@@ -340,6 +340,62 @@ object TrainingMix {
       .drop("lo", "hi")
   }
 
+  // ---------------------------------------------------------------------
+  // X144 global_shuffle_order — deterministic corpus shuffle, sort-free
+  // ---------------------------------------------------------------------
+
+  /** Shuffle-key buckets: bounded window partitions for the two-phase
+    * rank (uniform hash ⇒ ~N/64 rows per bucket, no skew possible). */
+  private val ShuffleBuckets = 64L
+
+  /** The offline training shuffle: a DETERMINISTIC uniform pseudo-random
+    * permutation of the corpus — the pass every pipeline runs before
+    * epoch streaming so batch composition decorrelates from ingest
+    * order, made reproducible (resume a run, re-derive any shard) by
+    * keying the randomness on CONTENT (`h60('shuffle:' || doc_id)`)
+    * instead of an engine RNG. The permutation index is computed
+    * WITHOUT a global sort: rank within each of the [[ShuffleBuckets]]
+    * key buckets (parallel, bounded, skew-free by hash uniformity) +
+    * prefix-summed bucket offsets — the [[globalRowIndex]] two-phase
+    * trick with the shuffle key as the order. The oracle deliberately
+    * spells the naive global sort (`row_number() OVER (ORDER BY key)`)
+    * — the independent implementation the sort-free plan must equal.
+    *
+    * Scale shape: one row-local key projection, one window over ~N/64-
+    * row partitions, offsets over the 64-row count relation (counted
+    * global-window allowlist), broadcast join back. At 100 TB the
+    * bucket count scales with the cluster (any value works — the spec
+    * pins permutation validity, not the bucket count). */
+  val globalShuffleOrder: Q = (spark, dir) => {
+    // bucket = the key's HIGH bits (a RANGE of k, so bucket order is a
+    // prefix of the global (k, doc_id) order — a modulus would
+    // interleave ranges and break the offset arithmetic); h60 is
+    // uniform on [0, 2^60), so ranges are balanced without sampling
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+      .withColumn("k", h60(concat(lit("shuffle:"), col("doc_id"))))
+      .withColumn("bucket", expr(s"k div ${(1L << 60) / ShuffleBuckets}"))
+    val ranked = docs.withColumn("rn",
+      row_number().over(Window.partitionBy("bucket").orderBy("k", "doc_id")))
+    val offsets = docs.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(
+        sum(col("bn")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "off")
+    ranked.join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), col("source"),
+        (col("off") + col("rn") - 1).cast("long").as("shuffle_idx"))
+      .orderBy("doc_id")
+  }
+  val globalShuffleOrderSql: String =
+    s"""SELECT doc_id, source,
+       |       CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT)
+       |         AS shuffle_idx
+       |FROM (
+       |  SELECT doc_id, source,
+       |         ${h60Duck("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS k
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   val globalRowIndex: Q = (spark, dir) => {
     val docs = Tables.documents(spark, dir).select("doc_id", "lang")
     val bucketed = rangeBucketed(docs)
@@ -1217,6 +1273,7 @@ object TrainingMix {
     "ngram_coverage_curve" -> ngramCoverageCurve,
     "epoch_upsample" -> epochUpsample,
     "global_row_index" -> globalRowIndex,
+    "global_shuffle_order" -> globalShuffleOrder,
     "dsir_select" -> dsirSelect,
     "doremi_weights" -> doremiWeights,
     "length_bucket_batches" -> lengthBucketBatches,
@@ -1239,5 +1296,6 @@ object TrainingMix {
     "ngram_coverage_curve" -> ngramCoverageCurveSql,
     "epoch_upsample" -> epochUpsampleSql,
     "global_row_index" -> globalRowIndexSql,
+    "global_shuffle_order" -> globalShuffleOrderSql,
   )
 }

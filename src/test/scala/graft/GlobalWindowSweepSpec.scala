@@ -27,6 +27,9 @@ class GlobalWindowSweepSpec extends AnyFunSuite {
   private val BoundedPrefixSums = Map(
     "vocab_build" -> 1,
     "global_row_index" -> 1,
+    // driver-r19 global_shuffle_order: the same bucket-offsets prefix
+    // sum, over the 64-row shuffle-key bucket-count relation.
+    "global_shuffle_order" -> 1,
     "zorder_layout" -> 1,
     "pipeline_layout" -> 1,
     // r16 scalar attaches respelled as global windows over BOUNDED
