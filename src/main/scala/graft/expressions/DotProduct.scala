@@ -143,5 +143,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bigrams"),
       new ExpressionInfo(classOf[BigramPairs].getName, "graft_bigrams"),
       (children: Seq[Expression]) => BigramPairs(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_looprun"),
+      new ExpressionInfo(classOf[LoopRun].getName, "graft_looprun"),
+      (children: Seq[Expression]) => LoopRun(children.head, children(1))))
   }
 }

@@ -32,6 +32,22 @@ class EntrySpec extends AnyFunSuite {
       s"native functions used but not registered by ensure: ${used -- known}")
   }
 
+  test("the extension registry and ensure() register the SAME kernel set") {
+    // the r19 gap this pins: graft_looprun landed in nativeFns but not
+    // GraftExtensions — harmless for the driver contract (ensure runs
+    // on every query) but an extension-built session that SKIPS the
+    // contract would silently miss the newest kernels. An extension-
+    // built session (TestSpark runs through Sessions.builder, which
+    // sets spark.sql.extensions) must resolve every nativeFns name
+    // BEFORE ensure() runs for it.
+    val fresh = TestSpark.spark.newSession() // extensions apply, ensure() hasn't
+    val missing = SparkEntry.nativeFns.map(_._1).filterNot(name =>
+      fresh.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+    assert(missing.isEmpty,
+      s"kernels registered by ensure() but absent from GraftExtensions: $missing")
+  }
+
   test("every registered query has either an oracle or a scan prefix") {
     val keys = SparkEntry.queries.keySet
     val withOracle = SparkEntry.oracleSql.keySet
