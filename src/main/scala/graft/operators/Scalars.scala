@@ -239,7 +239,12 @@ object Scalars {
     * and the scan does not validate document well-formedness (a
     * truncated payload whose `"k":12` prefix survives still extracts,
     * where a strict parse yields NULL — DuckDB's json_extract_string
-    * ERRORS there, so the oracle holds no position). Exact on
+    * ERRORS there, so the oracle holds no position). A key pattern
+    * EMBEDDED in another field's string value cannot match from
+    * well-formed JSON — the escape its quotes require (`\"k\"`) is the
+    * very character that blocks the literal `"k"` scan — and matches
+    * only from malformed raw text (same non-validation class; both
+    * pinned in JsonPropsContractSpec, r19 ADVICE). Exact on
     * well-formed single-level integer-typed payloads, which is the
     * harness generator's contract for `events.props`. */
   private[graft] def propsLong(propsCol: String, key: String): Column =

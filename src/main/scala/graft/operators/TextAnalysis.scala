@@ -508,7 +508,14 @@ object TextAnalysis {
     * window spelling row-for-row, remainders and single-language skew
     * included (FluencyTwoPhaseSpec). */
   private[operators] def fluencyTerciledTwoPhase(fl: DataFrame): DataFrame = {
-    val b = fl.withColumn("cb", expr(s"fluency div $FluencyCoarseB"))
+    // ranked and offs both consume the coarse-classed relation; without
+    // a persist the two join subtrees sit under DIFFERENT exchanges, so
+    // the expensive multi-join bigramFluency pipeline beneath fl would
+    // compute twice (r19 ADVICE) — in exactly the >=8 GiB regime this
+    // path exists for. The persisted relation is narrow (doc_id, lang,
+    // fluency, cb — ~24 B/row), MEMORY_AND_DISK by default, and both
+    // references share the one InMemoryRelation (same analyzed subplan).
+    val b = fl.withColumn("cb", expr(s"fluency div $FluencyCoarseB")).persist()
     val ranked = b.withColumn("rn", row_number().over(
       Window.partitionBy("lang", "cb").orderBy(col("fluency").desc, col("doc_id"))))
     val offs = b.groupBy("lang", "cb").agg(count(lit(1)).as("bn"))

@@ -753,6 +753,34 @@ object Windows {
     * instead (3-way self-join with the deadline predicate) — an
     * independent implementation, quadratic-per-user and fine at oracle
     * scale, which is exactly why the engine side is the DP. */
+
+  /** "Level not reached" sentinel for the funnel DP's anchor slots.
+    * `Long.MinValue`, NOT −1: anchors are event epoch-micros, and a
+    * pre-1970 event carries a NEGATIVE anchor — with −1 any t ≤ −1
+    * could never anchor a chain while the oracle's definitional join
+    * has no such bound (r19 ADVICE). MinValue is unreachable by data
+    * (year ≈ −290308), so `anchor > sentinel` is exactly "reached". */
+  private[graft] val FunnelNotReached: Long = Long.MinValue
+  private val NR = s"bigint('${FunnelNotReached}')"
+
+  /** The per-user DP as one Spark SQL `aggregate(...)` over the
+    * time-ordered journey array `evs: array<struct<t, id, sym>>` —
+    * shared with WindowFunnelSpec so the law spec exercises the exact
+    * registered fold, sentinel arithmetic included. */
+  private[graft] def funnelLevelSql(windowUs: Long = FunnelWindowUs): String =
+    s"""aggregate(evs,
+       |  named_struct('a1', $NR, 'a2', $NR, 'a3', $NR),
+       |  (acc, e) -> named_struct(
+       |    'a1', CASE WHEN e.sym = 'v' AND e.t > acc.a1 THEN e.t ELSE acc.a1 END,
+       |    'a2', CASE WHEN e.sym = 'c' AND acc.a1 > $NR
+       |               AND e.t - acc.a1 <= $windowUs
+       |               AND acc.a1 > acc.a2 THEN acc.a1 ELSE acc.a2 END,
+       |    'a3', CASE WHEN e.sym = 'p' AND acc.a2 > $NR
+       |               AND e.t - acc.a2 <= $windowUs
+       |               AND acc.a2 > acc.a3 THEN acc.a2 ELSE acc.a3 END),
+       |  acc -> CASE WHEN acc.a3 > $NR THEN 3L WHEN acc.a2 > $NR THEN 2L
+       |              WHEN acc.a1 > $NR THEN 1L ELSE 0L END)""".stripMargin
+
   val windowFunnel: Q = (spark, dir) => {
     val journeys = Tables.events(spark, dir)
       .filter(col("event_type").isin(FunnelSteps: _*))
@@ -761,21 +789,7 @@ object Windows {
           substring(col("event_type"), 1, 1).as("sym")).as("e"))
       .groupBy("user_id")
       .agg(array_sort(collect_list(col("e"))).as("evs"))
-    val levels = journeys.select(expr(
-      s"""aggregate(evs,
-         |  named_struct('a1', CAST(-1 AS BIGINT), 'a2', CAST(-1 AS BIGINT),
-         |               'a3', CAST(-1 AS BIGINT)),
-         |  (acc, e) -> named_struct(
-         |    'a1', CASE WHEN e.sym = 'v' AND e.t > acc.a1 THEN e.t ELSE acc.a1 END,
-         |    'a2', CASE WHEN e.sym = 'c' AND acc.a1 >= 0
-         |               AND e.t - acc.a1 <= $FunnelWindowUs
-         |               AND acc.a1 > acc.a2 THEN acc.a1 ELSE acc.a2 END,
-         |    'a3', CASE WHEN e.sym = 'p' AND acc.a2 >= 0
-         |               AND e.t - acc.a2 <= $FunnelWindowUs
-         |               AND acc.a2 > acc.a3 THEN acc.a2 ELSE acc.a3 END),
-         |  acc -> CASE WHEN acc.a3 >= 0 THEN 3L WHEN acc.a2 >= 0 THEN 2L
-         |              WHEN acc.a1 >= 0 THEN 1L ELSE 0L END)""".stripMargin)
-      .as("level"))
+    val levels = journeys.select(expr(funnelLevelSql()).as("level"))
     val counts = levels.agg(
       count(when(col("level") >= 1, 1)).as("n1"),
       count(when(col("level") >= 2, 1)).as("n2"),

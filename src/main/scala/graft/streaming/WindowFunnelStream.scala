@@ -43,34 +43,43 @@ object WindowFunnelStream {
       Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
 
   /** (lastTsMicros, lastId, a1, a2, a3) — the replay watermark plus the
-    * batch DP's max-anchor accumulator (−1 = level not yet reached). */
+    * batch DP's max-anchor accumulator ([[graft.operators.Windows
+    * .FunnelNotReached]] = level not yet reached — Long.MinValue, so a
+    * pre-epoch event's NEGATIVE anchor still counts, exactly the batch
+    * fold's sentinel). */
   private type St = (Long, Long, Long, Long, Long)
+
+  private val NotReached = graft.operators.Windows.FunnelNotReached
 
   def levelUps(events: Dataset[FunnelEvent]): Dataset[LevelUp] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val sym = Steps.map(_.take(1))
     events.groupByKey(_.userId)
       .flatMapGroupsWithState[St, LevelUp](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (user, incoming, state: GroupState[St]) =>
           var (lastTs, lastId, a1, a2, a3) = state.getOption.getOrElse(
-            (Long.MinValue, Long.MinValue, -1L, -1L, -1L))
+            (Long.MinValue, Long.MinValue, NotReached, NotReached, NotReached))
           val out = scala.collection.mutable.ArrayBuffer.empty[LevelUp]
           incoming.toSeq.sortBy(e => (micros(e.ts), e.eventId)).foreach { e =>
             val t = micros(e.ts)
             // replay gate: at-or-before the watermark = already folded
             if (t > lastTs || (t == lastTs && e.eventId > lastId)) {
-              val s = e.eventType.take(1)
+              // FULL event-type name → step index (the batch query's
+              // isin(FunnelSteps) filter + first-letter symbol fused):
+              // an off-inventory event type is a watermark-only no-op,
+              // never a step match (r19 ADVICE — first-letter matching
+              // held only by the harness inventory's initial-injectivity)
+              val s = Steps.indexOf(e.eventType)
               // the batch DP transition, verbatim (Windows.windowFunnel)
-              if (s == sym(0) && t > a1) {
-                if (a1 < 0) out += LevelUp(user, 1L, fromMicros(t))
+              if (s == 0 && t > a1) {
+                if (a1 == NotReached) out += LevelUp(user, 1L, fromMicros(t))
                 a1 = t
-              } else if (s == sym(1) && a1 >= 0 && t - a1 <= WindowUs && a1 > a2) {
-                if (a2 < 0) out += LevelUp(user, 2L, fromMicros(t))
+              } else if (s == 1 && a1 > NotReached && t - a1 <= WindowUs && a1 > a2) {
+                if (a2 == NotReached) out += LevelUp(user, 2L, fromMicros(t))
                 a2 = a1
-              } else if (s == sym(2) && a2 >= 0 && t - a2 <= WindowUs && a2 > a3) {
-                if (a3 < 0) out += LevelUp(user, 3L, fromMicros(t))
+              } else if (s == 2 && a2 > NotReached && t - a2 <= WindowUs && a2 > a3) {
+                if (a3 == NotReached) out += LevelUp(user, 3L, fromMicros(t))
                 a3 = a2
               }
               lastTs = t; lastId = e.eventId

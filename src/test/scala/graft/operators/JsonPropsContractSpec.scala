@@ -58,4 +58,21 @@ class JsonPropsContractSpec extends AnyFunSuite {
   test("truncated payload with a surviving k:N prefix still extracts — documented non-validation") {
     assert(k("""{"k": 31""") == Seq(Some(31L)))
   }
+
+  test("""key pattern embedded in another field's string value — pinned both ways (r19 ADVICE)""") {
+    // WELL-FORMED JSON cannot smuggle the bare pattern into a string
+    // value: an embedded quote is escaped, so the raw bytes carry
+    // \"k\" and the scan's literal "k" never matches there — the REAL
+    // field wins, exactly like a typed parse. (Stronger than the
+    // advisory assumed: the escape that JSON requires is the same
+    // character that blocks the pattern.)
+    assert(k("""{"a": "\"k\":7", "k": 12}""") == Seq(Some(12L)))
+    assert(k("""{"a": "\"k\": 9"}""") == Seq(None))
+    // MALFORMED payloads (unescaped quotes in a value) are the one
+    // route in, consistent with the documented non-validation above:
+    // the first raw "k":N wins regardless of structure. The harness
+    // generator writes well-formed flat payloads, so this stays outside
+    // the oracle gate; a generator change trips HERE instead.
+    assert(k("""{"a": ""k":7", "k": 12}""") == Seq(Some(7L)))
+  }
 }

@@ -76,7 +76,16 @@ class WindowFunnelSpec extends AnyFunSuite {
       // purchase before any view: never counts
       (Seq((0L, 1, "p"), (h(1), 2, "v"), (h(2), 3, "c")), 2),
       // no views at all: level 0
-      (Seq((0L, 1, "c"), (h(1), 2, "p")), 0))
+      (Seq((0L, 1, "c"), (h(1), 2, "p")), 0),
+      // PRE-EPOCH chain: every anchor is a NEGATIVE micros value — the
+      // DP's not-reached sentinel must sit below any real timestamp
+      // (Long.MinValue, r19 ADVICE; a -1 sentinel silently refuses all
+      // t <= -1 anchors while the definitional oracle join converts)
+      (Seq((-h(3), 1, "v"), (-h(2), 2, "c"), (-h(1), 3, "p")), 3),
+      // pre-epoch chain crossing into post-epoch within the deadline
+      (Seq((-h(12), 1, "v"), (-h(1), 2, "c"), (h(11), 3, "p")), 3),
+      // pre-epoch view, conversion past the deadline: level 1 only
+      (Seq((-h(30), 1, "v"), (-h(2), 2, "c")), 1))
     cases.zipWithIndex.foreach { case ((evs, want), i) =>
       assert(bruteLevel(evs) == want, s"case $i: brute force disagrees with the design")
     }
@@ -98,18 +107,9 @@ class WindowFunnelSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.collect_list(
           org.apache.spark.sql.functions.col("e"))).as("evs"))
       .select(org.apache.spark.sql.functions.col("user_id"),
-        org.apache.spark.sql.functions.expr(
-          s"""aggregate(evs,
-             |  named_struct('a1', CAST(-1 AS BIGINT), 'a2', CAST(-1 AS BIGINT),
-             |               'a3', CAST(-1 AS BIGINT)),
-             |  (acc, e) -> named_struct(
-             |    'a1', CASE WHEN e.sym = 'v' AND e.t > acc.a1 THEN e.t ELSE acc.a1 END,
-             |    'a2', CASE WHEN e.sym = 'c' AND acc.a1 >= 0 AND e.t - acc.a1 <= $W
-             |               AND acc.a1 > acc.a2 THEN acc.a1 ELSE acc.a2 END,
-             |    'a3', CASE WHEN e.sym = 'p' AND acc.a2 >= 0 AND e.t - acc.a2 <= $W
-             |               AND acc.a2 > acc.a3 THEN acc.a2 ELSE acc.a3 END),
-             |  acc -> CASE WHEN acc.a3 >= 0 THEN 3L WHEN acc.a2 >= 0 THEN 2L
-             |              WHEN acc.a1 >= 0 THEN 1L ELSE 0L END)""".stripMargin)
+        // the EXACT registered fold (shared builder), not a spec copy —
+        // sentinel arithmetic included
+        org.apache.spark.sql.functions.expr(Windows.funnelLevelSql(W))
           .as("level"))
       .collect().map(r => r.getLong(0).toInt -> r.getLong(1).toInt).toMap
     cases.zipWithIndex.foreach { case ((_, want), i) =>

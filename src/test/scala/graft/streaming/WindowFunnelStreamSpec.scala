@@ -55,4 +55,30 @@ class WindowFunnelStreamSpec extends AnyFunSuite {
     val (rows, emitted) = run(Seq(corpus, corpus))
     assert(rows == batchRows && emitted == batchRows.map(_._3).sum)
   }
+
+  test("off-inventory event types sharing a step's initial never match (r19 ADVICE)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600 * 1000L)
+    // 'checkout' and 'pageview' collide with 'click'/'purchase'/'view'
+    // on first letters — under exact-name matching the user converts
+    // exactly once per level via the REAL steps, decoys ignored
+    val evs = Seq(
+      FunnelEvent(1L, ts(0), 1L, "pageview"),  // decoy 'p' before any view
+      FunnelEvent(1L, ts(1), 2L, "view"),
+      FunnelEvent(1L, ts(2), 3L, "checkout"),  // decoy 'c' — must not level-up
+      FunnelEvent(1L, ts(3), 4L, "click"),
+      FunnelEvent(1L, ts(4), 5L, "purchase"))
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FunnelEvent]
+    val name = s"wfunnel_decoy_${System.nanoTime()}"
+    val q = WindowFunnelStream.levelUps(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try {
+      in.addData(evs); q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(1), r.getTimestamp(2))).sortBy(_._1).toSeq
+      assert(got == Seq((1L, ts(1)), (2L, ts(3)), (3L, ts(4))),
+        s"decoy initials leaked into the funnel: $got")
+    } finally q.stop()
+  }
 }
