@@ -10,9 +10,12 @@ import graft.Tables
   *
   * The IMAGE decode is REAL for the formats the JDK ships pure-JVM
   * codecs for (PNG/BMP/GIF/JPEG via `javax.imageio` — r19,
-  * golden-fixture-tested in MultimodalSpec); payloads outside that set
-  * (and the audio/video planes, which have no JVM codec) fall back to
-  * deterministic fakes, clearly quarantined below. Everything
+  * golden-fixture-tested in MultimodalSpec), and the AUDIO decode is
+  * REAL for the JDK's pure-JVM PCM containers (WAV/AIFF/AU via
+  * `javax.sound.sampled` — r20, same golden-fixture discipline);
+  * payloads outside those sets (and the VIDEO plane, the one modality
+  * with no JVM codec) fall back to deterministic fakes, clearly
+  * quarantined below. Everything
   * Spark-side is real and tested: the schema contract, the
   * `mapPartitions` batch shape (the Scala analog of `mapInPandas` —
   * one iterator pass per partition, no per-row function-call overhead,
@@ -38,6 +41,16 @@ object Multimodal {
     * (grayscale-shaped) buffers for payloads no JVM codec reads. */
   final case class DecodedImage(media_id: Long, width: Int, height: Int,
       channels: Int, pixels: Array[Byte])
+
+  /** Decoded audio: channel-interleaved signed 16-bit PCM
+    * (`pcm.length == n_frames * channels`). The REAL decode path
+    * ([[decodeAudioJvm]]) reads WAV/AIFF/AU PCM via the JDK's
+    * `javax.sound.sampled` codecs; the quarantined fake emits
+    * metadata-sized deterministic buffers for payloads no JVM codec
+    * reads. */
+  final case class DecodedAudio(media_id: Long, sample_rate: Int,
+      channels: Int, n_frames: Long, pcm: Array[Short])
+
   final case class MediaFeatures(media_id: Long, kind: String, embedding: Array[Float])
 
   /** Synthesize a deterministic media table from `documents` (no binary
@@ -95,6 +108,70 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode for the containers/encodings the JDK ships
+    * pure-JVM readers for (WAV/AIFF/AU carrying 8- or 16-bit PCM —
+    * `javax.sound.sampled.AudioSystem`, no native libraries): payload
+    * bytes → channel-interleaved SIGNED 16-bit PCM, the canonical
+    * training-pipeline sample format. Every source variant normalizes
+    * into it deterministically: 16-bit honors the container's
+    * endianness, unsigned re-centers (u − 32768 / (u − 128) ≪ 8),
+    * 8-bit widens into the high byte. Returns None when no registered
+    * reader accepts the payload or the encoding is not integer PCM —
+    * the caller falls back to the quarantined fake. */
+  private[graft] def decodeAudioJvm(m: Media): Option[DecodedAudio] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      try {
+        val f = ais.getFormat
+        val enc = f.getEncoding
+        val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = f.getSampleSizeInBits
+        if ((!signed && !unsigned) || (bits != 8 && bits != 16)) None
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / (bits / 8)
+          val out = new Array[Short](n)
+          var i = 0
+          if (bits == 8) {
+            while (i < n) {
+              val v = if (unsigned) (bytes(i) & 0xFF) - 128 else bytes(i).toInt
+              out(i) = (v << 8).toShort; i += 1
+            }
+          } else {
+            val hiOff = if (f.isBigEndian) 0 else 1
+            val loOff = 1 - hiOff
+            while (i < n) {
+              val u = ((bytes(2 * i + hiOff) & 0xFF) << 8) | (bytes(2 * i + loOff) & 0xFF)
+              out(i) = (if (unsigned) u - 32768 else u.toShort.toInt).toShort
+              i += 1
+            }
+          }
+          Some(DecodedAudio(m.media_id, f.getSampleRate.toInt,
+            f.getChannels, n.toLong / f.getChannels, out))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** FAKE audio decode — QUARANTINED to payloads no JVM reader accepts
+    * (the harness's synthesized text-byte media; a deployment with
+    * compressed formats swaps in ffmpeg here). Emits a metadata-sized
+    * mono PCM buffer (duration × sample_rate frames) from a rolling
+    * hash of the payload — deterministic, size-correct, codec-free. */
+  private def fakeDecodeAudio(m: Media): DecodedAudio = {
+    val rate = if (m.sample_rate > 0) m.sample_rate else 16000
+    val n = (m.duration_ms * rate / 1000L).toInt max 1
+    val pcm = new Array[Short](n)
+    var h = 1125899906842597L
+    m.payload.foreach(b => h = h * 31 + b)
+    var i = 0
+    while (i < n) { h = h * 6364136223846793005L + 1442695040888963407L; pcm(i) = (h >>> 48).toShort; i += 1 }
+    DecodedAudio(m.media_id, rate, 1, n.toLong, pcm)
+  }
+
   /** FAKE image decode — QUARANTINED to payloads no JVM codec reads
     * (the harness's synthesized text-byte media; real deployments with
     * formats outside the JDK's codec set swap in libjpeg-turbo/ffmpeg
@@ -135,6 +212,17 @@ object Multimodal {
     import spark.implicits._
     media.filter(_.kind == "image").mapPartitions(_.map(m =>
       decodeImageJvm(m).getOrElse(fakeDecodeImage(m))))
+  }
+
+  /** Audio decode stage: same partition-batched kernel shape as
+    * [[decodeImages]] — JVM-readable PCM containers (WAV/AIFF/AU) take
+    * the REAL decode path; anything else falls back to the
+    * quarantined fake. */
+  def decodeAudio(media: Dataset[Media]): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").mapPartitions(_.map(m =>
+      decodeAudioJvm(m).getOrElse(fakeDecodeAudio(m))))
   }
 
   /** Resize stage: pure metadata arithmetic on the decoded struct —
