@@ -28,6 +28,12 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     memo(readers, spark, s"$dir/$name")(spark.read.parquet(s"$dir/$name.parquet"))
 
+  /** Reflective schema of a [[TableModels]] case class — the
+    * single-source-of-truth derivation (one model class per table;
+    * TableModelsSpec pins parity with the actual parquet). */
+  def schemaOf[T <: Product : scala.reflect.runtime.universe.TypeTag]
+      : org.apache.spark.sql.types.StructType = TableModels.schemaOf[T]
+
   /** `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) (which
     * Spark's reader rejects outright unless nanos are read as raw
     * longs) and plain `timestamp[us]` with isAdjustedToUTC=false (which
