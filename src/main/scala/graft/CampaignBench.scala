@@ -43,7 +43,10 @@ object CampaignBench {
       "parallel_pair_mine",
       // r19: the triangle census enumerates wedges over the same staged
       // candidate relation
-      "dup_triangle_audit"),
+      "dup_triangle_audit",
+      // r20: the b-bit compression audit rides candidateJaccardRel, so
+      // the staged signature relation is most of its isolated cost
+      "bbit_minhash_audit"),
     "bigram_lm" -> Seq(
       "bigram_lm_score", "fluency_buckets", "doremi_weights",
       // dsir_select stages its own (model, mean) relations rather than

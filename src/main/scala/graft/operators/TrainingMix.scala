@@ -940,6 +940,11 @@ object TrainingMix {
     * exists by construction); [[dsirScore]] keeps the left join for
     * callers scoring foreign docs against a frozen model. */
   val mixPipeline: Q = (spark, dir) => {
+    // measurement seam for the two stage materializations (ABench axis
+    // graft.mix.persist=true/false — the r16 decision re-measured r20
+    // after the funnel respelling; default ON, the adopted spelling)
+    val usePersist = spark.conf.getOption("graft.mix.persist").forall(_.toBoolean)
+    def staged(df: DataFrame): DataFrame = if (usePersist) df.persist() else df
     val d = Tables.documents(spark, dir)
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
     val stats = d.groupBy("source").agg(
@@ -955,13 +960,13 @@ object TrainingMix {
       .orderBy(col("n_tok").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val gatedTok = when(col("g1"), col("n_tok")).otherwise(lit(0L))
-    val b = g
+    val bRaw = g
       .withColumn("budget", expr(
         s"(sum(CASE WHEN g1 THEN n_tok ELSE 0 END) OVER (PARTITION BY source)" +
           s" * ${Curation.BudgetNum}) div ${Curation.BudgetDen}"))
       .withColumn("spent", coalesce(sum(gatedTok).over(spendW), lit(0L)))
       .withColumn("keep2", col("g1") && col("spent") < col("budget"))
-      .persist()
+    val b = staged(bRaw)
     val survivors = b.filter(col("keep2"))
     // stage 3 funnel numbers WITHOUT a doc-keyed verdict join back onto
     // the corpus: `source` and `n_tok` ride the scoring aggregate's key
@@ -971,11 +976,11 @@ object TrainingMix {
     // domain-cardinality relations joined at domain size. The previous
     // spelling shuffled the corpus AND the verdicts by doc_id just to
     // recover columns the aggregate could have carried.
-    val grams = survivors.withColumn("words", split(col("text"), " "))
+    val gramsRaw = survivors.withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 2)
       .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
         explode(expr(s"transform(graft_winhash(words, 2), h -> h % $DsirBuckets)")).as("b"))
-      .persist()
+    val grams = staged(gramsRaw)
     val model = grams.groupBy("b")
       .agg(count(lit(1)).as("r"),
         sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("t"))
