@@ -224,6 +224,11 @@ object Indexing {
       .filter(col("rank") <= TopK)
       .select(col("doc_id"), col("rank").cast("long").as("rank"),
         col("term"), col("tf"), col("score"))
+      // no persist before this global sort: under AQE the window's
+      // input is a materialized shuffle stage, so the range-sampling
+      // pass does NOT recompute the aggregates (unlike the
+      // edit_distance_verify case), and a persist here measured SLOWER
+      // (r20 interleaved min-of-6 at sf0.1: 1.168 vs 0.901)
       .orderBy("doc_id", "rank")
   }
   val bm25TopkSql: String =
