@@ -58,4 +58,27 @@ class MixPipelineSpec extends AnyFunSuite {
         s"($src,$lang): stage-1 count $n1 diverges from source_quality_gate")
     }
   }
+
+  test("measurement seams are pure spellings: all four (winstats, persist) variants agree") {
+    // graft.mix.winstats (r20 window-stats vs r16 join-stats) and
+    // graft.mix.persist (stage materialization on/off) exist ONLY for
+    // interleaved measurement — every combination must produce the
+    // byte-identical funnel, or the seam has rotted into a semantics
+    // fork
+    val adopted = funnel.sortBy(r => (r._1, r._2)).toSeq
+    try {
+      for (ws <- Seq("true", "false"); p <- Seq("true", "false")) {
+        spark.conf.set("graft.mix.winstats", ws)
+        spark.conf.set("graft.mix.persist", p)
+        spark.catalog.clearCache()
+        val got = funnel.sortBy(r => (r._1, r._2)).toSeq
+        assert(got == adopted, s"seam (winstats=$ws, persist=$p) diverged")
+      }
+    } finally {
+      spark.conf.unset("graft.mix.winstats")
+      spark.conf.unset("graft.mix.persist")
+      spark.catalog.clearCache()
+      ()
+    }
+  }
 }
