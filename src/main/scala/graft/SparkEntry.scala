@@ -40,6 +40,7 @@ object SparkEntry {
     "graft_mmr" -> (ch => graft.expressions.MmrSelect(ch.head, ch(1), ch(2))),
     "graft_bigrams" -> (ch => graft.expressions.BigramPairs(ch.head)),
     "graft_looprun" -> (ch => graft.expressions.LoopRun(ch.head, ch(1))),
+    "graft_inter_sorted" -> (ch => graft.expressions.InterSortedCount(ch.head, ch(1))),
   )
 
   private[graft] def ensure(spark: SparkSession): Unit = {

@@ -147,5 +147,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_looprun"),
       new ExpressionInfo(classOf[LoopRun].getName, "graft_looprun"),
       (children: Seq[Expression]) => LoopRun(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_inter_sorted"),
+      new ExpressionInfo(classOf[InterSortedCount].getName, "graft_inter_sorted"),
+      (children: Seq[Expression]) => InterSortedCount(children.head, children(1))))
   }
 }
