@@ -479,10 +479,7 @@ object Dedup {
     // [[substrSpansOf]]; one narrow exchange, 32-way per-row work.
     val hsets = shingled(Tables.fanout(withNearDupes(spark, dir)))
       .select(col("doc_id"), expr(s"${h60Sql("shingle")} % $MersenneP").as("h"))
-      // sorted once per DOC so the per-PAIR intersection below runs the
-      // merge-count kernel (each doc participates in many pairs — the
-      // sort amortizes across all of them)
-      .groupBy("doc_id").agg(sort_array(collect_set(col("h"))).as("hs"))
+      .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
     // explicit repartition before the per-pair set intersection: AQE
     // coalesces the join's output partitions by BYTES, and the pair
     // relation is small-bytes but CPU-dense (array_intersect over
@@ -492,7 +489,15 @@ object Dedup {
       .join(hsets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
       .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("inter", expr("graft_inter_sorted(ha, hb)"))
+      // array_intersect, NOT the sorted-merge kernel: these are LONG
+      // signature sets, where the per-pair hash probe is already cheap
+      // and the per-doc sort_array the kernel needs measured a net
+      // LOSS at this pair/doc ratio (interleaved min-of-3 at sf0.1:
+      // 1.42 vs 1.04 s) — the kernel pays off on the STRING shingle
+      // sets (jaccard_prefix_join 2.80 → 2.19 s, containment_verify
+      // 1.56 → 1.42 s same discipline), where every hash probe was a
+      // UTF8 re-hash and every intersection a string-array alloc
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("uni",
         (size(col("ha")) + size(col("hb"))).cast("long") - col("inter"))
       .select("doc_a", "doc_b", "n_agree", "n_bit_agree", "inter", "uni")
