@@ -112,12 +112,14 @@ object TableModels {
   def bucketedLayout(df: DataFrame, table: String, numBuckets: Int)
       : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
     val l = layouts(table)
-    val base = (if (l.sortKeys.nonEmpty)
-      df.sortWithinPartitions(l.sortKeys.map(df.col): _*) else df).write
     if (l.bucketKeys.nonEmpty) {
+      // bucketBy/sortBy imposes its own per-bucket ordering on write —
+      // a pre-sortWithinPartitions here is dead work the writer re-sorts
+      // anyway (r20 ADVICE), so only the non-bucketed branch pre-sorts
       val sorts = (l.sortKeys ++ l.bucketKeys).distinct
-      base.bucketBy(numBuckets, l.bucketKeys.head, l.bucketKeys.tail: _*)
+      df.write.bucketBy(numBuckets, l.bucketKeys.head, l.bucketKeys.tail: _*)
         .sortBy(sorts.head, sorts.tail: _*)
-    } else base
+    } else (if (l.sortKeys.nonEmpty)
+      df.sortWithinPartitions(l.sortKeys.map(df.col): _*) else df).write
   }
 }

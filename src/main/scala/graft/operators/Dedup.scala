@@ -1558,7 +1558,15 @@ object Dedup {
     * band-bounded candidate volume. Edges + degrees persist across
     * rounds (3 consumers each). */
   val dupGraphPagerank: Q = (spark, dir) => {
-    val pairs = minhashPairs(spark, dir)
+    // LINEAGE CUT on the pair relation (the clusterLabelsOf discipline,
+    // extended here r21): the 3-round PR plan references edges 3× and
+    // deg 4×, and the LAZY persists raced their own materialization —
+    // the final plan embedded the minhash chain SIX times (r21 before-
+    // plan: 6 graft_minhash copies, 35 InMemoryTableScans) and the
+    // profile showed a 36 s-CPU stage recomputing it. Cutting pairs
+    // once makes every round read materialized blocks: interleaved
+    // min-of-5 at sf0.1, 3.96 → 2.17 s (median 4.12 → 2.38).
+    val pairs = minhashPairs(spark, dir).localCheckpoint()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
@@ -1860,7 +1868,12 @@ object Dedup {
     * counts fold the three corners in one union+agg; the session-staged
     * signature relation is shared with the five sibling consumers. */
   val dupTriangleAudit: Q = (spark, dir) => {
-    val e = minhashPairs(spark, dir) // oriented: doc_a < doc_b
+    // oriented (doc_a < doc_b), LINEAGE-CUT once (r21): the wedge
+    // enumeration references e FOUR ways (both wedge sides, the closing
+    // edge, the degree relation) and the before-plan embedded the
+    // minhash chain 14× — the dupGraphPagerank pathology at higher
+    // multiplicity; see the measurement note there.
+    val e = minhashPairs(spark, dir).localCheckpoint()
     val wedges = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .join(e.select(col("doc_a").as("a"), col("doc_b").as("c")), "a")
       .filter(col("b") < col("c"))

@@ -515,6 +515,12 @@ object TextAnalysis {
     // path exists for. The persisted relation is narrow (doc_id, lang,
     // fluency, cb — ~24 B/row), MEMORY_AND_DISK by default, and both
     // references share the one InMemoryRelation (same analyzed subplan).
+    // Cache LIFECYCLE belongs to the caller (the corpusPipeline
+    // contract): this builder only returns a plan, so it cannot
+    // unpersist "after the action" itself — both harnesses clear the
+    // catalog cache after each query's action, and a long-lived ad-hoc
+    // session invoking this repeatedly must do the same (r20 ADVICE:
+    // retention past the action is intentional, not leaked).
     val b = fl.withColumn("cb", expr(s"fluency div $FluencyCoarseB")).persist()
     val ranked = b.withColumn("rn", row_number().over(
       Window.partitionBy("lang", "cb").orderBy(col("fluency").desc, col("doc_id"))))

@@ -939,11 +939,51 @@ object TrainingMix {
     * exactly the gram relation being scored, so every probed bucket
     * exists by construction); [[dsirScore]] keeps the left join for
     * callers scoring foreign docs against a frozen model. */
+  /** Strict boolean conf (default true): `true`/`false` case-insensitive
+    * only — anything else fails with a message naming the key and the
+    * accepted values instead of `_.toBoolean`'s bare
+    * IllegalArgumentException mid-plan-construction (r20 ADVICE). */
+  private def boolConf(spark: SparkSession, key: String): Boolean =
+    spark.conf.getOption(key) match {
+      case None => true
+      case Some(v) if v.equalsIgnoreCase("true") => true
+      case Some(v) if v.equalsIgnoreCase("false") => false
+      case Some(v) => throw new IllegalArgumentException(
+        s"conf $key must be 'true' or 'false', got '$v'")
+    }
+
+  /** The domain-gate stage over a (doc_id, source, lang, text, n_chars,
+    * n_tok) relation — factored out so the seam-parity spec can feed
+    * constructed corpora (incl. a NULL source). Both spellings keep
+    * null-source rows: Window.partitionBy groups nulls into their own
+    * partition, and the join spelling matches it with a NULL-SAFE
+    * equi-join (`<=>`) — a plain inner join would silently drop
+    * null-key rows and fork the two "pure spelling" variants
+    * (r20 ADVICE). */
+  private[operators] def gateStage(d: DataFrame, winStats: Boolean): DataFrame =
+    if (winStats) d
+      .withColumn("src_docs", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("src_short", sum(
+        when(col("n_chars") < Curation.ShortChars, 1L).otherwise(0L))
+        .over(Window.partitionBy("source")))
+      .withColumn("g1",
+        col("src_short") * Curation.GateDen <= col("src_docs") * Curation.GateNum)
+    else {
+      val stats = d.groupBy("source").agg(
+        count(lit(1)).as("src_docs"),
+        sum(when(col("n_chars") < Curation.ShortChars, 1L).otherwise(0L)).as("src_short"))
+        .withColumnRenamed("source", "gate_source")
+      d.join(stats, d("source") <=> stats("gate_source"))
+        .drop("gate_source")
+        .withColumn("g1",
+          col("src_short") * Curation.GateDen <= col("src_docs") * Curation.GateNum)
+    }
+
   val mixPipeline: Q = (spark, dir) => {
     // measurement seam for the two stage materializations (ABench axis
     // graft.mix.persist=true/false — the r16 decision re-measured r20
     // after the funnel respelling; default ON, the adopted spelling)
-    val usePersist = spark.conf.getOption("graft.mix.persist").forall(_.toBoolean)
+    val usePersist = boolConf(spark, "graft.mix.persist")
     def staged(df: DataFrame): DataFrame = if (usePersist) df.persist() else df
     val d = Tables.documents(spark, dir)
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
@@ -964,21 +1004,8 @@ object TrainingMix {
     val gatedTok = when(col("g1"), col("n_tok")).otherwise(lit(0L))
     // seam: the r16 groupBy+broadcast-join stats spelling, kept for the
     // interleaved comparison (graft.mix.winstats=false)
-    val winStats = spark.conf.getOption("graft.mix.winstats").forall(_.toBoolean)
-    val gated =
-      if (winStats) d
-        .withColumn("src_docs", count(lit(1)).over(srcW))
-        .withColumn("src_short", sum(
-          when(col("n_chars") < Curation.ShortChars, 1L).otherwise(0L)).over(srcW))
-        .withColumn("g1",
-          col("src_short") * Curation.GateDen <= col("src_docs") * Curation.GateNum)
-      else {
-        val stats = d.groupBy("source").agg(
-          count(lit(1)).as("src_docs"),
-          sum(when(col("n_chars") < Curation.ShortChars, 1L).otherwise(0L)).as("src_short"))
-        d.join(stats, "source").withColumn("g1",
-          col("src_short") * Curation.GateDen <= col("src_docs") * Curation.GateNum)
-      }
+    val winStats = boolConf(spark, "graft.mix.winstats")
+    val gated = gateStage(d, winStats)
     val bRaw = gated
       .withColumn("budget",
         expr(s"(sum(CASE WHEN g1 THEN n_tok ELSE 0 END) OVER (PARTITION BY source)" +

@@ -59,6 +59,45 @@ class MixPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("gate seam keeps NULL-source rows identically in both spellings (r20 ADVICE)") {
+    // the window spelling groups nulls into their own partition; the
+    // join spelling must match it with a null-safe join — a plain inner
+    // join would drop the null-key rows and silently fork the variants
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("lang", StringType), StructField("n_chars", LongType),
+      StructField("n_tok", LongType)))
+    val rows = Seq(
+      Row(1L, "a", "en", 10L, 3L), Row(2L, "a", "en", 500L, 90L),
+      Row(3L, null, "en", 10L, 3L), Row(4L, null, "en", 500L, 90L))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    def verdicts(ws: Boolean): Map[Long, Boolean] =
+      TrainingMix.gateStage(d, ws).select("doc_id", "g1").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val win = verdicts(ws = true)
+    val join = verdicts(ws = false)
+    assert(win.keySet == Set(1L, 2L, 3L, 4L),
+      s"window spelling lost rows: ${win.keySet}")
+    assert(join == win, s"join spelling diverged on null source: $join vs $win")
+  }
+
+  test("seam confs reject non-boolean values with a pointed message (r20 ADVICE)") {
+    spark.conf.set("graft.mix.persist", "1")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("mix_pipeline")(spark, Dir)
+      }
+      assert(e.getMessage.contains("graft.mix.persist"),
+        s"error message must name the conf key: ${e.getMessage}")
+    } finally {
+      spark.conf.unset("graft.mix.persist")
+      ()
+    }
+  }
+
   test("measurement seams are pure spellings: all four (winstats, persist) variants agree") {
     // graft.mix.winstats (r20 window-stats vs r16 join-stats) and
     // graft.mix.persist (stage materialization on/off) exist ONLY for
