@@ -767,6 +767,36 @@ object Dedup {
       .get("spark.graft.reliableCheckpoints", "false").toBoolean
     def cut(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
+    // Fused cut+sum for the label rounds (r21): the convergence sum
+    // rides the SAME job that materializes the round's checkpoint (an
+    // Observation on the pre-cut plan — localCheckpoint's eager action
+    // propagates observed metrics), so each round costs ONE job instead
+    // of cut + a separate labelSum scan. The reliable-checkpoint path
+    // keeps the two-job shape: RDD checkpoint() re-executes through a
+    // different action path, and a campaign that opted into durable
+    // rounds is paying a storage write per round anyway — one extra
+    // metadata-scale scan is noise there.
+    // (labelSum is defined before cutWithSum only for the forward-
+    // reference rule; the convergence-check rationale comment sits at
+    // the loop below, where the sums are consumed.)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).first()
+        .getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
+    // measurement seam (ABench axis graft.cc.fusedsum=true/false):
+    // false = the r20 two-job shape (cut, then a separate labelSum scan)
+    val fused = docs.sparkSession.conf
+      .get("graft.cc.fusedsum", "true").toBoolean
+    def cutWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) =
+      if (reliable || !fused) { val c = cut(df); (c, labelSum(c)) }
+      else {
+        val obs = new org.apache.spark.sql.Observation()
+        val c = df.observe(obs, sum(col("label").cast("decimal(38,0)")).as("s"))
+          .localCheckpoint()
+        val s = obs.get("s").asInstanceOf[java.math.BigDecimal]
+        (c, if (s == null) java.math.BigDecimal.ZERO else s)
+      }
     // cut the PAIR relation, then derive the symmetric edge view from
     // the materialized blocks: the union's two branches otherwise each
     // re-run the whole minhash chain (shingle → signature agg → band
@@ -777,7 +807,7 @@ object Dedup {
     val pairs = cut(pairsIn.getOrElse(minhashPairsOf(docs)))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = cut(docs.select(col("doc_id"))
+    var (labels, labels0Sum) = cutWithSum(docs.select(col("doc_id"))
       .withColumn("label", col("doc_id")))
     var iter = 0
     var converged = false
@@ -791,18 +821,12 @@ object Dedup {
     // abort the campaign); exactness is what makes equality ⟺ fixpoint.
     // sum() over zero rows is NULL — coalesce to 0 so an empty relation
     // converges on the first check instead of NPEing in compareTo
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).first()
-        .getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s
-    }
-    var prevSum = labelSum(labels)
+    var prevSum = labels0Sum
     while (!converged && iter < MaxCcIters) {
       val msgs = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst").as("doc_id"), col("label"))
-      val next = cut(labels.unionByName(msgs)
+      val (next, nextSum) = cutWithSum(labels.unionByName(msgs)
         .groupBy("doc_id").agg(min(col("label")).as("label")))
-      val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

@@ -883,14 +883,25 @@ object TextAnalysis {
       .select(col("source"), explode(expr(
         "transform(sequence(1, size(ws) - 1), i -> concat(ws[i - 1], ' ', ws[i]))"))
         .as("gram"))
-    val cnt = grams.groupBy("source", "gram").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= SpecMinCnt)
-    val sdf = cnt.groupBy("gram").agg(count(lit(1)).as("sdf"))
+    // sdf as a WINDOW over the cnt relation, not a groupBy + join-back
+    // (r21): cnt is unpersisted and fed BOTH the sdf aggregate and the
+    // join, so the (source, gram) count subtree computed twice and the
+    // join added a broadcast job. The window rides the same gram-keyed
+    // exchange the aggregate needed, each gram partition is ≤ S rows
+    // (bounded by the source count at any corpus size), and the values
+    // are identical by construction: sdf = rows per gram in cnt either
+    // way. Interleaved min-of-5 at sf0.1: 1.28 → 0.96 s (med 1.33 →
+    // 1.10). A fanout on the corpus scan was also interleaved and
+    // REJECTED (1.03 → 1.75 s: the extra exchange + 32-way task spread
+    // costs more than the 2-task tokenize stage it parallelizes).
+    //
     // specificity ORDER, not a score: rarest-across-sources first
     // (sdf asc), in-source frequency second — a product score would
     // let a corpus-wide stopgram's raw count drown the idf term, the
     // exact failure the synthetic shared vocabulary would hit
-    cnt.join(sdf, "gram")
+    grams.groupBy("source", "gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= SpecMinCnt)
+      .withColumn("sdf", count(lit(1)).over(Window.partitionBy("gram")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("source")
           .orderBy(col("sdf"), col("cnt").desc, col("gram"))))

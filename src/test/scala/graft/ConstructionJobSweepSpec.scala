@@ -69,7 +69,13 @@ class ConstructionJobSweepSpec extends AnyFunSuite {
     // X101: the CC label loop a third time, through the quality×dup
     // contingency (rides clusterLabels' checkpointed fixpoint exactly
     // like near_dup_cluster / dedup_rate_report above)
-    "quality_dup_lift")
+    "quality_dup_lift",
+    // X111: the candidate-pair lineage cut (r21) — the wedge
+    // enumeration references the pair relation four ways, and the
+    // uncut plan embedded the minhash chain 14×; one eager
+    // localCheckpoint shares a single materialization (the
+    // dup_graph_pagerank discipline, measurement at its definition)
+    "dup_triangle_audit")
 
   test("query construction is lazy (no jobs before the first action)") {
     val jobs = new AtomicInteger(0)
