@@ -477,8 +477,18 @@ object Dedup {
     // fanout: the shingle+hash pass otherwise runs on the union's 2
     // serial scan tasks (r19 stage profile) — same reasoning as
     // [[substrSpansOf]]; one narrow exchange, 32-way per-row work.
-    val hsets = shingled(Tables.fanout(withNearDupes(spark, dir)))
-      .select(col("doc_id"), expr(s"${h60Sql("shingle")} % $MersenneP").as("h"))
+    // graft_winhash directly (r21): the string 3-grams were built only
+    // to be md5'd — the rolling kernel computes the same h60 per gram
+    // without materializing a string per position, and collisions
+    // (already equal on both engines, see the h-space note above)
+    // cancel identically.
+    val hsets = Tables.fanout(withNearDupes(spark, dir))
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(
+          s"array_distinct(transform(graft_winhash(words, 3), h -> h % $MersenneP))"))
+          .as("h"))
       .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
     // explicit repartition before the per-pair set intersection: AQE
     // coalesces the join's output partitions by BYTES, and the pair
@@ -1128,21 +1138,30 @@ object Dedup {
     * immediately after it.
     */
   val ngramJaccardPairs: Q = (spark, dir) => {
-    // the raw shingle STRING is the grouping key: with no self-join left
-    // there is nothing to equi-compare, so hashing shingles first (r2)
-    // would only add 0.5M md5 evaluations — the shuffle partitioner
-    // hashes the string anyway, exactly and collision-free in both
-    // engines. The shingle relation and its capped subset are
-    // materialized once (localCheckpoint: raw block storage — its write
-    // cost measured half the columnar cache's encode for a relation
-    // read exactly twice) because each is read twice below; re-deriving
-    // the split+explode per consumer cost more in every measurement
-    // (re-measured r10: dropping the kept ckpt 2.3->2.5 s, dropping the
-    // sh ckpt 2.3->3.0 s, min-of-N — both materializations earn their
-    // write). A real 100 TB campaign persists this relation as its
-    // shingle table first (reliable storage, same role).
-    val sh = shingled(withNearDupes(spark, dir))
-      .select(col("doc_id"), col("shingle").as("sh")).localCheckpoint()
+    // Shingles as h60 HASHES (r21, reversing the r2 string-key note):
+    // with no self-join there is still nothing to equi-compare, but the
+    // two checkpointed relations BELOW are string-payload-dominated —
+    // long keys shrink both materializations ~3× and make the df/kept
+    // hash-agg keys fixed-width (interleaved min-of-5 at sf0.1:
+    // 2.62 → 2.41 s, med 2.91 → 2.54, B better in 4/5 pairs). The
+    // df-cap and count semantics are unchanged while the corpus's
+    // distinct shingles are h60-collision-free — the same universe
+    // PrefixJoinHashSpec pins (the jaccardPrefixCands trade; the
+    // oracle keeps independent string shingles). The shingle relation
+    // and its capped subset are materialized once (localCheckpoint:
+    // raw block storage — its write cost measured half the columnar
+    // cache's encode for a relation read exactly twice) because each
+    // is read twice below; re-deriving the split+explode per consumer
+    // cost more in every measurement (re-measured r10: dropping the
+    // kept ckpt 2.3->2.5 s, dropping the sh ckpt 2.3->3.0 s, min-of-N).
+    // A real 100 TB campaign persists this relation as its shingle
+    // table first (reliable storage, same role).
+    val sh = withNearDupes(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(expr("graft_winhash(words, 3)"))).as("sh"))
+      .localCheckpoint()
     val dfBySh = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     // over-cap keys form a TINY list (only boilerplate shingles); the
     // planner broadcasts the anti-join from stats — df never rides
@@ -1996,7 +2015,26 @@ object Dedup {
   private[graft] def jaccardPrefixCands(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.{Window => W}
-    val sh = shingled(withNearDupes(spark, dir)).persist()
+    // Shingles travel as [[graft.expressions.WindowHash]] h60 HASHES end
+    // to end (r21): 8-byte keys through every exchange and window, the
+    // verify kernel's allocation-free bigint merge instead of UTF8
+    // compares, and a ~3× smaller sets relation under the candidate
+    // joins. Interleaved min-of-5 at sf0.1: 4.55 → 1.85 s (med 5.43 →
+    // 2.55). Output-identical while the corpus's distinct shingles are
+    // collision-free under h60 (the source_overlap_matrix trade —
+    // ~10⁻⁷ at harness scale, pinned collision-free on the test corpora
+    // by PrefixJoinHashSpec; the oracle keeps independent STRING
+    // shingles, so the check is not hash-vs-itself): the exact-complete
+    // guarantee is ORDER-AGNOSTIC — swapping the canonical prefix order
+    // from (df, string) to (df, h60) only reshapes the candidate
+    // SUPERSET, never the verified output, proven bit-identical against
+    // the string spelling at sf0.001/0.01/0.1 before adoption.
+    val sh = withNearDupes(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(expr("graft_winhash(words, 3)"))).as("shingle"))
+      .persist()
     val dfRel = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val ranked = sh.join(dfRel, "shingle").join(sz, "doc_id")
@@ -2166,7 +2204,17 @@ object Dedup {
     * codegen'd `array_intersect` per row does the set work (the X131
     * verify shape). */
   val containmentVerify: Q = (spark, dir) => {
-    val sh = shingled(withNearDupes(spark, dir)).persist()
+    // h60-hashed shingle sets (r21, the jaccardPrefixCands trade and
+    // the same PrefixJoinHashSpec collision pin): the sets relation is
+    // only ever equi-compared inside the verify kernel, so the long
+    // arrays carry identical counts at ~1/3 the bytes and none of the
+    // UTF8 compare cost.
+    val sh = withNearDupes(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(expr("graft_winhash(words, 3)"))).as("shingle"))
+      .persist()
     val sets = sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("shingle"))).as("hs"),
         count(lit(1)).as("sz"))
