@@ -1309,6 +1309,13 @@ object Dedup {
     // the consuming action, same contract as corpus_pipeline's
     // persisted stages. At 100 TB this is the chunk stage table a
     // campaign writes once (docs/SCALE.md).
+    // each chunk row ALSO carries its h60 (r21): the corpus-wide df
+    // aggregate and the common-set join only ever EQUI-COMPARE chunks,
+    // so they run on the 8-byte hash instead of the ~120-byte 20-word
+    // string — the jaccardPrefixCands trade, pinned collision-free on
+    // the chunk universe by ChunkHashSpec (the oracle keeps counting
+    // independent STRING chunks); the string stays in the persisted
+    // relation only for the rebuild, which needs it anyway.
     val chunks = docs
       .select(col("doc_id"), col("n_chunks"), explode_outer(expr(
         s"""CASE WHEN n_chunks > 0 THEN
@@ -1317,17 +1324,18 @@ object Dedup {
            |                concat_ws(' ', slice(words, i * $ChunkW + 1, $ChunkW)) AS chunk))
            |END""".stripMargin)).as("c"))
       .select(col("doc_id"), col("n_chunks"),
-        col("c.idx").as("idx"), col("c.chunk").as("chunk"))
+        col("c.idx").as("idx"), col("c.chunk").as("chunk"),
+        expr(s"${h60Sql("c.chunk")}").as("ch"))
       .persist()
-    val common = chunks.filter(col("chunk").isNotNull)
-      .groupBy("chunk").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select(col("chunk").as("cchunk"))
+    val common = chunks.filter(col("ch").isNotNull)
+      .groupBy("ch").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("ch").as("cchunk"))
     // LEFT join against the (small, AQE-broadcast) common set instead
     // of an anti join: the rebuild aggregate then computes kept counts
     // AND the cleaned text in the same grouped pass — common chunks
     // contribute nothing (CASE → null, and collect_list/count skip
     // nulls), null-chunk rows keep their doc in the group
-    chunks.join(common, col("chunk") === col("cchunk"), "left")
+    chunks.join(common, col("ch") === col("cchunk"), "left")
       .groupBy("doc_id")
       .agg(max(col("n_chunks")).as("n_chunks"),
         count(when(col("cchunk").isNull && col("chunk").isNotNull, 1)).as("n_kept"),
